@@ -1,0 +1,94 @@
+"""Engine configuration: analyzer spec + BM25 parameters + index layout.
+
+Plays the role of the ES index settings/mappings the reference declares at
+/root/reference/wapo/index_es.py:57-129 (analyzer chain, BM25 similarity,
+5-shard layout). Our analog: an explicit, versioned config object shared by
+the write path (index build) and the read path (query analysis) so the two
+can never diverge — rank-identity depends on it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Code-language keyword stoplist: the code-payload analog of the reference's
+# 178-word NLTK english list (/root/reference/data/english_stopwords_nltk.txt,
+# loaded at wapo/index_es.py:51-55). Fixed and versioned here — NOT generated.
+CODE_STOPWORDS: frozenset[str] = frozenset(
+    {
+        # python
+        "def", "return", "import", "class", "elif", "else", "for", "while",
+        "in", "not", "and", "or", "is", "none", "true", "false", "pass",
+        "break", "continue", "lambda", "try", "except", "finally", "with",
+        "as", "from", "raise", "yield", "global", "nonlocal", "assert", "del",
+        "if", "self",
+        # java / js / go / rust common keywords
+        "public", "private", "protected", "static", "final", "void", "new",
+        "this", "extends", "implements", "interface", "package", "throws",
+        "throw", "catch", "null", "var", "let", "const", "function",
+        "typeof", "instanceof", "switch", "case", "default", "do", "func",
+        "type", "struct", "chan", "defer", "go", "map", "range", "select",
+        "fn", "impl", "pub", "mut", "use", "mod", "match", "enum", "trait",
+        "where", "loop", "ref", "crate", "super", "dyn", "await", "async",
+    }
+)
+
+# Minimal english stoplist used when analyzing the natural-language
+# `documents` test table (role of the NLTK list for news text). Small and
+# explicit so the DuckDB oracle can inline it as a SQL literal list.
+ENGLISH_MIN_STOPWORDS: frozenset[str] = frozenset(
+    {"the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for"}
+)
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Deterministic analyzer spec (SURVEY.md §2.3, T1-T5).
+
+    Pipeline (identical in the Catalyst-expression path, the pandas-UDF path,
+    the pure-Python oracle, and the DuckDB oracle SQL):
+      1. camelCase boundary split:  ([a-z0-9])([A-Z])   -> "x Y"
+      2. acronym boundary split:    ([A-Z]+)([A-Z][a-z]) -> "HTTP Server"
+      3. lowercase
+      4. split on [^a-z0-9]+   (this also splits snake_case at '_')
+      5. keep tokens matching ^[a-z][a-z0-9]*$ with length >= min_token_len
+         (pure numbers are dropped by the leading-letter rule)
+      6. drop stopwords
+    No stemming: code identifiers must round-trip exactly (SURVEY.md §2.3 T5).
+    """
+
+    stopwords: frozenset[str] = CODE_STOPWORDS
+    min_token_len: int = 2
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Okapi BM25 with the Lucene idf form and GLOBAL corpus stats.
+
+    k1/b are the ES/Lucene defaults the reference relies on (similarity
+    declared, params not overridden: wapo/index_es.py:97,103). We keep the
+    classic (k1+1) numerator; constant positive factor per term => rank order
+    identical to Lucene's simplified form. Global N/avgdl (ES 7 scores
+    shard-locally — a known rank instability we deliberately fix; our oracle
+    defines rank-identity with global stats).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical layout of the posting-segment table.
+
+    n_buckets plays the role of ES's 5 shards (wapo/index_es.py:62) but keyed
+    by TERM (bucket = crc32(term) % n_buckets) so a term's full posting list
+    lives in exactly one bucket: df/cf are bucket-local aggregations and a
+    query prunes to exactly the buckets of its terms.
+    """
+
+    n_buckets: int = 32
+    block_size: int = 128          # postings per block-max block
+    hot_term_df: int = 100_000     # df threshold for salted two-round merge
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    bm25: BM25Config = field(default_factory=BM25Config)

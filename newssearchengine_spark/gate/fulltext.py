@@ -1,0 +1,189 @@
+"""Gate entries for the full-text engine core over the `documents` table.
+
+Spark side uses the engine's analyzer + BM25 operators; the DuckDB oracle
+re-expresses the identical analyzer pipeline + Okapi BM25 in ANSI SQL.
+Determinism contract (both sides): scores rounded to 6 dp, top-k ordered by
+(rounded score desc, doc_id asc), ints cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ENGLISH_MIN_STOPWORDS, AnalyzerConfig, BM25Config
+from ..functions.analysis import doc_term_freqs
+from ..operators.bm25 import bm25_scores, term_stats
+from .registry import gate_query, load
+
+# Analyzer used for the natural-language documents table (the gate corpus).
+DOCS_ANALYZER = AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS)
+
+# Fixed reference query (OR-disjunction, reference builds " OR ".join(kw) at
+# wapo/experiments/ranking.py:127).
+QUERY_TERMS = ["hash", "merge", "spark", "table", "window"]
+TOP_K = 20
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in sorted(ENGLISH_MIN_STOPWORDS))
+
+# Shared DuckDB CTEs: the analyzer pipeline (identical regexes to
+# functions/analysis.py) -> per-doc term freqs + doc lengths.
+TOKENS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(
+             regexp_replace(regexp_replace(text,
+                 '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                 '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')),
+             '[^a-z0-9]+')) AS term
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, term FROM toks
+  WHERE length(term) >= 2
+    AND regexp_full_match(term, '[a-z][a-z0-9]*')
+    AND term NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY 1)
+"""
+
+
+def _tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return doc_term_freqs(docs, text_col="text", id_col="doc_id", cfg=DOCS_ANALYZER)
+
+
+@gate_query(
+    "ft_term_stats",
+    f"""WITH {TOKENS_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term""",
+)
+def ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A4/T1-T5: analyzer + per-term df/cf statistics."""
+    return term_stats(_tf_df(spark, sf_dir)).select(
+        "term", F.col("df").cast("bigint").alias("df"),
+        F.col("cf").cast("bigint").alias("cf"),
+    )
+
+
+@gate_query(
+    "ft_doc_lengths",
+    f"WITH {TOKENS_CTE} SELECT doc_id, dl FROM dl",
+)
+def ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 length norms (SURVEY A8): per-doc analyzed token count."""
+    return (
+        _tf_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.first("dl").cast("bigint").alias("dl"))
+    )
+
+
+@gate_query(
+    "ft_corpus_stats",
+    f"""WITH {TOKENS_CTE}
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl""",
+)
+def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global BM25 stats (SURVEY A8): N and avgdl, computed once, broadcast."""
+    dl = _tf_df(spark, sf_dir).groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def _bm25_sql(terms: list[str], k: int, bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bm25_topk", _bm25_sql(QUERY_TERMS, TOP_K))
+def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY K1/J6: Okapi BM25 (k1=1.2, b=0.75) OR-disjunction top-k —
+    the compositional Catalyst path (the segment/WAND engine is asserted
+    rank-identical to this in tests/)."""
+    scores = bm25_scores(_tf_df(spark, sf_dir), QUERY_TERMS)
+    scored = scores.select("doc_id", F.round("score", 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id",
+        "score",
+    )
+
+
+_TFIDF_MIN_TF = 2
+_TFIDF_MIN_DF = 5
+_TFIDF_TOP_N = 3
+
+
+@gate_query(
+    "ft_tfidf_keywords",
+    f"""WITH {TOKENS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5)), 6) AS kscore
+  FROM tf JOIN tdf USING (term) CROSS JOIN stats
+  WHERE tf.tf >= {_TFIDF_MIN_TF} AND tdf.df >= {_TFIDF_MIN_DF}
+),
+ranked AS (
+  SELECT doc_id, term, kscore,
+         row_number() OVER (PARTITION BY doc_id ORDER BY kscore DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, kscore FROM ranked WHERE rn <= {_TFIDF_TOP_N}""",
+)
+def ft_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A5: per-doc tf-idf top-terms with tf/df thresholds — the
+    reference's keyword extraction (ES termvectors filter, wapo/parser.py:16-36:
+    body min_term_freq=2, min_doc_freq=5). Window top-k after pushed-down
+    tf/df predicates."""
+    tf = _tf_df(spark, sf_dir)
+    tdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = (
+        tf.join(F.broadcast(tdf.filter(F.col("df") >= _TFIDF_MIN_DF)), "term")
+        .filter(F.col("tf") >= _TFIDF_MIN_TF)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("kscore"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("kscore"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP_N)
+        .select("doc_id", "term", "kscore")
+    )

@@ -1,0 +1,108 @@
+"""Catalyst-native BM25 retrieval (the compositional path).
+
+This is the reference's lexical retrieval (every es.search(size=k), e.g.
+/root/reference/wapo/experiments/ranking.py:128-139 and
+keyword_match_recall.py:39-50) expressed purely with built-in DataFrame ops:
+tokenize -> (doc,term,tf) -> join broadcast query terms -> per-doc score sum
+-> global top-k. Exact (no pruning), fully whole-stage-codegen'd, and the
+semantics oracle for the segment-based engine in plans/ (which must return
+rank-identical ids and scores).
+
+Scale notes (100 TB): the only shuffles are (1) the map-side-combined
+groupBy(doc_id, term) inside doc_term_freqs, (2) groupBy(doc_id) for the
+score sum, (3) the final top-k gather (TakeOrderedAndProject — each partition
+keeps k rows, driver merges). Query terms and corpus stats are broadcast.
+For repeated queries use the prebuilt segment index (plans/) instead of
+re-scanning the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import AnalyzerConfig, BM25Config
+from ..functions.analysis import doc_term_freqs
+
+
+def term_stats(tf_df: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) -> (term, df, cf).
+
+    The reference reads these from ES termvectors `term_statistics=True`
+    (wapo/parser.py:10-37). Catalyst-native partial+final hash aggregation.
+    """
+    return tf_df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),   # one row per (doc, term) => doc freq
+        F.sum("tf").alias("cf"),
+    )
+
+
+def corpus_stats(tf_df: DataFrame) -> DataFrame:
+    """Global N and avgdl (BM25 stats, SURVEY.md A8). One tiny row."""
+    dl = tf_df.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def bm25_scores(
+    tf_df: DataFrame,
+    query_terms: list[str],
+    bm25: BM25Config | None = None,
+) -> DataFrame:
+    """Score all matching docs for an OR-disjunction of query terms.
+
+    Returns (doc_id, score double). Pure built-ins: the idf/norm arithmetic
+    is a codegen'd projection; the per-doc sum is one hash aggregation.
+    """
+    bm25 = bm25 or BM25Config()
+    spark = tf_df.sparkSession
+    terms = sorted(set(query_terms))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    stats = corpus_stats(tf_df).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+
+    # df per query term only (semi-joined before the expensive agg)
+    matched = tf_df.join(F.broadcast(qdf), "term", "inner")
+    tstats = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    k1, b = bm25.k1, bm25.b
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        matched.join(F.broadcast(tstats), "term")
+        .withColumn("idf", idf)
+        .withColumn(
+            "part_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    *,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Config | None = None,
+) -> DataFrame:
+    """End-to-end: corpus DataFrame -> top-k (rank, doc_id, score).
+
+    Tie-break fixed: score desc, doc_id asc (deterministic rank-identity
+    across parallelism levels — SURVEY.md §7.3).
+    """
+    tf_df = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=analyzer)
+    scores = bm25_scores(tf_df, query_terms, bm25)
+    topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank assigned after the limit: the window runs over k rows, not the corpus
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).alias("rank"), "doc_id", "score"
+    )
