@@ -81,14 +81,28 @@ class BM25Config:
 class IndexConfig:
     """Physical layout of the posting-segment table.
 
-    n_buckets plays the role of ES's 5 shards (wapo/index_es.py:62) but keyed
-    by TERM (bucket = crc32(term) % n_buckets) so a term's full posting list
-    lives in exactly one bucket: df/cf are bucket-local aggregations and a
-    query prunes to exactly the buckets of its terms.
+    Segment rows are keyed (term_bucket, term, doc_part):
+
+    - term_bucket = crc32(term) % n_buckets — the partition column of the
+      segment table. Plays the role of ES's 5 shards (wapo/index_es.py:62)
+      on the read side: a query prunes the directory scan to exactly the
+      buckets of its terms.
+    - doc_part = doc_id // doc_range — the SALT that splits skewed hot
+      terms (north rule): a term's postings are chunked into fixed,
+      globally-aligned doc-id ranges, so no single build task or query task
+      ever holds a whole hot term's postings, and — because the ranges are
+      the same for every term — the query side can group chunks by doc_part
+      and run doc-at-a-time block-max WAND with correct multi-term score
+      sums (doc alignment is what a purely term-sharded layout loses).
+
+    Build = ONE shuffle on (term_bucket, doc_part); group sizes are
+    structurally bounded by tokens-per-range / n_buckets regardless of term
+    skew. Global df/cf live in a separate term_stats table (Catalyst
+    partial+final agg — map-side combine absorbs hot terms there).
     """
 
     n_buckets: int = 32
+    doc_range: int = 1 << 20       # docs per doc_part chunk (the hot-term salt)
     block_size: int = 128          # postings per block-max block
-    hot_term_df: int = 100_000     # df threshold for salted two-round merge
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     bm25: BM25Config = field(default_factory=BM25Config)

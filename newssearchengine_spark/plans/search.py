@@ -1,0 +1,278 @@
+"""Query engine over the posting-segment index: BM25 top-k.
+
+The read path the reference delegates to ES for every
+es.search(size=k) (/root/reference/wapo/experiments/ranking.py:128-139):
+
+  analyzed query terms --broadcast (tiny)-->
+  segment scan pruned to the terms' buckets (directory pruning on the
+  partition column) + term predicate pushdown (parquet row-group stats)
+  --groupBy(doc_part).applyInPandas--> per-doc-range top-k
+  (doc ranges are disjoint doc sets, so per-range scores are complete)
+  --global orderBy(score desc, doc_id asc).limit(k)--> final top-k
+
+Two scorer modes, asserted identical in tests:
+  taat — exact term-at-a-time: vectorized numpy accumulation
+         (decode -> idf*tf_norm -> np.add.at per doc). The default.
+  wand — block-max WAND: doc-at-a-time pivoting with per-block score
+         upper bounds; rank-safe pruning (skips blocks that cannot beat
+         the running top-k threshold). The 100 TB path: on hot terms the
+         threshold rises fast and whole blocks are skipped.
+
+Determinism contract (rank-identity across parallelism levels,
+SURVEY.md §7.3): float64 scoring, per-doc term summation in sorted-term
+order, tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.codec import decode_postings, lucene_idf, tf_norm
+from ..oracle import pure
+from ..config import AnalyzerConfig
+from .index_build import term_bucket
+
+TOPK_SCHEMA = "doc_id bigint, score double"
+
+
+class SegmentIndex:
+    """Handle over an index directory written by plans.index_build."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.analyzer = AnalyzerConfig(
+            stopwords=frozenset(self.stats["stopwords"]),
+            min_token_len=int(self.stats["min_token_len"]),
+        )
+
+    # -- query formulation ------------------------------------------------
+    def analyze_query(self, text: str) -> list[str]:
+        """Query-side analysis uses the same spec the index was built with
+        (write/read analyzer unity — the reference gets this from ES by
+        construction; we get it from stats.json)."""
+        return pure.analyze(text, self.analyzer)
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per query term — a pruned scan of the tiny term_stats
+        table (term predicate pushed to parquet), collected driver-side."""
+        rows = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    # -- retrieval ---------------------------------------------------------
+    def search(self, query, k: int, mode: str = "taat") -> DataFrame:
+        """OR-disjunction BM25 top-k. `query` = raw text or list of terms.
+
+        Returns (rank, doc_id, score); empty if no term matches.
+        """
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        terms = sorted(set(terms))
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        if not terms:
+            return empty
+
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t]))) for t in terms}
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+
+        seg = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+            .filter(F.col("bucket").isin(buckets))       # directory pruning
+            .filter(F.col("term").isin(terms))           # row-group pushdown
+            .select("doc_part", "term", "docs", "tfs", "dls",
+                    "block_last", "block_max")
+        )
+        scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=k, mode=mode)
+        per_part = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+        topk = per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
+
+def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
+                 avgdl: float, k: int, mode: str):
+    """Per-doc_part scorer closure for applyInPandas."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term", kind="mergesort")  # fixed term order
+        if mode == "wand":
+            ids, scores = _wand_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
+        else:
+            ids, scores = _taat_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return score_group
+
+
+def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
+    """Exact vectorized term-at-a-time: decode all matched postings in the
+    range, accumulate idf*tf_norm per doc (term-sorted order), top-k."""
+    all_ids, all_scores = [], []
+    for row in pdf.itertuples(index=False):
+        ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+        contrib = idf_map[row.term] * tf_norm(
+            tfs.astype(np.float64), dls.astype(np.float64),
+            k1=k1, b=b, avgdl=avgdl,
+        )
+        all_ids.append(ids)
+        all_scores.append(contrib)
+    if not all_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.concatenate(all_ids)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(uniq.size)
+    np.add.at(acc, inv, scores)  # element order = term-sorted: deterministic
+    if uniq.size > k:
+        # top-k by (score desc, doc_id asc): lexsort is stable & total
+        order = np.lexsort((uniq, -acc))[:k]
+    else:
+        order = np.lexsort((uniq, -acc))
+    return uniq[order], acc[order]
+
+
+class _TermCursor:
+    __slots__ = ("term", "idf", "ids", "tfn", "block_last", "block_ub",
+                 "pos", "n")
+
+    def __init__(self, term, idf, ids, tfn, block_last, block_ub):
+        self.term = term
+        self.idf = idf
+        self.ids = ids
+        self.tfn = tfn
+        self.block_last = block_last
+        self.block_ub = block_ub  # idf * block max tf_norm (float64)
+        self.pos = 0
+        self.n = ids.size
+
+    def current(self):
+        return self.ids[self.pos] if self.pos < self.n else None
+
+    def seek(self, target):
+        """Advance to first doc >= target (galloping via searchsorted)."""
+        if self.pos < self.n:
+            self.pos += int(np.searchsorted(self.ids[self.pos:], target, "left"))
+
+    def block_max_at(self, doc):
+        """Upper bound of this cursor's contribution for the block
+        containing `doc` (0 if exhausted or doc beyond last block)."""
+        if self.pos >= self.n:
+            return 0.0
+        bi = int(np.searchsorted(self.block_last, doc, "left"))
+        if bi >= self.block_ub.size:
+            return 0.0
+        return float(self.block_ub[bi])
+
+
+def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
+    """Block-max WAND (Ding & Suel, 2011 — public algorithm): doc-at-a-time
+    pivoting over per-term cursors with global and per-block upper bounds.
+    Rank-safe: returns exactly the taat top-k (asserted in tests)."""
+    cursors: list[_TermCursor] = []
+    for row in pdf.itertuples(index=False):
+        ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+        idf = idf_map[row.term]
+        tfn = idf * tf_norm(tfs.astype(np.float64), dls.astype(np.float64),
+                            k1=k1, b=b, avgdl=avgdl)
+        block_last = np.asarray(row.block_last, dtype=np.int64)
+        # float32 block max was rounded up at encode; widen then scale
+        block_ub = idf * np.asarray(row.block_max, dtype=np.float64)
+        cursors.append(_TermCursor(row.term, idf, ids, tfn, block_last, block_ub))
+    if not cursors:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+
+    ub_global = {c.term: float(c.block_ub.max()) if c.block_ub.size else 0.0
+                 for c in cursors}
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+    def threshold():
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    live = [c for c in cursors if c.n]
+    while True:
+        live = [c for c in live if c.pos < c.n]
+        if not live:
+            break
+        live.sort(key=lambda c: int(c.ids[c.pos]))
+        theta = threshold()
+        # pivot: first prefix whose global-ub sum can reach theta
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += ub_global[c.term]
+            if acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all terms together cannot reach the threshold
+        pivot_doc = int(live[pivot].ids[live[pivot].pos])
+        if int(live[0].ids[live[0].pos]) < pivot_doc:
+            # docs below pivot_doc live only in the prefix, whose global-ub
+            # sum is < theta: skip the prefix forward
+            for c in live[:pivot]:
+                c.seek(pivot_doc)
+            continue
+        # sorted + live[pivot]==pivot_doc + live[0]==pivot_doc => the whole
+        # prefix sits at pivot_doc; extend with any later cursors tied there
+        # (their contribution belongs in the bound AND the score)
+        ext_end = pivot + 1
+        while (ext_end < len(live)
+               and int(live[ext_end].ids[live[ext_end].pos]) == pivot_doc):
+            ext_end += 1
+        ext = live[:ext_end]
+        # block-max refinement: tighter per-block bound at pivot_doc
+        block_sum = sum(c.block_max_at(pivot_doc) for c in ext)
+        if block_sum >= theta:
+            score = 0.0
+            for c in sorted(ext, key=lambda c: c.term):  # fixed order: determinism
+                score += float(c.tfn[c.pos])
+                c.pos += 1
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            # rank-safe skip: within [pivot_doc, min current-block end] every
+            # doc's score is bounded by block_sum (< theta), PROVIDED no
+            # later cursor reaches into that range — cap at its current doc.
+            bmin = None
+            for c in ext:
+                bi = int(np.searchsorted(c.block_last, pivot_doc, "left"))
+                last = int(c.block_last[bi])
+                bmin = last if bmin is None else min(bmin, last)
+            candidate = bmin + 1
+            if ext_end < len(live):
+                candidate = min(candidate, int(live[ext_end].ids[live[ext_end].pos]))
+            candidate = max(candidate, pivot_doc + 1)
+            for c in ext:
+                c.seek(candidate)
+
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    ids = np.array([-d for _, d in out], dtype=np.int64)
+    scores = np.array([s for s, _ in out])
+    return ids, scores

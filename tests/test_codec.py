@@ -1,0 +1,62 @@
+"""Posting codec: varbyte/delta roundtrips + block-max bound safety."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from newssearchengine_spark.functions.codec import (
+    decode_postings,
+    encode_postings,
+    tf_norm,
+    vb_decode,
+    vb_encode,
+)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_varbyte_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(20):
+        bits = int(rng.integers(1, 64))
+        n = int(rng.integers(0, 3000))
+        vals = rng.integers(0, 1 << bits, size=n).astype(np.uint64)
+        assert np.array_equal(vb_decode(vb_encode(vals)), vals)
+
+
+def test_varbyte_edge_values():
+    edge = np.array(
+        [0, 1, 127, 128, 16383, 16384, 1 << 35, 1 << 56, (1 << 63) - 1,
+         (1 << 64) - 1],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(vb_decode(vb_encode(edge)), edge)
+    assert vb_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert vb_decode(b"").size == 0
+
+
+def test_postings_roundtrip_and_blockmax():
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 10**12, size=5000)).astype(np.int64)
+    tfs = rng.integers(1, 900, size=ids.size)
+    dls = rng.integers(1, 20000, size=ids.size)
+    k1, b, avgdl, bs = 1.2, 0.75, 432.1, 128
+    d, t, l, blast, bmax = encode_postings(ids, tfs, dls, k1=k1, b=b,
+                                           avgdl=avgdl, block_size=bs)
+    i2, t2, l2 = decode_postings(d, t, l)
+    assert np.array_equal(i2, ids)
+    assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
+    tfn = tf_norm(tfs.astype(float), dls.astype(float), k1=k1, b=b, avgdl=avgdl)
+    n_blocks = (ids.size + bs - 1) // bs
+    assert blast.size == bmax.size == n_blocks
+    for i in range(n_blocks):
+        lo, hi = i * bs, min((i + 1) * bs, ids.size)
+        assert blast[i] == ids[hi - 1]
+        assert bmax[i] >= tfn[lo:hi].max()  # bound never underestimates
+
+
+def test_unsorted_doc_ids_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 2]), np.array([1, 1]), np.array([5, 5]),
+                        k1=1.2, b=0.75, avgdl=10.0, block_size=4)

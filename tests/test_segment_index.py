@@ -1,0 +1,147 @@
+"""Segment-index engine: build + search parity, resume, invariants.
+
+Mirrors the reference's ES-integration tier (SURVEY.md §5) with the pure
+oracle in the role of ES, plus the north-rule-specific checks: resume with
+zero recomputation, sha256 row invariant, deterministic doc ids.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from newssearchengine_spark.config import IndexConfig
+from newssearchengine_spark.datagen import source_files
+from newssearchengine_spark.oracle import pure
+from newssearchengine_spark.plans.index_build import build_index, completed_buckets
+from newssearchengine_spark.plans.search import SegmentIndex
+from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+N_DOCS = 1200
+CFG = IndexConfig(n_buckets=8, doc_range=200, block_size=16)
+
+QUERIES = [
+    ("getUser listNode hashSort", 10),
+    ("mapList cacheIndex shard_chunk", 25),
+    ("def runScan(readWrite)", 15),   # keywords are stoplisted
+    ("zzz_missing_term", 10),
+    ("value_count totalDelta pushPull sendRecv", 100),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = assign_doc_ids(source_files(spark, N_DOCS, seed=42, partitions=8),
+                        num_partitions=8).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    raw = {r["doc_id"]: r["content"]
+           for r in corpus.select("doc_id", "content").collect()}
+    return pure.OracleIndex.build(raw, CFG.analyzer), raw
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(corpus, d, CFG, meta_cols=("repo", "path", "commit", "lang"))
+    return d
+
+
+def test_build_stats_match_oracle(index_dir, oracle):
+    oidx, _ = oracle
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == oidx.n_docs
+    assert stats["avgdl"] == pytest.approx(oidx.avgdl, rel=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["taat", "wand"])
+@pytest.mark.parametrize("query,k", QUERIES)
+def test_search_rank_and_score_identical(spark, index_dir, oracle, query, k, mode):
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    terms = si.analyze_query(query)
+    expected = oidx.search(terms, k)
+    got = si.search(query, k, mode=mode).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_sha256_invariant(spark, corpus, index_dir):
+    """Per-row content sha256 equality input vs doc_store (BASELINE hint)."""
+    from pyspark.sql import functions as F
+
+    store = spark.read.parquet(os.path.join(index_dir, "doc_store"))
+    joined = corpus.select(
+        "doc_id", F.sha2("content", 256).alias("expected")
+    ).join(store.select("doc_id", "sha256"), "doc_id")
+    n_bad = joined.filter(F.col("expected") != F.col("sha256")).count()
+    assert n_bad == 0
+    assert store.count() == N_DOCS
+
+
+def test_resume_zero_recomputation(spark, corpus, oracle, tmp_path):
+    """Interrupted build (3 of 8 buckets) resumes: completed bucket files
+    untouched (mtime+size), final index equals a cold build row-for-row."""
+    d = str(tmp_path / "partial")
+    m1 = build_index(corpus, d, CFG, max_buckets=3)
+    assert m1["buckets_built"] == 3
+    fp = m1["input_fingerprint"]
+    assert completed_buckets(d, fp) == {0, 1, 2}
+
+    def file_state(bucket):
+        files = sorted(glob.glob(os.path.join(d, "segments", f"bucket={bucket}", "*.parquet")))
+        return [(f, os.path.getmtime(f), os.path.getsize(f)) for f in files]
+
+    before = {b: file_state(b) for b in (0, 1, 2)}
+    m2 = build_index(corpus, d, CFG)   # resume
+    assert m2["buckets_skipped"] == 3
+    assert m2["buckets_built"] == 5
+    for b in (0, 1, 2):
+        assert file_state(b) == before[b], f"bucket {b} was recomputed"
+
+    # resumed index == cold index, content-identical (incl. binary blobs)
+    cold = str(tmp_path / "cold")
+    build_index(corpus, cold, CFG)
+    a = spark.read.parquet(os.path.join(d, "segments"))
+    c = spark.read.parquet(os.path.join(cold, "segments"))
+    cols = ["bucket", "term", "doc_part", "df", "cf", "docs", "tfs", "dls"]
+    rows_a = sorted([tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x
+                           for x in r) for r in a.select(cols).collect()])
+    rows_c = sorted([tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x
+                           for x in r) for r in c.select(cols).collect()])
+    assert rows_a == rows_c
+
+
+def test_fingerprint_invalidates_resume(spark, corpus, tmp_path):
+    """A changed input invalidates manifests: nothing is skipped."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, CFG, max_buckets=2)
+    changed = corpus.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\nextraToken"))
+    )
+    m = build_index(changed, d, CFG)
+    assert m["buckets_skipped"] == 0
+    assert m["buckets_built"] == CFG.n_buckets
+
+
+def test_doc_ids_deterministic(spark):
+    """Ids are a pure function of the key — independent of partitioning."""
+    a = assign_doc_ids(source_files(spark, 300, seed=7, partitions=4),
+                       num_partitions=4)
+    b = assign_doc_ids(source_files(spark, 300, seed=7, partitions=16),
+                       num_partitions=9)
+    ra = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
+    rb = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
+    assert ra == rb
+    assert sorted(ra.values()) == list(range(300))
