@@ -1,0 +1,147 @@
+"""Gate entries for the dedup operator family.
+
+The documents table has no natural duplicates, so each entry augments the
+corpus in-query with deterministic clones (exact or near) — the SAME
+augmentation in the Spark query and the DuckDB oracle — so the operators
+produce non-trivial output to verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from .registry import gate_query, load
+
+_AUG_EXACT_SQL = """aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+_AUG_NEAR_SQL = """aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzextra zzmore zztail' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+# normalized + 1-based shingling in DuckDB (mirror of operators/dedup.py)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = f"""shing AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len({_TOKS_SQL}) >= 3 THEN
+             list_transform(generate_series(1, len({_TOKS_SQL}) - 2),
+                            i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2])
+           ELSE [] END) AS shingles
+  FROM aug
+), shing_ne AS (SELECT * FROM shing WHERE len(shingles) > 0)"""
+
+
+def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(clones)
+
+
+def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra zzmore zztail")).alias("text"),
+    )
+    return d.unionByName(clones)
+
+
+@gate_query(
+    "dd_exact",
+    f"""WITH {_AUG_EXACT_SQL}
+SELECT md5({_NORM_SQL}) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_dupes,
+       list(doc_id ORDER BY doc_id) AS dupe_ids
+FROM aug GROUP BY 1 HAVING count(*) >= 2""",
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_aug_exact(spark, sf_dir))
+
+
+def _minhash_sql() -> str:
+    n, bands = D.N_MINHASH, D.LSH_BANDS
+    rpb = n // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig{i}"
+        for i in range(n)
+    )
+    sep = " || '|' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({sep.join(f'sig{b * rpb + r}' for r in range(rpb))}) AS band_hash "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    return f"""WITH {_AUG_NEAR_SQL},
+{_SHINGLES_SQL},
+sigs AS (SELECT doc_id, {sig_cols} FROM shing_ne),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id"""
+
+
+@gate_query("dd_minhash_lsh", _minhash_sql())
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_aug_near(spark, sf_dir))
+
+
+@gate_query(
+    "dd_ngram_jaccard",
+    f"""WITH {_AUG_NEAR_SQL},
+{_SHINGLES_SQL},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing_ne),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM shing_ne),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_aug_near(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    bits = D.SIMHASH_BITS
+    return f"""WITH aug AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM aug
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+votes AS (
+  SELECT doc_id, j.bit,
+         sum(CASE WHEN substr(md5(term), j.bit + 1, 1) IN
+                       ('8','9','a','b','c','d','e','f')
+                  THEN tf ELSE -tf END) AS v
+  FROM tf, (SELECT unnest(generate_series(0, {bits - 1})) AS bit) j
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+@gate_query("dd_simhash", _simhash_sql())
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load(spark, sf_dir, "documents"))

@@ -1,0 +1,91 @@
+"""Gate entries for the text-analysis operator family over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text as T
+from .registry import gate_query, load
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _lang_sql() -> str:
+    hit_cols = []
+    for lang, words in sorted(T.LANG_STOPWORDS.items()):
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter({_TOKS}, t -> list_contains([{wl}], t)))::BIGINT AS hits_{lang}"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, hits_{lang} AS hits FROM scored"
+        for lang in sorted(T.LANG_STOPWORDS)
+    )
+    return f"""WITH scored AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents),
+lf AS ({unions}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM lf
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       hits
+FROM best WHERE rn = 1"""
+
+
+@gate_query("tx_lang_id", _lang_sql())
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load(spark, sf_dir, "documents"))
+
+
+@gate_query(
+    "tx_quality",
+    f"""WITH feats AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len({_TOKS})::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE AS n_punct,
+         CASE WHEN len({_TOKS}) > 0 THEN
+           list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
+         ELSE 0.0 END AS mean_tok
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(mean_tok, 6) AS mean_token_len,
+       round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(
+         least(n_tokens / 50.0, 1.0) * 0.5
+         + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.3
+         + CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 0.2 ELSE 0.0 END,
+       6) AS quality
+FROM feats""",
+)
+def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents"))
+
+
+@gate_query(
+    "tx_token_counts",
+    f"""SELECT doc_id,
+       len({_TOKS})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{T.BPE_ISH_RE}'))::BIGINT AS n_bpeish_tokens
+FROM documents""",
+)
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(load(spark, sf_dir, "documents"))
+
+
+@gate_query(
+    "tx_fingerprints",
+    """WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS fp_content,
+       md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS fp_tokenset
+FROM n""",
+)
+def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load(spark, sf_dir, "documents"))

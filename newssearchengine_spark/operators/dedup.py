@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four are Catalyst-native (no Python in the hot path): hashing via
+built-in md5, shingling via higher-order array functions, candidate
+generation via hash-bucket self-joins. At 100 TB:
+
+- exact: one map-side-combined groupBy on the content hash.
+- MinHash-LSH: shingle -> n_hashes min-hashes -> bands; candidate pairs come
+  from an equi-join on (band_idx, band_hash) — never an all-pairs product.
+  Hot buckets (boilerplate docs) are the skew risk: AQE skew-join handles
+  moderate cases; pathological buckets should be length-capped upstream.
+- SimHash: bit-budget fingerprint; one groupBy(doc) after a bit fan-out.
+- n-gram Jaccard: exact verification for candidate pairs (use after LSH at
+  scale; standalone here) via a shingle inverted-list self-join.
+
+Determinism: every hash is md5 (identical across JVM/DuckDB/Python), no
+randomness — "permutations" are keyed hash families md5(i || ':' || x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def normalized(text: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash. Returns one row per group
+    with >= 2 members: (content_hash, keep_id, n_dupes, dupe_ids)."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+            F.sort_array(F.collect_list("doc_id")).alias("dupe_ids"),
+        )
+        .filter(F.col("n_dupes") >= 2)
+    )
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles (whitespace tokens, 0-based Spark arrays)."""
+    toks = F.split(normalized(text), " ")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def doc_shingles(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = N_MINHASH,
+                      bands: int = LSH_BANDS, k: int = SHINGLE_K) -> DataFrame:
+    """Candidate near-dup pairs via MinHash + banded LSH.
+
+    sig_i(doc) = min over shingles of md5(i || ':' || shingle); a band's
+    bucket key is md5 of its rows joined. Pairs sharing ANY band bucket are
+    candidates. Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+
+    def hash_family(i: int):
+        prefix = f"{i}:"
+        # single-parameter lambda on purpose: a 2-arg lambda would make
+        # F.transform pass (element, array_index) and clobber `i`
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("shingles"), hash_family(i))).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    sig_df = sh.select("doc_id", *sigs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bd")
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = SHINGLE_K,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via inverted-list self-join
+    (pairs only materialize for docs sharing at least one shingle)."""
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+_HIGH_HEX = list("89abcdef")
+
+
+def simhash(docs: DataFrame, *, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint (bit j from md5 hex digit j: digits
+    8..f vote +tf, 0..7 vote -tf; bit set if the weighted sum > 0)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    bits_df = tf.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.struct(
+                    j.alias("bit"),
+                    F.when(
+                        F.substring(F.md5(F.col("term")), 1, bits)
+                        .substr(j + 1, F.lit(1))
+                        .isin(_HIGH_HEX),
+                        F.col("tf"),
+                    ).otherwise(-F.col("tf")).alias("vote"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.bit", "bv.vote")
+    return (
+        bits_df.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0,
+                       F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("simhash")
+        )
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting. All pure Catalyst expressions — these run over
+every document of a 100 TB corpus, so they must stay inside whole-stage
+codegen (no Python at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists (deterministic heuristic; the gate
+# corpus langs are en/de/es/fr/zh — zh won't hit latin stopwords and falls
+# through to 'und').
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+    "fr": ["le", "la", "les", "des", "et", "est", "un", "une", "dans", "que"],
+}
+
+BPE_ISH_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empties filtered)."""
+    return F.filter(
+        F.split(F.lower(text), "\\s+"), lambda t: t != ""
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """One hit-count column per language."""
+    toks = ws_tokens(text)
+
+    def contains(words: list[str]):
+        wl = F.lit(words).cast("array<string>")
+        # single-param lambda on purpose (2-arg => F.filter passes an index)
+        return lambda t: F.array_contains(wl, t)
+
+    return [
+        F.size(F.filter(toks, contains(words))).cast("bigint").alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, hits): argmax stopword hits, ties -> lang asc,
+    zero hits -> 'und' (undetermined, BCP-47 style)."""
+    scored = docs.select(F.col(id_col).alias("doc_id"),
+                         *lang_scores(F.col(text_col)))
+    longform = scored.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(lang).alias("lang"), F.col(f"hits_{lang}").alias("hits"))
+                for lang in sorted(LANG_STOPWORDS)
+            ])
+        ).alias("s"),
+    ).select("doc_id", "s.lang", "s.hits")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = longform.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        F.when(F.col("hits") > 0, F.col("lang")).otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        F.col("hits"),
+    )
+
+
+def quality_features(docs: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals + a composite score in [0, 1]."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    # punctuation = anything outside [a-z0-9\s] in the lowercased text
+    n_punct = n_chars - F.length(F.regexp_replace(F.lower(t), "[^a-z0-9\\s]", ""))
+    mean_tok = F.when(n_toks > 0,
+                      F.aggregate(toks, F.lit(0.0),
+                                  lambda acc, x: acc + F.length(x)) / n_toks
+                      ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_toks / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (words and
+    isolated punctuation marks — a deterministic proxy for subword
+    tokenizer budgeting)."""
+    t = F.lower(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(F.col(text_col))).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0))
+        .cast("bigint").alias("n_bpeish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Two content fingerprints: md5 of whitespace-normalized text (layout-
+    insensitive) and md5 of the sorted distinct token set (order- and
+    multiplicity-insensitive — catches shuffled near-dupes)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    tokset = F.array_sort(F.array_distinct(F.split(norm, " ")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fp_content"),
+        F.md5(F.concat_ws(" ", tokset)).alias("fp_tokenset"),
+    )

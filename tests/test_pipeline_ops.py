@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal,
+streaming — unit-level checks against hand-computed / numpy references
+(the DuckDB cross-check runs in the driver gate; these pin semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from newssearchengine_spark.operators import dedup as D
+from newssearchengine_spark.operators import multimodal as M
+from newssearchengine_spark.operators import similarity as S
+from newssearchengine_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "Der Hund ist nicht ein Katze und das ist gut"),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["keep_id"] == 1 and g["n_dupes"] == 2 and list(g["dupe_ids"]) == [1, 2]
+
+
+def test_minhash_identical_docs_always_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs            # identical => identical signatures
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    # doc1: 7 shingles, doc3: 8 shingles, 6 shared => 6/9
+    assert pairs[(1, 3)] == pytest.approx(round(6 / 9, 6), abs=1e-6)
+
+
+def test_simhash_properties(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fp[1] == fp[2]                       # identical text
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(fp[1], fp[3]) <= ham(fp[1], fp[4])  # near-dup closer than random
+    assert all(0 <= v < (1 << D.SIMHASH_BITS) for v in fp.values())
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_tiny):
+    return spark.read.parquet(f"{sf_tiny}/embeddings.parquet").persist()
+
+
+def test_brute_force_knn_matches_numpy(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = sorted(
+        ((vid, round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6))
+         for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = S.brute_force_knn(emb, 0, 10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (vid, pytest.approx(c, abs=2e-6)) for vid, c in sims
+    ]
+
+
+def test_ivf_results_are_exact_within_probed_cells(emb):
+    got = S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=2).collect()
+    assert len(got) == 10
+    brute = {r["vec_id"]: r["cos"]
+             for r in S.brute_force_knn(emb, 0, 500).collect()}
+    for r in got:  # every ivf hit carries its exact cosine
+        assert r["cos"] == pytest.approx(brute[r["vec_id"]], abs=1e-6)
+    # recall sanity: probing 2/16 cells must find a decent chunk of top-10
+    top10 = set(list(brute)[:10])
+    assert len(top10 & {r["vec_id"] for r in got}) >= 3
+
+
+def test_lang_id_heuristic(docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "de"
+    # no function-word hits at all => undetermined
+    assert pred[4] == "und" and pred[6] == "und"
+
+
+def test_quality_and_token_counts(docs):
+    q = {r["doc_id"]: r for r in T.quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["punct_ratio"] == 0.0
+    assert q[6]["n_tokens"] == 1
+    tc = {r["doc_id"]: r for r in T.token_counts(docs).collect()}
+    assert tc[1]["n_ws_tokens"] == 9 and tc[1]["n_bpeish_tokens"] == 9
+
+
+def test_fingerprints_layout_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "c b a"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r for r in T.fingerprints(df).collect()}
+    assert fp[1]["fp_content"] == fp[2]["fp_content"]       # whitespace-insensitive
+    assert fp[2]["fp_content"] != fp[3]["fp_content"]       # order-sensitive
+    assert fp[2]["fp_tokenset"] == fp[3]["fp_tokenset"]     # set: order-insensitive
+    assert fp[2]["fp_tokenset"] != fp[4]["fp_tokenset"]
+
+
+def test_multimodal_metadata_and_stub(spark, docs):
+    payloads = M.to_payload(docs)
+    meta = M.extract_metadata(payloads)
+    joined = meta.join(
+        payloads.select("doc_id", F.crc32("payload").alias("crc_jvm"),
+                        F.length("payload").alias("len_jvm")),
+        "doc_id",
+    ).collect()
+    for r in joined:
+        assert r["checksum"] == r["crc_jvm"] % (1 << 16)  # python stub == JVM crc32
+        assert r["n_bytes"] == r["len_jvm"]
+        assert r["width"] == r["n_bytes"] % 640 and r["height"] == r["n_bytes"] % 480
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_streaming_equals_batch(spark, sf_tiny):
+    from newssearchengine_spark.streaming.pipeline import (
+        run_stateful_user_counts,
+        run_windowed_counts,
+    )
+
+    path = f"{sf_tiny}/events.parquet"
+    ev = spark.read.parquet(path)
+
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+           for r in run_windowed_counts(spark, path, query_name="t_win").collect()}
+    exp_df = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+    exp = {(r["w"], r["event_type"]): (r["n"], r["v"]) for r in exp_df.collect()}
+    assert got == exp
+
+    got2 = {r["user_id"]: r["n_events"]
+            for r in run_stateful_user_counts(spark, path, query_name="t_state").collect()}
+    exp2 = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    assert got2 == exp2
