@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Headline set: index build throughput + BM25 query latency (the
+BASELINE.json metric) over the documents corpus, plus one representative
+query from each operator family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from newssearchengine_spark.config import (  # noqa: E402
+    ENGLISH_MIN_STOPWORDS,
+    AnalyzerConfig,
+    BM25Config,
+    IndexConfig,
+)
+from newssearchengine_spark.session import get_spark  # noqa: E402
+
+BM25_QUERY_TERMS = [
+    ["hash", "merge", "spark", "table", "window"],
+    ["scan", "slow", "fast"],
+    ["value", "row", "sort", "key"],
+    ["batch", "line"],
+    ["table", "part", "agg", "key", "merge", "row"],
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, int(cpus)))
+
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.gate import REGISTRY
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import SegmentIndex
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+
+    # 1) index build throughput (files/sec) — the BASELINE.json metric
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    cfg = IndexConfig(
+        n_buckets=16,
+        doc_range=1 << 12,
+        analyzer=AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS),
+        bm25=BM25Config(),
+    )
+    try:
+        timed("index_build",
+              lambda: build_index(docs, idx_dir, cfg, text_col="text",
+                                  id_col="doc_id", resume=False))
+        extra["build_files_per_sec"] = round(n_docs / timings["index_build"], 2)
+
+        # 2) BM25 query latency over the prebuilt index (warm engine)
+        si = SegmentIndex(spark, idx_dir)
+        si.search(["warmup"], 10, mode="taat").collect()
+        lat = []
+        for terms in BM25_QUERY_TERMS * 2:
+            t0 = time.time()
+            si.search(terms, 100, mode="taat").collect()
+            lat.append(time.time() - t0)
+        timings["bm25_query_batch"] = round(sum(lat), 3)
+        extra["bm25_query_p95_sec"] = round(
+            statistics.quantiles(lat, n=20)[18], 4
+        )
+        extra["bm25_query_mean_sec"] = round(statistics.mean(lat), 4)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # 3) one representative per operator family (gate implementations)
+    for name in ("ft_bm25_topk", "dd_minhash_lsh", "sim_knn_bruteforce",
+                 "tx_quality", "rel_topk_per_group", "rel_sessionize",
+                 "dd_exact"):
+        fn = REGISTRY[name].fn
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    docs.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "cpus": int(cpus),
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

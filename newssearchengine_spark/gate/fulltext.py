@@ -134,6 +134,38 @@ def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query("ft_bm25_topk_indexed", _bm25_sql(QUERY_TERMS, TOP_K))
+def ft_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as ft_bm25_topk but through the REAL engine path: build
+    the compressed posting-segment index (varbyte + block-max, manifests),
+    then block-max WAND search. Shares the compositional entry's DuckDB
+    oracle — the engine is rank- and score-identical by construction."""
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    docs = load(spark, sf_dir, "documents")
+    cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                      analyzer=DOCS_ANALYZER)
+    idx_dir = tempfile.mkdtemp(prefix="gate_idx_")
+    build_index(docs, idx_dir, cfg, text_col="text", id_col="doc_id",
+                resume=False)
+    si = SegmentIndex(spark, idx_dir)
+    # oracle ranks by the ROUNDED score: fetch a buffered top-k, re-rank on
+    # the rounded value with the same doc_id tie-break, cut to TOP_K
+    cand = si.search(QUERY_TERMS, TOP_K + 20, mode="wand").select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.select((F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+                    "doc_id", "score")
+        .filter(F.col("rank") < TOP_K)
+    )
+
+
 _TFIDF_MIN_TF = 2
 _TFIDF_MIN_DF = 5
 _TFIDF_TOP_N = 3

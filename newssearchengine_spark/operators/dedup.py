@@ -108,14 +108,30 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
     banded = sig_df.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bd")
     ).select("doc_id", "bd.band_idx", "bd.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    # ONE shuffle: bucket members per (band, hash), pairs expanded in-bucket
+    # (a self-join would shuffle AND recompute the signature pipeline twice).
+    # Hot buckets cost |B|^2 pairs — inherent to LSH; production caps bucket
+    # size upstream by salting or dropping degenerate (boilerplate) buckets.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    # 2-arg transform: (element, index) — used intentionally
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",

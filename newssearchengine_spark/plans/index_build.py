@@ -64,15 +64,16 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def input_fingerprint(docs: DataFrame, text_col: str) -> str:
+def input_fingerprint(docs: DataFrame, text_col: str) -> tuple[str, int]:
     """Order-independent corpus fingerprint: row count + sum of
     crc32(sha256(content)). Cheap one-pass aggregate; any row change,
-    addition, or removal changes it (the resume-invalidate key)."""
+    addition, or removal changes it (the resume-invalidate key).
+    Returns (fingerprint, n_docs) — one job serves both."""
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.crc32(F.sha2(F.col(text_col), 256)).cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
-    return f"{row['n']}:{row['s']}"
+    return f"{row['n']}:{row['s']}", int(row["n"])
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -166,15 +167,21 @@ def build_index(
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
 
     t_start = time.time()
-    fp = input_fingerprint(docs, text_col)
+    phases: dict[str, float] = {}
+
+    def mark(name):
+        phases[name] = round(time.time() - t_start - sum(phases.values()), 3)
+
+    fp, n_docs = input_fingerprint(docs, text_col)
+    mark("fingerprint")
 
     # ---- analyze once; reuse for stats, doc store, and segments ----
     tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=cfg.analyzer)
     tf = tf.persist()
 
-    n_docs = docs.count()
     total_tokens = tf.agg(F.sum(F.col("tf").cast("bigint"))).collect()[0][0] or 0
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+    mark("analyze")
 
     # ---- doc store: meta + dl + sha256 (the per-row invariant) ----
     dl_df = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
@@ -189,6 +196,7 @@ def build_index(
         .fillna(0, subset=["dl"])
     )
     doc_store.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_store"))
+    mark("doc_store")
 
     # ---- global term stats (idf source). Hot terms are absorbed by
     # Catalyst's map-side partial aggregation here. ----
@@ -197,6 +205,7 @@ def build_index(
         F.sum(F.col("tf").cast("bigint")).alias("cf"),
     )
     tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    mark("term_stats")
 
     _atomic_write_json(
         os.path.join(index_dir, "stats.json"),
@@ -246,6 +255,7 @@ def build_index(
                 .sortWithinPartitions("term", "doc_part")
             )
             seg.write.mode("overwrite").partitionBy("bucket").parquet(seg_dir)
+            mark(f"segments_wave{built}")
 
             # lineage manifests — only after the wave's data is committed
             stats_rows = (
@@ -288,6 +298,7 @@ def build_index(
                      "elapsed_sec": round(time.time() - t_wave, 3),
                      "status": "complete"},
                 )
+            mark(f"manifests_wave{built}")
             built += len(wave)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
@@ -301,4 +312,5 @@ def build_index(
         "elapsed_sec": round(time.time() - t_start, 3),
         "files_per_sec": round(n_docs / max(1e-9, time.time() - t_start), 2),
         "input_fingerprint": fp,
+        "phases": phases,
     }

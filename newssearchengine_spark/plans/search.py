@@ -45,7 +45,11 @@ TOPK_SCHEMA = "doc_id bigint, score double"
 class SegmentIndex:
     """Handle over an index directory written by plans.index_build."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        """cache=True pins the segment and term-stats tables in executor
+        memory after first touch — the "warm engine" of the BASELINE p95
+        metric. cache=False scans parquet per query (directory pruning on
+        bucket + term pushdown keep that cheap too)."""
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -54,6 +58,15 @@ class SegmentIndex:
             stopwords=frozenset(self.stats["stopwords"]),
             min_token_len=int(self.stats["min_token_len"]),
         )
+        self._tstats = self.spark.read.parquet(
+            os.path.join(self.index_dir, "term_stats")
+        )
+        self._segments = self.spark.read.parquet(
+            os.path.join(self.index_dir, "segments")
+        )
+        if cache:
+            self._tstats = self._tstats.persist()
+            self._segments = self._segments.persist()
 
     # -- query formulation ------------------------------------------------
     def analyze_query(self, text: str) -> list[str]:
@@ -65,11 +78,7 @@ class SegmentIndex:
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df per query term — a pruned scan of the tiny term_stats
         table (term predicate pushed to parquet), collected driver-side."""
-        rows = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
+        rows = self._tstats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
     # -- retrieval ---------------------------------------------------------
@@ -97,7 +106,7 @@ class SegmentIndex:
         buckets = sorted({term_bucket(t, n_buckets) for t in terms})
 
         seg = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+            self._segments
             .filter(F.col("bucket").isin(buckets))       # directory pruning
             .filter(F.col("term").isin(terms))           # row-group pushdown
             .select("doc_part", "term", "docs", "tfs", "dls",

@@ -1,0 +1,70 @@
+"""Index merge: merged(A, B) must behave exactly like build(A ∪ B) —
+including the global-stats shift (avgdl/N/df change scores for EVERY doc,
+not just the new ones)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from newssearchengine_spark.config import IndexConfig
+from newssearchengine_spark.datagen import source_files
+from newssearchengine_spark.oracle import pure
+from newssearchengine_spark.plans.index_build import build_index
+from newssearchengine_spark.plans.merge import merge_indexes
+from newssearchengine_spark.plans.search import SegmentIndex
+from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+CFG = IndexConfig(n_buckets=8, doc_range=128, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def merged_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    corpus = assign_doc_ids(source_files(spark, 900, seed=11, partitions=4),
+                            num_partitions=4).persist()
+    a = corpus.filter("doc_id < 600")
+    b = corpus.filter("doc_id >= 600")
+    da, db, dm = str(root / "a"), str(root / "b"), str(root / "m")
+    build_index(a, da, CFG)
+    build_index(b, db, CFG)
+    metrics = merge_indexes(spark, da, db, dm)
+    raw = {r["doc_id"]: r["content"]
+           for r in corpus.select("doc_id", "content").collect()}
+    return dm, metrics, raw
+
+
+def test_merged_stats(merged_setup):
+    dm, metrics, raw = merged_setup
+    oidx = pure.OracleIndex.build(raw)
+    assert metrics["n_docs"] == 900
+    with open(os.path.join(dm, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["avgdl"] == pytest.approx(oidx.avgdl, rel=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["taat", "wand"])
+def test_merged_search_equals_union_oracle(spark, merged_setup, mode):
+    dm, _, raw = merged_setup
+    oidx = pure.OracleIndex.build(raw)
+    si = SegmentIndex(spark, dm)
+    for q in ["getUser listNode hashSort", "mapList cacheIndex shard_chunk",
+              "value_count totalDelta sendRecv"]:
+        terms = si.analyze_query(q)
+        expected = oidx.search(terms, 25)
+        got = si.search(q, 25, mode=mode).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+        for r, (_, s) in zip(got, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_merge_rejects_overlapping_ids(spark, tmp_path):
+    corpus = assign_doc_ids(source_files(spark, 100, seed=3, partitions=2),
+                            num_partitions=2)
+    d1, d2 = str(tmp_path / "x"), str(tmp_path / "y")
+    build_index(corpus, d1, CFG)
+    build_index(corpus, d2, CFG)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(spark, d1, d2, str(tmp_path / "z"))
