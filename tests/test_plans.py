@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the optimizations we claim must show up in
+`.explain("formatted")` — pushdown reaching the parquet scan, partition
+pruning on the segment table, broadcast joins for small sides, and
+whole-stage codegen over the analyzer expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newssearchengine_spark.config import ENGLISH_MIN_STOPWORDS, AnalyzerConfig, IndexConfig
+from newssearchengine_spark.functions.analysis import doc_term_freqs
+from newssearchengine_spark.operators.bm25 import bm25_scores
+
+
+def plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_tiny):
+    li = spark.read.parquet(f"{sf_tiny}/lineitem.parquet")
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in p
+    # column pruning: the scan reads only the 3 needed columns
+    lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert lines and "l_extendedprice" not in lines[0]
+    assert "l_orderkey" in lines[0] and "l_returnflag" in lines[0]
+
+
+def test_segment_scan_prunes_buckets_and_pushes_terms(spark, tmp_path):
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.index_build import build_index, term_bucket
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    corpus = assign_doc_ids(source_files(spark, 300, seed=5, partitions=2),
+                            num_partitions=2)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(n_buckets=8, doc_range=128)
+    build_index(corpus, d, cfg)
+    # cache=False => the plan shows the raw parquet scan with pruning
+    si = SegmentIndex(spark, d, cache=False)
+    q = si.search(["cache", "index"], 10)
+    p = plan(q)
+    buckets = sorted({term_bucket(t, 8) for t in ["cache", "index"]})
+    assert "PartitionFilters" in p and "bucket" in p      # directory pruning
+    for b in buckets:
+        assert str(b) in p
+    assert "PushedFilters" in p and "In(term" in p        # row-group pushdown
+
+
+def test_bm25_uses_broadcast_joins(spark, sf_tiny):
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    tf = doc_term_freqs(docs, text_col="text",
+                        cfg=AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS))
+    scores = bm25_scores(tf, ["table", "hash"])
+    p = plan(scores)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_analyzer_is_jvm_side(spark, sf_tiny):
+    """The hot tokenize path must contain NO Python evaluation nodes (the
+    expressions are Catalyst-native; the explode's Generate node is JVM too,
+    it just doesn't fuse into a codegen span)."""
+    from newssearchengine_spark.functions.analysis import analyze_expr
+
+    cfg = AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS)
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    proj = docs.select(analyze_expr(F.col("text"), cfg).alias("toks"))
+    p_proj = plan(proj)
+    # regexp/lower/split codegen; the array-filter lambda is JVM
+    # CodegenFallback (higher-order fns don't fuse) — still zero Python
+    assert "* ColumnarToRow" in p_proj          # codegen span present
+    toks = docs.select(F.explode(analyze_expr(F.col("text"), cfg)).alias("term"))
+    p_exp = plan(toks)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in p_proj and bad not in p_exp
+
+
+def test_lookup_join_broadcasts_dimension(spark, sf_tiny):
+    from newssearchengine_spark.gate.relational import rel_lookup_join
+
+    p = plan(rel_lookup_join(spark, sf_tiny))
+    assert "BroadcastHashJoin" in p
