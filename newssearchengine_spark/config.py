@@ -40,13 +40,29 @@ ENGLISH_MIN_STOPWORDS: frozenset[str] = frozenset(
     {"the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for"}
 )
 
+# NLTK-style english stopword list (public standard list; the role of the
+# reference's data/english_stopwords_nltk.txt loaded at wapo/index_es.py:51-55).
+ENGLISH_NLTK_STOPWORDS: frozenset[str] = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves he
+him his himself she her hers herself it its itself they them their theirs
+themselves what which who whom this that these those am is are was were be
+been being have has had having do does did doing a an the and but if or
+because as until while of at by for with about against between into through
+during before after above below to from up down in out on off over under
+again further then once here there when where why how all any both each few
+more most other some such no nor not only own same so than too very s t can
+will just don should now d ll m o re ve y ain aren couldn didn doesn hadn
+hasn haven isn ma mightn mustn needn shan shouldn wasn weren won wouldn
+""".split())
+
 
 @dataclass(frozen=True)
 class AnalyzerConfig:
-    """Deterministic analyzer spec (SURVEY.md §2.3, T1-T5).
+    """Deterministic analyzer spec (SURVEY.md §2.3, T1-T5). Two modes:
 
-    Pipeline (identical in the Catalyst-expression path, the pandas-UDF path,
-    the pure-Python oracle, and the DuckDB oracle SQL):
+    mode="code" (default — the north-star payload). Pipeline (identical in
+    the Catalyst-expression path, the pandas-UDF path, the pure-Python
+    oracle, and the DuckDB oracle SQL):
       1. camelCase boundary split:  ([a-z0-9])([A-Z])   -> "x Y"
       2. acronym boundary split:    ([A-Z]+)([A-Z][a-z]) -> "HTTP Server"
       3. lowercase
@@ -54,11 +70,24 @@ class AnalyzerConfig:
       5. keep tokens matching ^[a-z][a-z0-9]*$ with length >= min_token_len
          (pure numbers are dropped by the leading-letter rule)
       6. drop stopwords
-    No stemming: code identifiers must round-trip exactly (SURVEY.md §2.3 T5).
+    No stemming: code identifiers must round-trip exactly (SURVEY.md T5).
+
+    mode="news" — the reference's WAPO english analyzer chain
+    (wapo/index_es.py:65-91): standard word tokenize -> possessive
+    's-strip -> lowercase -> NLTK stoplist -> Porter stem. Runs via the
+    Arrow pandas-UDF path (stemming is not regex-expressible); min_token_len
+    is not applied (the reference's chain has no length filter).
     """
 
     stopwords: frozenset[str] = CODE_STOPWORDS
     min_token_len: int = 2
+    mode: str = "code"  # "code" | "news"
+
+
+def news_analyzer() -> AnalyzerConfig:
+    """The reference's WAPO english analyzer (stop list + Porter)."""
+    return AnalyzerConfig(stopwords=ENGLISH_NLTK_STOPWORDS, min_token_len=1,
+                          mode="news")
 
 
 @dataclass(frozen=True)

@@ -75,7 +75,14 @@ def doc_term_freqs(df: DataFrame, text_col: str = "content",
 
     dl = total kept tokens in the doc (the BM25 length norm), attached to
     every (doc, term) row so the posting build needs no extra join.
+
+    mode="code": pure Catalyst expressions (JVM hot path).
+    mode="news": Porter stemming is not regex-expressible -> Arrow
+    pandas-UDF path (doc_terms_pandas), still batch-vectorized.
     """
+    cfg = cfg or AnalyzerConfig()
+    if cfg.mode == "news":
+        return doc_terms_pandas(df, text_col=text_col, id_col=id_col, cfg=cfg)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         analyze_expr(F.col(text_col), cfg).alias("toks"),
@@ -87,8 +94,40 @@ def doc_term_freqs(df: DataFrame, text_col: str = "content",
     )
 
 
+def _analyze_news_batch(texts: pd.Series, cfg: AnalyzerConfig,
+                        _memo: dict = {}) -> pd.Series:
+    """News-mode analyzer over a batch: vectorized tokenize/strip/lower via
+    pandas .str, Porter stem per distinct token with a process-lifetime memo
+    (corpus vocabulary is tiny relative to token count)."""
+    import re
+
+    from .porter import stem
+
+    word_re = re.compile(r"[A-Za-z0-9]+(?:['’][A-Za-z0-9]+)*")
+    poss_re = re.compile(r"['’][sS]$")
+    stop = cfg.stopwords
+
+    def one(text: str) -> list[str]:
+        out = []
+        for tok in word_re.findall(text):
+            tok = poss_re.sub("", tok)
+            tok = tok.replace("'", "").replace("’", "").lower()
+            if not tok or tok in stop:
+                continue
+            st = _memo.get(tok)
+            if st is None:
+                st = stem(tok)
+                _memo[tok] = st
+            out.append(st)
+        return out
+
+    return texts.fillna("").map(one)
+
+
 def _analyze_py_batch(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     """Vectorized (pandas .str) analyzer over a batch of strings."""
+    if cfg.mode == "news":
+        return _analyze_news_batch(texts, cfg)
     s = texts.fillna("").str.replace(CAMEL_RE, r"\1 \2", regex=True)
     s = s.str.replace(ACRONYM_RE, r"\1 \2", regex=True)
     s = s.str.lower()

@@ -1,0 +1,223 @@
+"""The reference's experiment pipelines as single declarative queries.
+
+Mirrors, end to end:
+- keyword query formulation (tf-idf top terms per query doc,
+  wapo/parser.py:10-47),
+- batch ranked-Boolean retrieval (keyword_match_recall.py:39-50 — but one
+  pass for ALL queries instead of a per-topic es.search loop),
+- recall@k aggregation (keyword_match_recall.py:51-72: avg/min/max),
+- LTR feature extraction (ranking.py:30-60: [bm25, cosine, doc_length,
+  published_after]; the date flag becomes a doc-id order flag on this
+  dateless corpus).
+
+Judgements are synthesized deterministically in-query: for query docs
+(doc_id < 8), relevant = other docs from the same `source` (the role the
+hyperlink heuristic plays for netzpolitik, judgement_list.py:68-95).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.bm25 import multi_query_bm25, multi_query_scores
+from .fulltext import TOKENS_CTE, _tf_df
+from .registry import gate_query, load
+
+N_QUERIES = 8
+RETRIEVAL_K = 50
+KW_MIN_TF, KW_MIN_DF, KW_TOP_N = 2, 5, 3
+
+# ---- shared DuckDB CTEs ---------------------------------------------------
+_EXP_CTES = f"""{TOKENS_CTE},
+nstats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+kwscored AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         round(tf.tf * ln(1 + (nstats.n - alldf.df + 0.5) / (alldf.df + 0.5)), 6) AS ks
+  FROM tf JOIN alldf USING (term) CROSS JOIN nstats
+  WHERE tf.doc_id < {N_QUERIES} AND tf.tf >= {KW_MIN_TF} AND alldf.df >= {KW_MIN_DF}
+),
+kw AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY ks DESC, term) AS rn
+    FROM kwscored
+  ) WHERE rn <= {KW_TOP_N}
+),
+qdf AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM kw) GROUP BY term
+),
+stats2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+parts AS (
+  SELECT kw.query_id, tf.doc_id,
+         ln(1 + (stats2.n - qdf.df + 0.5) / (qdf.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats2.avgdl)) AS p
+  FROM tf
+  JOIN kw USING (term)
+  JOIN qdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats2
+),
+scores AS (
+  SELECT query_id, doc_id, round(sum(p), 6) AS score
+  FROM parts GROUP BY 1, 2
+),
+scores_ns AS (SELECT * FROM scores WHERE doc_id <> query_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank
+  FROM scores_ns
+),
+topk AS (SELECT * FROM ranked WHERE rank < {RETRIEVAL_K}),
+judged AS (
+  SELECT q.doc_id AS query_id, d.doc_id
+  FROM documents q JOIN documents d
+    ON q.source = d.source AND d.doc_id <> q.doc_id
+  WHERE q.doc_id < {N_QUERIES}
+)"""
+
+
+# ---- Spark-side shared builders -------------------------------------------
+def _query_keywords(tf: DataFrame) -> DataFrame:
+    """(query_id, term): tf-idf top-N keywords of each query doc."""
+    n_docs = tf.select("doc_id").distinct().count()
+    alldf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < N_QUERIES)
+        .join(F.broadcast(alldf), "term")
+        .filter((F.col("tf") >= KW_MIN_TF) & (F.col("df") >= KW_MIN_DF))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)),
+                6,
+            ).alias("ks"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ks"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KW_TOP_N)
+        .select("query_id", "term")
+    )
+
+
+def _judged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("qsrc")
+    )
+    return q.join(d, q.qsrc == d.source).filter(
+        F.col("doc_id") != F.col("query_id")
+    ).select("query_id", "doc_id")
+
+
+@gate_query(
+    "ex_multiquery_topk",
+    f"WITH {_EXP_CTES} SELECT query_id, rank, doc_id, score FROM topk",
+)
+def ex_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 8 topic retrievals in one pass (query formulation + batch BM25)."""
+    tf = _tf_df(spark, sf_dir)
+    return multi_query_bm25(tf, _query_keywords(tf), RETRIEVAL_K)
+
+
+@gate_query(
+    "ex_recall_at_k",
+    f"""WITH {_EXP_CTES},
+rel AS (SELECT query_id, count(*)::DOUBLE AS n_rel FROM judged GROUP BY 1),
+hits AS (
+  SELECT j.query_id, count(*)::DOUBLE AS n_hit
+  FROM judged j JOIN topk t ON t.query_id = j.query_id AND t.doc_id = j.doc_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT r.query_id, coalesce(h.n_hit, 0) / r.n_rel AS recall
+  FROM rel r LEFT JOIN hits h USING (query_id)
+  WHERE r.query_id IN (SELECT DISTINCT query_id FROM kw)
+)
+SELECT round(avg(recall), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall,
+       round(max(recall), 6) AS max_recall,
+       count(*)::BIGINT AS n_queries
+FROM perq""",
+)
+def ex_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyword-match recall experiment (avg/min/max recall across
+    topics, keyword_match_recall.py:51-72) as one declarative plan."""
+    tf = _tf_df(spark, sf_dir)
+    kw = _query_keywords(tf)
+    topk = multi_query_bm25(tf, kw, RETRIEVAL_K)
+    judged = _judged(spark, sf_dir)
+    rel = judged.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rel")
+    )
+    hits = judged.join(topk, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_hit")
+    )
+    perq = (
+        rel.join(hits, "query_id", "left")
+        .join(kw.select("query_id").distinct(), "query_id", "left_semi")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0.0)) / F.col("n_rel")).alias("recall"),
+        )
+    )
+    return perq.agg(
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.round(F.max("recall"), 6).alias("max_recall"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )
+
+
+@gate_query(
+    "ex_ranking_features",
+    f"""WITH {_EXP_CTES}
+SELECT j.query_id, j.doc_id,
+       coalesce(s.score, 0.0) AS bm25,
+       round(list_cosine_similarity(eq.embedding::DOUBLE[], ed.embedding::DOUBLE[]), 6) AS cos,
+       d.n_chars AS doc_len,
+       (j.doc_id > j.query_id) AS later_flag
+FROM judged j
+LEFT JOIN scores_ns s ON s.query_id = j.query_id AND s.doc_id = j.doc_id
+JOIN embeddings eq ON eq.vec_id = j.query_id
+JOIN embeddings ed ON ed.vec_id = j.doc_id
+JOIN documents d ON d.doc_id = j.doc_id""",
+)
+def ex_ranking_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature extraction (ranking.py:30-60): per judged pair
+    [bm25, embedding cosine, doc length, order flag] — the reference does
+    one es.get + es.explain + encode round-trip per row; here it is three
+    joins."""
+    from ..operators.similarity import as_double, cosine
+
+    tf = _tf_df(spark, sf_dir)
+    kw = _query_keywords(tf)
+    scores = multi_query_scores(tf, kw)
+    judged = _judged(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    eq = emb.select(F.col("vec_id").alias("query_id"),
+                    as_double(F.col("embedding")).alias("qv"))
+    ed = emb.select(F.col("vec_id").alias("doc_id"),
+                    as_double(F.col("embedding")).alias("dv"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        judged.join(scores, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(eq), "query_id")
+        .join(ed, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "query_id", "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("bm25"),
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("cos"),
+            F.col("n_chars").alias("doc_len"),
+            (F.col("doc_id") > F.col("query_id")).alias("later_flag"),
+        )
+    )

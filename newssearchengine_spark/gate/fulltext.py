@@ -166,6 +166,34 @@ def ft_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query("ft_bm25_topk_news", None)  # Porter isn't SQL-expressible: rows-only
+def ft_bm25_topk_news(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k under the reference's WAPO english analyzer (standard
+    tokenize -> possessive strip -> lowercase -> NLTK stop -> Porter stem,
+    wapo/index_es.py:65-91). DuckDB has no stemmer (no fts extension
+    offline), so the driver records a rows-only check here; exact parity vs
+    the pure-Python oracle is asserted in tests/test_news_analyzer.py."""
+    from ..config import news_analyzer
+    from ..functions.analysis import doc_term_freqs
+    from ..operators.bm25 import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    tf = doc_term_freqs(docs, text_col="text", id_col="doc_id",
+                        cfg=news_analyzer())
+    # raw query "tables merges sparking windows", analyzed by the same chain
+    from ..oracle import pure
+
+    terms = pure.analyze("tables merges sparking windows", news_analyzer())
+    scores = bm25_scores(tf, terms)
+    scored = scores.select("doc_id", F.round("score", 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )
+
+
 _TFIDF_MIN_TF = 2
 _TFIDF_MIN_DF = 5
 _TFIDF_TOP_N = 3

@@ -83,6 +83,73 @@ def bm25_scores(
     return scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
 
 
+def multi_query_scores(
+    tf_df: DataFrame,
+    query_terms: DataFrame,
+    bm25: BM25Config | None = None,
+    *,
+    drop_self_hit: bool = True,
+) -> DataFrame:
+    """Score MANY queries in ONE pass over the corpus.
+
+    query_terms: (query_id long, term string) — the analyzed OR-disjunction
+    per query. Returns (query_id, doc_id, score[rounded 6dp]) for every
+    matching pair.
+
+    The reference loops es.search per topic (keyword_match_recall.py:39-50);
+    at scale the right shape is this single join: all queries' terms
+    broadcast against the token table, one aggregation. The self-hit filter
+    mirrors ranking.py:140 (a query doc never returns itself).
+    """
+    bm25 = bm25 or BM25Config()
+    stats = corpus_stats(tf_df).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    k1, b = bm25.k1, bm25.b
+
+    qt = query_terms.select("query_id", "term").distinct()
+    tdf = (
+        tf_df.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    parts = (
+        tf_df.join(F.broadcast(qt), "term")
+        .join(F.broadcast(tdf), "term")
+        .withColumn(
+            "part",
+            idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scores = parts.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("part"), 6).alias("score")
+    )
+    if drop_self_hit:
+        scores = scores.filter(F.col("doc_id") != F.col("query_id"))
+    return scores
+
+
+def multi_query_bm25(
+    tf_df: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    bm25: BM25Config | None = None,
+    *,
+    drop_self_hit: bool = True,
+) -> DataFrame:
+    """Batch retrieval: (query_id, rank, doc_id, score), per-query top-k."""
+    scores = multi_query_scores(tf_df, query_terms, bm25,
+                                drop_self_hit=drop_self_hit)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", (F.row_number().over(w) - 1).cast("bigint"))
+        .filter(F.col("rank") < k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -21,13 +21,17 @@ _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
 _ACRONYM = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])")
 _SPLIT = re.compile(r"[^a-z0-9]+")
 _TOKEN = re.compile(r"^[a-z][a-z0-9]*$")
+_WORD = re.compile(r"[A-Za-z0-9]+(?:['’][A-Za-z0-9]+)*")
+_POSSESSIVE = re.compile(r"['’][sS]$")
 
 
 def analyze(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
-    """Reference analyzer: camel/acronym split, lower, split, filter."""
+    """Reference analyzer (dispatches on cfg.mode, see AnalyzerConfig)."""
     cfg = cfg or AnalyzerConfig()
     if text is None:
         return []
+    if cfg.mode == "news":
+        return _analyze_news(text, cfg)
     s = _CAMEL.sub(" ", text)
     s = _ACRONYM.sub(" ", s)
     s = s.lower()
@@ -35,6 +39,22 @@ def analyze(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
     for t in _SPLIT.split(s):
         if len(t) >= cfg.min_token_len and t not in cfg.stopwords and _TOKEN.match(t):
             out.append(t)
+    return out
+
+
+def _analyze_news(text: str, cfg: AnalyzerConfig) -> list[str]:
+    """WAPO english chain (wapo/index_es.py:65-91): standard word tokenize
+    -> possessive 's strip -> lowercase -> stoplist -> Porter. Remaining
+    internal apostrophes are removed ("don't" -> "dont") for determinism."""
+    from ..functions.porter import stem
+
+    out = []
+    for tok in _WORD.findall(text):
+        tok = _POSSESSIVE.sub("", tok)
+        tok = tok.replace("'", "").replace("’", "").lower()
+        if not tok or tok in cfg.stopwords:
+            continue
+        out.append(stem(tok))
     return out
 
 

@@ -220,6 +220,7 @@ def build_index(
             "k1": cfg.bm25.k1,
             "b": cfg.bm25.b,
             "min_token_len": cfg.analyzer.min_token_len,
+            "analyzer_mode": cfg.analyzer.mode,
             "stopwords": sorted(cfg.analyzer.stopwords),
         },
     )

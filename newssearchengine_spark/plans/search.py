@@ -57,6 +57,7 @@ class SegmentIndex:
         self.analyzer = AnalyzerConfig(
             stopwords=frozenset(self.stats["stopwords"]),
             min_token_len=int(self.stats["min_token_len"]),
+            mode=self.stats.get("analyzer_mode", "code"),
         )
         self._tstats = self.spark.read.parquet(
             os.path.join(self.index_dir, "term_stats")
