@@ -12,6 +12,7 @@ from . import relational  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
+from . import coverage_ops  # noqa: E402,F401
 from . import experiments  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401

@@ -177,6 +177,92 @@ def ex_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NDCG_K = 10
+
+
+@gate_query(
+    "ex_ndcg_at_k",
+    f"""WITH {_EXP_CTES},
+graded AS (
+  SELECT j.query_id, j.doc_id,
+         CASE WHEN dq.lang = dd.lang THEN 4 ELSE 2 END AS rel
+  FROM judged j
+  JOIN documents dq ON dq.doc_id = j.query_id
+  JOIN documents dd ON dd.doc_id = j.doc_id
+),
+dcg AS (
+  SELECT t.query_id,
+         sum((pow(2, coalesce(g.rel, 0)) - 1) / log2(t.rank + 2)) AS dcg
+  FROM topk t
+  LEFT JOIN graded g ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+  WHERE t.rank < {NDCG_K}
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, sum((pow(2, rel) - 1) / log2(rn + 1)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
+    FROM graded
+  ) WHERE rn <= {NDCG_K}
+  GROUP BY 1
+),
+perq AS (
+  SELECT i.query_id, coalesce(d.dcg, 0) / i.idcg AS ndcg
+  FROM ideal i LEFT JOIN dcg d USING (query_id)
+  WHERE i.idcg > 0
+    AND i.query_id IN (SELECT DISTINCT query_id FROM kw)
+)
+SELECT round(avg(ndcg), 6) AS avg_ndcg, count(*)::BIGINT AS n_queries
+FROM perq""",
+)
+def ex_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 over the batch retrieval with graded relevance (the metric
+    behind README.md:15's 0.5205 and LightGBM's eval_at, ranking.py:309)
+    — grades synthesized: 4 = same source+lang, 2 = same source."""
+    tf = _tf_df(spark, sf_dir)
+    kw = _query_keywords(tf)
+    topk = multi_query_bm25(tf, kw, RETRIEVAL_K)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    judged = _judged(spark, sf_dir)
+    graded = (
+        judged.join(d.select(F.col("doc_id").alias("query_id"),
+                             F.col("lang").alias("qlang")), "query_id")
+        .join(d.select("doc_id", F.col("lang").alias("dlang")), "doc_id")
+        .select("query_id", "doc_id",
+                F.when(F.col("qlang") == F.col("dlang"), 4).otherwise(2)
+                .alias("rel"))
+    )
+    dcg = (
+        topk.filter(F.col("rank") < NDCG_K)
+        .join(graded, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(
+            (F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0))) - 1)
+            / F.log2(F.col("rank") + 2)
+        ).alias("dcg"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        graded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1)
+                   / F.log2(F.col("rn") + 1)).alias("idcg"))
+    )
+    perq = (
+        ideal.join(dcg, "query_id", "left")
+        .join(kw.select("query_id").distinct(), "query_id", "left_semi")
+        .filter(F.col("idcg") > 0)
+        .select((F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg"))
+    )
+    return perq.agg(
+        F.round(F.avg("ndcg"), 6).alias("avg_ndcg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )
+
+
 @gate_query(
     "ex_ranking_features",
     f"""WITH {_EXP_CTES}

@@ -93,6 +93,53 @@ def ivf_assign(emb: DataFrame, n_cells: int, *, id_col: str = "vec_id",
     )
 
 
+def ivf_save(emb: DataFrame, index_dir: str, *, n_cells: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist an IVF index: vectors partitioned by cell + a centroids table
+    (the reference's save_index/load_index, pyw_hnswlib.py:48-56 /
+    vector_storage.py:24-30, as a build-once-query-many on-disk layout).
+    partitionBy(cell) makes probe queries partition-pruned scans."""
+    assign = ivf_assign(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"))
+    (
+        vecs.join(assign, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+    (
+        emb.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+        .write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    )
+
+
+def ivf_load_knn(spark, index_dir: str, query_vec: list[float], k: int,
+                 *, nprobe: int = 2) -> DataFrame:
+    """Query a persisted IVF index: rank centroids, scan ONLY the nprobe
+    matching cell partitions (directory pruning), exact cosine within."""
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probe = [
+        r["cell"]
+        for r in cents.select(
+            "cell", cosine(as_double(F.col("centroid")), q).alias("c")
+        ).orderBy(F.desc("c"), F.asc("cell")).limit(nprobe).collect()
+    ]
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cell").isin(probe)
+    )
+    scored = cells.select(
+        "vec_id",
+        F.round(cosine(as_double(F.col("embedding")), q), 6).alias("cos"),
+    )
+    topk = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"), "vec_id", "cos"
+    )
+
+
 def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int = 16,
             nprobe: int = 2, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:

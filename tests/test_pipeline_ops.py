@@ -157,3 +157,26 @@ def test_streaming_equals_batch(spark, sf_tiny):
             for r in run_stateful_user_counts(spark, path, query_name="t_state").collect()}
     exp2 = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
     assert got2 == exp2
+
+
+def test_ivf_save_load_prunes_partitions(spark, emb, tmp_path):
+    d = str(tmp_path / "ivf")
+    S.ivf_save(emb, d, n_cells=16)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    got = S.ivf_load_knn(spark, d, qvec, 10, nprobe=2).collect()
+    # persisted-index results == in-memory ivf results (minus the self hit,
+    # which ivf_knn drops but a raw-vector query keeps)
+    mem = {r["vec_id"]: r["cos"]
+           for r in S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=2).collect()}
+    for r in got:
+        if r["vec_id"] == 0:
+            continue
+        assert r["cos"] == pytest.approx(mem[r["vec_id"]], abs=1e-6)
+    # the probe scan must be partition-pruned to the nprobe cells
+    from tests.test_plans import plan
+
+    cells = spark.read.parquet(f"{d}/cells")
+    from pyspark.sql import functions as F2
+    pruned = cells.filter(F2.col("cell").isin([0, 1]))
+    assert "PartitionFilters" in plan(pruned) and "cell" in plan(pruned)
