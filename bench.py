@@ -94,9 +94,9 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     # 3) one representative per operator family (gate implementations)
-    for name in ("ft_bm25_topk", "dd_minhash_lsh", "sim_knn_bruteforce",
-                 "tx_quality", "rel_topk_per_group", "rel_sessionize",
-                 "dd_exact"):
+    for name in ("ft_bm25_topk", "ex_recall_at_k", "dd_minhash_lsh",
+                 "sim_knn_bruteforce", "tx_quality", "rel_topk_per_group",
+                 "rel_sessionize", "dd_exact"):
         fn = REGISTRY[name].fn
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 

@@ -88,7 +88,7 @@ def rel_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT doc_id,
        trim(regexp_replace(body, '<.*?>', ' ', 'g')) AS stripped,
-       regexp_extract_all(body, 'href="([^"]*)"', 1) AS links
+       array_to_string(regexp_extract_all(body, 'href="([^"]*)"', 1), ' ') AS links
 FROM html""",
 )
 def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +103,9 @@ def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.trim(F.regexp_replace(body, "<.*?>", " ")).alias("stripped"),
-        F.regexp_extract_all(body, F.lit('href="([^"]*)"'), 1).alias("links"),
+        F.concat_ws(
+            " ", F.regexp_extract_all(body, F.lit('href="([^"]*)"'), 1)
+        ).alias("links"),
     )
 
 

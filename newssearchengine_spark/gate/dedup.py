@@ -64,19 +64,22 @@ def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT md5({_NORM_SQL}) AS content_hash,
        min(doc_id) AS keep_id,
        count(*)::BIGINT AS n_dupes,
-       list(doc_id ORDER BY doc_id) AS dupe_ids
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS dupe_ids
 FROM aug GROUP BY 1 HAVING count(*) >= 2""",
 )
 def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_aug_exact(spark, sf_dir))
+    out = D.exact_dedup(_aug_exact(spark, sf_dir))
+    return out.withColumn("dupe_ids", F.concat_ws(",", F.col("dupe_ids")))
 
 
 def _minhash_sql() -> str:
     n, bands = D.N_MINHASH, D.LSH_BANDS
+    p = D.MINHASH_PRIME
     rpb = n // bands
+    base = f"list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p})"
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig{i}"
-        for i in range(n)
+        f"list_min(list_transform({base}, h -> (h * {a} + {b}) % {p})) AS sig{i}"
+        for i, (a, b) in enumerate(D.minhash_params(n))
     )
     sep = " || '|' || "
     band_rows = " UNION ALL ".join(

@@ -99,13 +99,17 @@ def rel_anti_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A1: group-collect (judgement_list.py:31-38) -------------------------
 @gate_query(
     "rel_group_collect",
-    """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+    """SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys
 FROM orders GROUP BY o_custkey""",
 )
 def rel_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted group-collect; serialized to CSV so the value-hash compare is
+    representation-independent."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys")
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey")))
+        .alias("orderkeys")
     )
 
 

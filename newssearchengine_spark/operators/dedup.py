@@ -51,27 +51,52 @@ def exact_dedup(docs: DataFrame, *, text_col: str = "text",
     )
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-shingles (whitespace tokens, 0-based Spark arrays)."""
-    toks = F.split(normalized(text), " ")
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles from a token array.
+
+    Built with zip_with over shifted slices — NOT element_at inside a
+    transform lambda: Catalyst's projection collapse inlines the upstream
+    split() into lambda argument expressions, and element_at(split(...), i)
+    then re-evaluates the split PER ELEMENT (O(len^2) per doc; measured
+    12s -> 0.5s on the sf0.1 dedup corpus). zip_with arguments are
+    evaluated once per row regardless of collapse.
+    """
+    n = F.size(toks)
+    tri = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        tri = F.zip_with(tri, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    # zip_with pads the tail with nulls -> trailing (k-1) entries are short
+    # n-grams; trim them
+    sh = F.when(n >= k, F.slice(tri, 1, n - (k - 1))).otherwise(
+        F.array().cast("array<string>")
     )
     return F.array_distinct(sh)
 
 
 def doc_shingles(docs: DataFrame, *, text_col: str = "text",
                  id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
-    return docs.select(
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), k).alias("shingles"),
+        F.split(normalized(F.col(text_col)), " ").alias("toks"),
+    )
+    return toks.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash family: sig_i = min((a*h + b) mod p)
+    over shingle base-hashes h (universal-hash family on one md5-derived
+    base hash — one md5 per shingle instead of n_hashes md5s)."""
+    return [
+        (((i + 1) * 2654435761) % MINHASH_PRIME | 1,
+         ((i + 1) * 40503 * 61) % MINHASH_PRIME)
+        for i in range(n_hashes)
+    ]
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
@@ -79,22 +104,27 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
                       bands: int = LSH_BANDS, k: int = SHINGLE_K) -> DataFrame:
     """Candidate near-dup pairs via MinHash + banded LSH.
 
-    sig_i(doc) = min over shingles of md5(i || ':' || shingle); a band's
-    bucket key is md5 of its rows joined. Pairs sharing ANY band bucket are
-    candidates. Returns distinct (id_a, id_b), id_a < id_b.
+    base(s) = first 60 bits of md5(shingle) mod p (computed ONCE per
+    shingle); sig_i(doc) = min over shingles of (a_i*base + b_i) mod p —
+    integer arithmetic stays in whole-stage codegen, only one digest pass.
+    A band's bucket key is md5 of its rows joined. Pairs sharing ANY band
+    bucket are candidates. Returns distinct (id_a, id_b), id_a < id_b.
     """
     rows_per_band = n_hashes // bands
     sh = doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint") % MINHASH_PRIME,
+    )
+    sh = sh.select("doc_id", base.alias("hs"))
 
-    def hash_family(i: int):
-        prefix = f"{i}:"
-        # single-parameter lambda on purpose: a 2-arg lambda would make
-        # F.transform pass (element, array_index) and clobber `i`
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def family(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
 
     sigs = [
-        F.array_min(F.transform(F.col("shingles"), hash_family(i))).alias(f"sig{i}")
-        for i in range(n_hashes)
+        F.array_min(F.transform(F.col("hs"), family(a, b))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     sig_df = sh.select("doc_id", *sigs)
     band_cols = [

@@ -259,8 +259,9 @@ def build_index(
             mark(f"segments_wave{built}")
 
             # lineage manifests — only after the wave's data is committed
+            # (explicit schema: an empty corpus writes a schemaless dir)
             stats_rows = (
-                spark.read.parquet(seg_dir)
+                spark.read.schema(SEGMENT_SCHEMA).parquet(seg_dir)
                 .filter(F.col("bucket").isin(wave))
                 .groupBy("bucket")
                 .agg(

@@ -59,15 +59,26 @@ class SegmentIndex:
             min_token_len=int(self.stats["min_token_len"]),
             mode=self.stats.get("analyzer_mode", "code"),
         )
-        self._tstats = self.spark.read.parquet(
-            os.path.join(self.index_dir, "term_stats")
+        from .index_build import SEGMENT_SCHEMA
+
+        self._tstats = self._read_or_empty(
+            os.path.join(self.index_dir, "term_stats"),
+            "term string, df bigint, cf bigint",
         )
-        self._segments = self.spark.read.parquet(
-            os.path.join(self.index_dir, "segments")
+        self._segments = self._read_or_empty(
+            os.path.join(self.index_dir, "segments"), SEGMENT_SCHEMA
         )
         if cache:
             self._tstats = self._tstats.persist()
             self._segments = self._segments.persist()
+
+    def _read_or_empty(self, path: str, schema: str):
+        """Parquet read with an explicit schema so empty/absent directories
+        (an index built from zero matching docs) behave as empty tables."""
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
 
     # -- query formulation ------------------------------------------------
     def analyze_query(self, text: str) -> list[str]:
@@ -198,10 +209,17 @@ class _TermCursor:
         return float(self.block_ub[bi])
 
 
-def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
+def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k, stats=None):
     """Block-max WAND (Ding & Suel, 2011 — public algorithm): doc-at-a-time
     pivoting over per-term cursors with global and per-block upper bounds.
-    Rank-safe: returns exactly the taat top-k (asserted in tests)."""
+    Rank-safe: returns exactly the taat top-k (asserted in tests).
+
+    Regime note: WAND pays a per-doc Python loop to SKIP work; it wins when
+    idf skew lets the threshold exclude most docs (selective + hot term
+    mixes). On flat-score corpora (every term in every doc) the exact
+    vectorized taat path is faster — which is why taat is the default mode.
+    `stats` (optional dict) receives n_scored / n_skip_jumps / n_candidates
+    so tests can assert pruning actually happens."""
     cursors: list[_TermCursor] = []
     for row in pdf.itertuples(index=False):
         ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
@@ -218,6 +236,12 @@ def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
     ub_global = {c.term: float(c.block_ub.max()) if c.block_ub.size else 0.0
                  for c in cursors}
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    if stats is not None:
+        stats.setdefault("n_scored", 0)
+        stats.setdefault("n_skip_jumps", 0)
+        stats["n_candidates"] = int(
+            np.unique(np.concatenate([c.ids for c in cursors])).size
+        )
 
     def threshold():
         return heap[0][0] if len(heap) >= k else -np.inf
@@ -257,6 +281,8 @@ def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
         # block-max refinement: tighter per-block bound at pivot_doc
         block_sum = sum(c.block_max_at(pivot_doc) for c in ext)
         if block_sum >= theta:
+            if stats is not None:
+                stats["n_scored"] += 1
             score = 0.0
             for c in sorted(ext, key=lambda c: c.term):  # fixed order: determinism
                 score += float(c.tfn[c.pos])
@@ -279,6 +305,8 @@ def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
             if ext_end < len(live):
                 candidate = min(candidate, int(live[ext_end].ids[live[ext_end].pos]))
             candidate = max(candidate, pivot_doc + 1)
+            if stats is not None:
+                stats["n_skip_jumps"] += 1
             for c in ext:
                 c.seek(candidate)
 
