@@ -93,11 +93,22 @@ class SegmentIndex:
         rows = self._tstats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def doc_store(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_store"))
+
+    def get_docs(self, doc_ids: list[int]) -> DataFrame:
+        """Point lookups by id (the reference's es.get, SURVEY S6):
+        an isin filter over the doc store — parquet row-group stats prune."""
+        return self.doc_store().filter(F.col("doc_id").isin(list(doc_ids)))
+
     # -- retrieval ---------------------------------------------------------
-    def search(self, query, k: int, mode: str = "taat") -> DataFrame:
+    def search(self, query, k: int, mode: str = "taat",
+               with_meta: bool = False) -> DataFrame:
         """OR-disjunction BM25 top-k. `query` = raw text or list of terms.
 
         Returns (rank, doc_id, score); empty if no term matches.
+        with_meta=True joins the doc store (the `_source` the reference
+        reads off every hit) — a broadcast join of k rows.
         """
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         terms = sorted(set(terms))
@@ -128,10 +139,13 @@ class SegmentIndex:
         per_part = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
         topk = per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return topk.select(
+        out = topk.select(
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score",
         )
+        if with_meta:
+            out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
+        return out
 
 
 def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,

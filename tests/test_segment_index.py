@@ -145,3 +145,20 @@ def test_doc_ids_deterministic(spark):
     rb = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
     assert ra == rb
     assert sorted(ra.values()) == list(range(300))
+
+
+def test_point_lookup_and_meta(spark, corpus, index_dir):
+    si = SegmentIndex(spark, index_dir)
+    got = {r["doc_id"]: r for r in si.get_docs([3, 7, 11]).collect()}
+    assert set(got) == {3, 7, 11}
+    exp = {r["doc_id"]: r for r in corpus.filter("doc_id in (3,7,11)").collect()}
+    for i in (3, 7, 11):
+        assert got[i]["repo"] == exp[i]["repo"]
+        assert got[i]["path"] == exp[i]["path"]
+
+    rows = si.search("getUser listNode", 5, with_meta=True).collect()
+    assert len(rows) == 5
+    assert {"rank", "doc_id", "score", "repo", "path", "sha256"} <= set(
+        rows[0].asDict()
+    )
+    assert [r["rank"] for r in rows] == list(range(5))
