@@ -312,6 +312,71 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Exact percentiles (OLAP pattern; interpolated quantile both sides) ---
+@gate_query(
+    "rel_percentiles",
+    """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+              count(*)::BIGINT AS n
+FROM orders GROUP BY o_orderstatus""",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- ROLLUP (hierarchical totals) ------------------------------------------
+@gate_query(
+    "rel_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+              count(*)::BIGINT AS n,
+              round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --- As-of join (Spark lacks a native one; composed per the OLAP pattern) --
+@gate_query(
+    "rel_asof_join",
+    """SELECT c.event_id, c.user_id, v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts""",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent prior (or simultaneous) view.
+    Spark has no ASOF JOIN: compose it as a tagged union + last(...)
+    ignoreNulls running window — one shuffle on user_id, no range blowup.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin(["click", "view"])).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    # ties (v.ts == c.ts): views sort before clicks so the click sees them
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_view_ts")
+    )
+
+
 # --- Pivot (guide OLAP pattern) ------------------------------------------
 @gate_query(
     "rel_pivot",
