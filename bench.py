@@ -78,7 +78,7 @@ def main() -> None:
         extra["build_files_per_sec"] = round(n_docs / timings["index_build"], 2)
 
         # 2) BM25 query latency over the prebuilt index (warm engine)
-        si = SegmentIndex(spark, idx_dir)
+        si = SegmentIndex(spark, idx_dir).warm()
         si.search(["warmup"], 10, mode="taat").collect()
         lat = []
         for terms in BM25_QUERY_TERMS * 2:

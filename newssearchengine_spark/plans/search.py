@@ -93,6 +93,14 @@ class SegmentIndex:
         rows = self._tstats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def warm(self) -> "SegmentIndex":
+        """Materialize the cached segment + term-stats tables (one pass) so
+        first queries don't pay lazy cache population — the 'warm engine'
+        precondition of the p95 metric (BASELINE.md)."""
+        self._segments.count()
+        self._tstats.count()
+        return self
+
     def doc_store(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "doc_store"))
 

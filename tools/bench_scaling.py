@@ -75,8 +75,8 @@ def worker(cpus: int, corpus_path: str, out_path: str) -> None:
             build_sec = time.time() - t0
             phases = m.get("phases", {})
 
-    si = SegmentIndex(spark, idx_dir)
-    si.search(["warmupTerm"], 10, mode="taat").collect()  # warm engine/cache
+    si = SegmentIndex(spark, idx_dir).warm()
+    si.search(["warmupTerm"], 10, mode="taat").collect()
     lat, results = [], {}
     analyzed_qs = [
         sorted(set(sum((pure.analyze(t, cfg.analyzer) for t in terms), [])))
