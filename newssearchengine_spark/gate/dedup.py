@@ -125,6 +125,53 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_aug_near(spark, sf_dir), threshold=0.5)
 
 
+_EMB_THRESHOLD = 0.9
+_EMB_CELLS = 16
+
+
+@gate_query(
+    "dd_embedding_cosine",
+    f"""WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 9 = 0
+),
+cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec FROM aug
+  WHERE vec_id < {_EMB_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], c.cvec), 9) DESC,
+                      c.cell ASC) AS rn
+    FROM aug a, cents c
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT a.vec_id, a.embedding::DOUBLE[] AS v, s.cell
+  FROM aug a JOIN assign s USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_EMB_THRESHOLD}""",
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed (clones injected
+    in-query so the operator has non-trivial output to verify)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return D.embedding_near_dup_pairs(
+        emb.unionByName(clones), threshold=_EMB_THRESHOLD, n_cells=_EMB_CELLS
+    )
+
+
 def _simhash_sql() -> str:
     bits = D.SIMHASH_BITS
     return f"""WITH aug AS (SELECT doc_id, text FROM documents),

@@ -8,6 +8,7 @@ from ..operators import text as T
 from .registry import gate_query, load
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
 
 
 def _lang_sql() -> str:
@@ -46,6 +47,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
          length(text)::BIGINT AS n_chars,
          len({_TOKS})::BIGINT AS n_tokens,
          (length(text) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE AS n_punct,
+         len(list_filter({_TOKS}, t -> list_contains([{_EN_STOP_SQL}], t)))::DOUBLE AS n_stop,
          CASE WHEN len({_TOKS}) > 0 THEN
            list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
          ELSE 0.0 END AS mean_tok
@@ -54,6 +56,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, n_chars, n_tokens,
        round(mean_tok, 6) AS mean_token_len,
        round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
        round(
          least(n_tokens / 50.0, 1.0) * 0.5
          + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.3

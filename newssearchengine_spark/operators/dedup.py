@@ -194,6 +194,38 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
+                             n_cells: int = 16, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed.
+
+    Scale path: candidate pairs only form WITHIN an IVF cell (near-identical
+    vectors share a nearest centroid), so the join is cell-local instead of
+    an all-pairs product — the embedding analog of LSH banding. Returns
+    (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+
+    Caveat (documented recall/cost trade): true near-dups straddling a cell
+    boundary are missed; lower the centroid count or probe neighbors for
+    higher recall.
+    """
+    from .similarity import as_double, cosine, ivf_assign
+
+    assign = ivf_assign(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   as_double(F.col(vec_col)).alias("v")).join(assign, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 SIMHASH_BITS = 16
 _HIGH_HEX = list("89abcdef")
 

@@ -86,6 +86,9 @@ def quality_features(docs: DataFrame, *, text_col: str = "text",
                                   lambda acc, x: acc + F.length(x)) / n_toks
                       ).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    en_stop = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(en_stop)))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
     score = (
         F.least(n_toks / F.lit(50.0), F.lit(1.0)) * 0.5
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
@@ -97,6 +100,7 @@ def quality_features(docs: DataFrame, *, text_col: str = "text",
         n_toks.cast("bigint").alias("n_tokens"),
         F.round(mean_tok, 6).alias("mean_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
     )
 

@@ -162,3 +162,29 @@ def test_point_lookup_and_meta(spark, corpus, index_dir):
         rows[0].asDict()
     )
     assert [r["rank"] for r in rows] == list(range(5))
+
+
+def test_hot_term_salting_bounds_chunks(spark, tmp_path):
+    """North-rule skew handling: a term in EVERY doc must be split across
+    doc_part chunks — no chunk (and therefore no build task or query task)
+    holds more than doc_range of its postings."""
+    from pyspark.sql import functions as F
+
+    n, rng = 1000, 128
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hotterm everywhere filler"),
+                 (F.col("id") % 97).cast("string")).alias("content"),
+    )
+    d = str(tmp_path / "hot")
+    build_index(docs, d, IndexConfig(n_buckets=4, doc_range=rng, block_size=16))
+    seg = spark.read.parquet(os.path.join(d, "segments"))
+    hot = seg.filter(F.col("term") == "hotterm")
+    rows = hot.select("doc_part", "df").collect()
+    assert len(rows) == (n + rng - 1) // rng          # one chunk per range
+    assert all(r["df"] <= rng for r in rows)           # bounded chunk size
+    assert {r["doc_part"] for r in rows} == set(range((n + rng - 1) // rng))
+    # and the split index still answers exactly
+    si = SegmentIndex(spark, d)
+    got = si.search(["hotterm"], 5).collect()
+    assert len(got) == 5 and got[0]["rank"] == 0
