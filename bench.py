@@ -90,6 +90,16 @@ def main() -> None:
             statistics.quantiles(lat, n=20)[18], 4
         )
         extra["bm25_query_mean_sec"] = round(statistics.mean(lat), 4)
+
+        # batched multi-query path: whole batch in ONE Spark job (the
+        # throughput shape at scale — per-query job overhead amortized)
+        many = {f"q{i}": terms
+                for i, terms in enumerate(BM25_QUERY_TERMS * 8)}
+        t0 = time.time()
+        si.search_many(many, 100, mode="taat").collect()
+        batch_sec = time.time() - t0
+        timings["bm25_search_many_40q"] = round(batch_sec, 3)
+        extra["bm25_batch_qps"] = round(len(many) / batch_sec, 2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

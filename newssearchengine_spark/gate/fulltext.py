@@ -194,6 +194,93 @@ def ft_bm25_topk_news(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _field_ctes(expr: str, p: str) -> str:
+    """Per-field analyzer + BM25-stats CTE block (same regex pipeline as
+    TOKENS_CTE, parameterized by source expression and prefix)."""
+    return f"""
+{p}toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(
+             regexp_replace(regexp_replace({expr},
+                 '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                 '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')),
+             '[^a-z0-9]+')) AS term
+  FROM docs2
+),
+{p}kept AS (
+  SELECT doc_id, term FROM {p}toks
+  WHERE length(term) >= 2
+    AND regexp_full_match(term, '[a-z][a-z0-9]*')
+    AND term NOT IN ({_STOP_SQL})
+),
+{p}tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM {p}kept GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM {p}kept GROUP BY 1),
+{p}stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM {p}dl),
+{p}tstats AS (SELECT term, count(*)::DOUBLE AS df
+              FROM {p}tf JOIN q USING (term) GROUP BY term),
+{p}sc AS (
+  SELECT tf.doc_id, sum(
+           ln(1 + ({p}stats.n - {p}tstats.df + 0.5) / ({p}tstats.df + 0.5))
+             * (tf.tf * ({{k1}} + 1)) /
+               (tf.tf + {{k1}} * (1 - {{b}} + {{b}} * dl.dl / {p}stats.avgdl))
+         ) AS score
+  FROM {p}tf tf
+  JOIN {p}tstats USING (term)
+  JOIN {p}dl dl USING (doc_id)
+  CROSS JOIN {p}stats
+  GROUP BY tf.doc_id
+)"""
+
+
+_DISMAX_TIE = 0.3
+_DISMAX_TITLE = "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+
+
+def _dismax_sql(terms: list[str], k: int,
+                bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    fields = _field_ctes(_DISMAX_TITLE, "t_") + "," + _field_ctes("text", "b_")
+    fields = fields.replace("{k1}", str(bm25.k1)).replace("{b}", str(bm25.b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+q AS (SELECT unnest([{terms_sql}]) AS term),{fields},
+allsc AS (
+  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+         coalesce(a.score, 0) AS s_t, coalesce(c.score, 0) AS s_b
+  FROM t_sc a FULL OUTER JOIN b_sc c ON a.doc_id = c.doc_id
+),
+fin AS (
+  SELECT doc_id,
+         round(greatest(s_t, s_b)
+               + {_DISMAX_TIE} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+  FROM allsc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bm25_dismax", _dismax_sql(QUERY_TERMS, TOP_K))
+def ft_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field best_fields retrieval — the reference's real query shape
+    (query_string over fields [title, text], wapo/experiments/ranking.py:
+    128-139; multi_match netzpolitik/experiments/keyword_match_recall.py:
+    30-43). Per-field BM25 with per-field stats, DisMax combination
+    max + tie_breaker * others. Title derived as the first 5 words
+    (the synthetic corpus has no separate title column)."""
+    from ..operators.bm25 import dismax_bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        .alias("title"),
+        F.col("text").alias("body"),
+    )
+    out = dismax_bm25_topk(docs, QUERY_TERMS, TOP_K,
+                           fields=["title", "body"],
+                           tie_breaker=_DISMAX_TIE, analyzer=DOCS_ANALYZER)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 _TFIDF_MIN_TF = 2
 _TFIDF_MIN_DF = 5
 _TFIDF_TOP_N = 3

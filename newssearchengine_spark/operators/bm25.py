@@ -150,6 +150,54 @@ def multi_query_bm25(
     )
 
 
+def dismax_bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    *,
+    fields: list[str],
+    id_col: str = "doc_id",
+    tie_breaker: float = 0.0,
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Config | None = None,
+) -> DataFrame:
+    """Multi-field best_fields retrieval — the reference's actual query
+    shape: es.search(query_string, fields=["title", "text"]) at
+    /root/reference/wapo/experiments/ranking.py:128-139 and multi_match at
+    netzpolitik/experiments/keyword_match_recall.py:30-43. ES/Lucene turns
+    a multi-field query_string into a DisjunctionMaxQuery: per-field BM25
+    with that field's own df/avgdl/doc-count statistics, combined as
+    max(fields) + tie_breaker * sum(others)  (tie_breaker defaults to 0 —
+    best_fields).
+
+    All Catalyst built-ins: each field is an independent tokenize+score
+    branch (shared scan of `docs`), combined with a full-outer join on
+    doc_id and a greatest()-based projection; final global top-k is a
+    TakeOrderedAndProject. Returns (rank, doc_id, score).
+    """
+    bm25 = bm25 or BM25Config()
+    scored = None
+    score_cols = [f"score_{f_col}" for f_col in fields]
+    for f_col, s_col in zip(fields, score_cols):
+        tf = doc_term_freqs(docs, text_col=f_col, id_col=id_col, cfg=analyzer)
+        s = bm25_scores(tf, query_terms, bm25).withColumnRenamed("score", s_col)
+        scored = s if scored is None else scored.join(s, "doc_id", "full_outer")
+    filled = scored.na.fill(0.0, score_cols)
+    best = (F.col(score_cols[0]) if len(score_cols) == 1
+            else F.greatest(*[F.col(c) for c in score_cols]))
+    total = None
+    for c in score_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    combined = (best + F.lit(float(tie_breaker)) * (total - best)).alias("score")
+    out = filled.select("doc_id", combined)
+    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -155,6 +155,66 @@ class SegmentIndex:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
 
+    def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
+        """Batched retrieval: MANY queries against the warm index in ONE
+        Spark job. `queries` maps query_id -> raw text or term list.
+
+        Returns (query_id string, rank bigint, doc_id bigint, score double),
+        per-query top-k, identical per query to `search()` (asserted in
+        tests). This is the throughput shape at scale: the reference loops
+        es.search per topic (keyword_match_recall.py:39-50) and pays a full
+        scatter-gather round-trip per query; here one job scans the pruned
+        segment union once, every doc_part group scores all queries against
+        postings it decodes ONCE per term, and a single per-query window
+        takes the top-k. Per-query Spark-job overhead — the scaling-
+        efficiency killer for sequential single-query loops — is amortized
+        across the whole batch.
+        """
+        qterms = {
+            str(qid): sorted(set(
+                self.analyze_query(q) if isinstance(q, str) else list(q)
+            ))
+            for qid, q in queries.items()
+        }
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+
+        dfs = self.term_dfs(all_terms)
+        live = sorted(t for t in all_terms if dfs.get(t, 0) > 0)
+        out_schema = "query_id string, rank bigint, doc_id bigint, score double"
+        qlive = {qid: [t for t in ts if t in set(live)]
+                 for qid, ts in qterms.items()}
+        qlive = {qid: ts for qid, ts in qlive.items() if ts}
+        if not qlive:
+            return self.spark.createDataFrame([], out_schema)
+
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t]))) for t in live}
+        buckets = sorted({term_bucket(t, n_buckets) for t in live})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(live))
+            .select("doc_part", "term", "docs", "tfs", "dls",
+                    "block_last", "block_max")
+        )
+        scorer = _make_multi_scorer(qlive, idf_map, k1=k1, b=b,
+                                    avgdl=avgdl, k=k, mode=mode)
+        per_part = seg.groupBy("doc_part").applyInPandas(
+            scorer, "query_id string, doc_id bigint, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_part
+            .withColumn("rank", (F.row_number().over(w) - 1).cast("bigint"))
+            .filter(F.col("rank") < k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
 
 def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
                  avgdl: float, k: int, mode: str):
@@ -167,6 +227,65 @@ def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
         else:
             ids, scores = _taat_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
         return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return score_group
+
+
+def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
+                       *, k1: float, b: float, avgdl: float, k: int,
+                       mode: str):
+    """Per-doc_part scorer for search_many: decode each matched term's
+    postings ONCE, reuse the per-term contribution vector (idf * tf_norm
+    depends only on the term, never the query) across every query that
+    contains the term, then per-query top-k. Term accumulation order stays
+    sorted (qterms lists are pre-sorted) — determinism contract holds."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term", kind="mergesort")
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        rows_by_term: dict[str, object] = {}
+        for row in pdf.itertuples(index=False):
+            ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+            contrib = idf_map[row.term] * tf_norm(
+                tfs.astype(np.float64), dls.astype(np.float64),
+                k1=k1, b=b, avgdl=avgdl,
+            )
+            decoded[row.term] = (ids, contrib)
+            rows_by_term[row.term] = row
+        out_q: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for qid in sorted(qterms):
+            terms = [t for t in qterms[qid] if t in decoded]
+            if not terms:
+                continue
+            if mode == "wand":
+                sub = pd.DataFrame([rows_by_term[t] for t in terms])
+                ids, scores = _wand_topk(sub, idf_map, k1=k1, b=b,
+                                         avgdl=avgdl, k=k)
+            else:
+                ids = np.concatenate([decoded[t][0] for t in terms])
+                scores = np.concatenate([decoded[t][1] for t in terms])
+                uniq, inv = np.unique(ids, return_inverse=True)
+                acc = np.zeros(uniq.size)
+                np.add.at(acc, inv, scores)
+                order = np.lexsort((uniq, -acc))[:k]
+                ids, scores = uniq[order], acc[order]
+            if ids.size:
+                out_q.append(np.full(ids.size, qid, dtype=object))
+                out_ids.append(ids)
+                out_scores.append(scores)
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            })
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_ids),
+            "score": np.concatenate(out_scores),
+        })
 
     return score_group
 

@@ -52,3 +52,53 @@ def test_query_term_dedup(corpus):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_dismax_single_field_equals_plain_bm25(corpus):
+    """DisMax over one field degenerates to plain BM25 (any tie_breaker)."""
+    from newssearchengine_spark.operators.bm25 import dismax_bm25_topk
+
+    docs, idx = corpus
+    terms = ["table", "hash", "merge"]
+    plain = bm25_topk(docs, terms, 15, text_col="text", analyzer=CFG).collect()
+    dm = dismax_bm25_topk(docs, terms, 15, fields=["text"],
+                          tie_breaker=0.7, analyzer=CFG).collect()
+    assert [(r["doc_id"], r["rank"]) for r in dm] == [
+        (r["doc_id"], r["rank"]) for r in plain
+    ]
+    for a, b in zip(dm, plain):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_dismax_tie_breaker_zero_is_best_field_max(corpus, spark):
+    """tie_breaker=0 (ES best_fields default): combined score is the MAX of
+    the per-field scores; per-field stats are field-local."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.operators.bm25 import (
+        bm25_scores, dismax_bm25_topk,
+    )
+    from newssearchengine_spark.functions.analysis import doc_term_freqs
+
+    docs, idx = corpus
+    two = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        .alias("title"),
+        F.col("text").alias("body"),
+    )
+    terms = ["table", "hash"]
+    per_field = {}
+    for fld in ("title", "body"):
+        tf = doc_term_freqs(two, text_col=fld, id_col="doc_id", cfg=CFG)
+        per_field[fld] = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(tf, terms).collect()
+        }
+    got = dismax_bm25_topk(two, terms, 50, fields=["title", "body"],
+                           tie_breaker=0.0, analyzer=CFG).collect()
+    assert got
+    for r in got:
+        expected = max(per_field["title"].get(r["doc_id"], 0.0),
+                       per_field["body"].get(r["doc_id"], 0.0))
+        assert r["score"] == pytest.approx(expected, abs=1e-9)

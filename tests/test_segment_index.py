@@ -188,3 +188,34 @@ def test_hot_term_salting_bounds_chunks(spark, tmp_path):
     si = SegmentIndex(spark, d)
     got = si.search(["hotterm"], 5).collect()
     assert len(got) == 5 and got[0]["rank"] == 0
+
+
+@pytest.mark.parametrize("mode", ["taat", "wand"])
+def test_search_many_matches_sequential(spark, index_dir, oracle, mode):
+    """Batched search_many == per-query search, id- and score-identical.
+
+    The batch path is the scale shape (one job amortizes per-query
+    overhead); it must not change any ranking."""
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    queries = {f"q{i}": q for i, (q, _) in enumerate(QUERIES)}
+    k = 25
+    batch = si.search_many(queries, k, mode=mode).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in queries.items():
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        expected = si.search(q, k, mode=mode).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expected]
+        for g, e in zip(got, expected):
+            assert g["score"] == pytest.approx(e["score"], abs=1e-9)
+        # oracle triple-check on the analyzed terms
+        oexp = oidx.search(si.analyze_query(q), k)
+        assert [r["doc_id"] for r in got] == [d for d, _ in oexp]
+
+
+def test_search_many_empty_and_missing_queries(spark, index_dir):
+    si = SegmentIndex(spark, index_dir)
+    out = si.search_many({"a": "zzz_nothing_matches", "b": ""}, 10).collect()
+    assert out == []

@@ -99,6 +99,22 @@ def worker(cpus: int, corpus_path: str, out_path: str) -> None:
         list(ex.map(lambda q: si.search(q, 100, mode="taat").collect(), batch))
     qps = len(batch) / (time.time() - t0)
 
+    # batched query throughput: search_many runs the whole batch in ONE
+    # Spark job (the scale shape — per-query job overhead amortized)
+    many = {f"q{i}": q for i, q in enumerate(batch)}
+    t0 = time.time()
+    batch_rows = si.search_many(many, 100, mode="taat").collect()
+    batch_qps = len(many) / (time.time() - t0)
+    batch_topk = {}
+    for r in batch_rows:
+        qi = int(r["query_id"][1:]) % len(QUERIES)
+        if int(r["query_id"][1:]) < len(QUERIES):
+            batch_topk.setdefault(str(qi), []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+    batch_topk = {k: [(d, s) for _, d, s in sorted(v)]
+                  for k, v in sorted(batch_topk.items())}
+
     out = {
         "cpus": cpus,
         "n_docs": n_docs,
@@ -108,7 +124,9 @@ def worker(cpus: int, corpus_path: str, out_path: str) -> None:
         "query_p95_sec": round(statistics.quantiles(lat, n=20)[18], 4),
         "query_mean_sec": round(statistics.mean(lat), 4),
         "query_throughput_qps": round(qps, 3),
+        "batch_query_throughput_qps": round(batch_qps, 3),
         "topk": {str(k): v for k, v in results.items()},
+        "batch_topk": batch_topk,
     }
     with open(out_path, "w") as f:
         json.dump(out, f)
@@ -181,9 +199,13 @@ def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
 
     rlo, rhi = reports[lo], reports[hi]
     n_docs = rlo["n_docs"]
-    rank_identical = rlo["topk"] == rhi["topk"]
+    rank_identical = (rlo["topk"] == rhi["topk"]
+                      and rlo["batch_topk"] == rhi["batch_topk"]
+                      and rlo["topk"] == rlo["batch_topk"])
     eff_build = (rlo["build_sec"] / rhi["build_sec"]) / 4
     eff_qps = (rhi["query_throughput_qps"] / rlo["query_throughput_qps"]) / 4
+    eff_batch = (rhi["batch_query_throughput_qps"]
+                 / rlo["batch_query_throughput_qps"]) / 4
     summary = {
         "n_docs": n_docs,
         "parallelism": {"N": lo, "4N": hi},
@@ -193,6 +215,7 @@ def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
         "rank_identical_across_parallelism": rank_identical,
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query_throughput": round(eff_qps, 3),
+        "scaling_efficiency_batch_query_throughput": round(eff_batch, 3),
         "build_efficiency_vs_hw_ceiling": round(
             eff_build / hw["hw_efficiency"], 3
         ),
