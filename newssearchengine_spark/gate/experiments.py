@@ -307,3 +307,118 @@ def ex_ranking_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") > F.col("query_id")).alias("later_flag"),
         )
     )
+
+
+SEM_K = 20
+
+
+@gate_query(
+    "ex_combined_recall",
+    f"""WITH {_EXP_CTES},
+ann AS (
+  SELECT eq.vec_id AS query_id, ed.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY eq.vec_id
+           ORDER BY round(list_cosine_similarity(
+                      eq.embedding::DOUBLE[], ed.embedding::DOUBLE[]), 6)
+                    DESC, ed.vec_id
+         ) AS rn
+  FROM embeddings eq
+  JOIN embeddings ed ON ed.vec_id <> eq.vec_id
+  WHERE eq.vec_id < {N_QUERIES}
+),
+annk AS (SELECT query_id, doc_id FROM ann WHERE rn <= {SEM_K}),
+comb AS (
+  SELECT query_id, doc_id FROM topk
+  UNION ALL
+  SELECT a.query_id, a.doc_id FROM annk a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM topk t
+    WHERE t.query_id = a.query_id AND t.doc_id = a.doc_id
+  )
+),
+rel AS (SELECT query_id, count(*)::DOUBLE AS n_rel FROM judged GROUP BY 1),
+hits AS (
+  SELECT j.query_id, count(*)::DOUBLE AS n_hit
+  FROM judged j JOIN comb c ON c.query_id = j.query_id AND c.doc_id = j.doc_id
+  GROUP BY 1
+),
+cnt AS (SELECT query_id, count(*)::DOUBLE AS n_ret FROM comb GROUP BY 1),
+perq AS (
+  SELECT r.query_id, coalesce(h.n_hit, 0) / r.n_rel AS recall,
+         coalesce(c.n_ret, 0) AS n_ret
+  FROM rel r
+  LEFT JOIN hits h USING (query_id)
+  LEFT JOIN cnt c USING (query_id)
+  WHERE r.query_id IN (SELECT DISTINCT query_id FROM kw)
+)
+SELECT round(avg(recall), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall,
+       round(max(recall), 6) AS max_recall,
+       round(avg(n_ret), 6) AS avg_retrieved,
+       count(*)::BIGINT AS n_queries
+FROM perq""",
+)
+def ex_combined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined-retrieval experiment (combined_recall.py:61-96 /
+    ranking.py:108-121): keyword BM25 top-k UNION ANN cosine top-k with
+    anti-join dedup (ANN results appended only when not already retrieved
+    by keywords — SURVEY J4/U1), then avg/min/max recall and mean
+    retrieval count across topics. ANN side: per-query exact cosine
+    (brute-force baseline), windowed top-k, self-hit dropped."""
+    from ..operators.similarity import as_double, cosine
+
+    tf = _tf_df(spark, sf_dir)
+    kw = _query_keywords(tf)
+    topk = multi_query_bm25(tf, kw, RETRIEVAL_K).select("query_id", "doc_id")
+
+    emb = load(spark, sf_dir, "embeddings")
+    eq = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    ed = emb.select(F.col("vec_id").alias("doc_id"),
+                    as_double(F.col("embedding")).alias("dv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    annk = (
+        ed.join(F.broadcast(eq), F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id",
+                F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEM_K)
+        .select("query_id", "doc_id")
+    )
+    comb = topk.unionByName(
+        annk.join(topk, ["query_id", "doc_id"], "left_anti")
+    )
+
+    judged = _judged(spark, sf_dir)
+    rel = judged.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rel")
+    )
+    hits = judged.join(comb, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_hit")
+    )
+    cnt = comb.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ret")
+    )
+    perq = (
+        rel.join(hits, "query_id", "left")
+        .join(cnt, "query_id", "left")
+        .join(kw.select("query_id").distinct(), "query_id", "left_semi")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0.0)) / F.col("n_rel"))
+            .alias("recall"),
+            F.coalesce(F.col("n_ret"), F.lit(0.0)).alias("n_ret"),
+        )
+    )
+    return perq.agg(
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.round(F.max("recall"), 6).alias("max_recall"),
+        F.round(F.avg("n_ret"), 6).alias("avg_retrieved"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import text as T
@@ -92,3 +93,37 @@ FROM n""",
 )
 def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load(spark, sf_dir, "documents"))
+
+
+@gate_query("tx_denorm_keywords", None)  # regex backoff isn't SQL-expressible: rows-only
+def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY K5: restore surface forms of stemmed keywords by longest-
+    prefix regex backoff against the source text (the reference's
+    denormalization, wapo/parser.py:59-72). Keywords here are the Porter
+    stems of each doc's first 3 distinct words — stems like 'merg'/'valu'
+    force real backoff. Exact parity with a reference-faithful pure-Python
+    oracle is asserted in tests/test_denorm_keywords.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.porter import stem
+
+    @pandas_udf("array<string>")
+    def _stem_first3(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = []
+            for w in (t or "").lower().split():
+                if w not in words:
+                    words.append(w)
+                if len(words) == 3:
+                    break
+            out.append([stem(w) for w in words])
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", _stem_first3(F.col("text")).alias("keywords")
+    )
+    out = T.denormalize_keywords(docs, keywords_col="keywords",
+                                 text_col="text")
+    return out.select("doc_id", F.col("denormalized"))

@@ -9,6 +9,7 @@ codegen (no Python at all).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,3 +132,64 @@ def fingerprints(docs: DataFrame, *, text_col: str = "text",
         F.md5(norm).alias("fp_content"),
         F.md5(F.concat_ws(" ", tokset)).alias("fp_tokenset"),
     )
+
+
+def denormalize_keywords(
+    docs: DataFrame,
+    *,
+    keywords_col: str = "keywords",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_order: bool = True,
+    out_col: str = "denormalized",
+) -> DataFrame:
+    """Stemmed-keyword denormalization (SURVEY K5) — restore the surface
+    form of analyzed/stemmed keywords by longest-prefix search in the
+    source text, exactly the reference's algorithm at
+    /root/reference/wapo/parser.py:59-72 (identical copy at
+    netzpolitik/parser.py:60-68):
+
+      for each keyword, regex-search \\b{kw}([\\wöüäß]+)?\\b case-
+      insensitively; on no match shrink the keyword from the right until
+      len 1; record (matched surface form, match offset); dedup the
+      (surface, offset) pairs; if keep_order, sort by first-occurrence
+      offset; emit the surface forms.
+
+    Regex backoff is inherently per-string work, so this is the documented
+    pandas-UDF slow path (SURVEY §2.6 K5): one Arrow batch in, one out —
+    no per-row Python at the Spark level. Adds `out_col` array<string>.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _denorm(kw_lists: pd.Series, texts: pd.Series) -> pd.Series:
+        def denorm_one(text: str, kw: str):
+            if not text or not kw:
+                return None
+            query = kw
+            while True:
+                m = re.search(rf"\b{re.escape(query)}([\wöüäß]+)?\b", text,
+                              flags=re.IGNORECASE)
+                if m is not None:
+                    return (m.group(0), m.start())
+                query = query[:-1]
+                if len(query) <= 1:
+                    m = re.search(rf"\b{re.escape(query)}([\wöüäß]+)?\b",
+                                  text, flags=re.IGNORECASE)
+                    return (m.group(0), m.start()) if m else None
+
+        out = []
+        for kws, text in zip(kw_lists, texts):
+            if kws is None or text is None:
+                out.append([])
+                continue
+            pairs = {p for p in (denorm_one(text, k) for k in kws) if p}
+            ordered = sorted(pairs, key=lambda t: t[1]) if keep_order \
+                else sorted(pairs)
+            out.append([s for s, _ in ordered])
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, _denorm(F.col(keywords_col),
+                                            F.col(text_col)))

@@ -1,0 +1,77 @@
+"""Keyword denormalization (SURVEY K5): parity with a reference-faithful
+pure-Python oracle of wapo/parser.py:59-72 (longest-prefix regex backoff,
+first-occurrence ordering, set-dedup), incl. the goldens' shape
+(test/wapo/test_parse.py:20-35 asserts ordered denormalized sequences)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from newssearchengine_spark.operators.text import denormalize_keywords
+
+
+def oracle_denorm(text: str, keywords: list[str], keep_order=True):
+    def one(t, kw):
+        query = kw
+        match = re.search(rf"\b{query}([\wöüäß]+)?\b", t, flags=re.IGNORECASE)
+        while match is None:
+            query = query[:-1]
+            match = re.search(rf"\b{query}([\wöüäß]+)?\b", t,
+                              flags=re.IGNORECASE)
+            if len(query) <= 1 and match is None:
+                return None
+        return (match.group(0), match.start())
+
+    pairs = list({p for p in (one(text, k) for k in keywords) if p})
+    if keep_order:
+        pairs.sort(key=lambda t: t[1])
+    else:
+        pairs.sort()
+    return [s for s, _ in pairs]
+
+
+CASES = [
+    # stem -> surface backoff: 'merg' must recover 'Merging'
+    ("The Merging of tables", ["merg", "tabl"], ["Merging", "tables"]),
+    # no-match keyword shrinks away to first word via the reference's
+    # degenerate 1-char fallback
+    ("hello world", ["zzz"], None),
+    # order restored by first occurrence, not keyword order
+    ("alpha beta gamma", ["gamm", "alph"], ["alpha", "gamma"]),
+    # dedup: two stems hitting the same surface+offset collapse
+    ("running fast", ["run", "runn"], ["running"]),
+    ("", ["any"], []),
+]
+
+
+@pytest.mark.parametrize("text,kws,expected", CASES)
+def test_against_oracle_and_goldens(spark, text, kws, expected):
+    df = spark.createDataFrame(
+        [(1, text, kws)], "doc_id long, text string, keywords array<string>"
+    )
+    got = denormalize_keywords(df).collect()[0]["denormalized"]
+    assert got == oracle_denorm(text, kws)
+    if expected is not None:
+        assert got == expected
+
+
+def test_batch_over_corpus(spark, sf_tiny):
+    """Vectorized batch over the real sf0.001 corpus matches the oracle
+    row-by-row (keywords = first two words stemmed by truncation)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        .limit(50)
+        .select(
+            "doc_id", "text",
+            F.expr("transform(slice(split(text, ' '), 1, 2),"
+                   " w -> substring(w, 1, 4))").alias("keywords"),
+        )
+    )
+    rows = denormalize_keywords(docs).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["denormalized"] == oracle_denorm(r["text"], r["keywords"])
