@@ -33,3 +33,40 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes", F.lower(F.col("magic")).alias("magic"),
         "width", "height",
     )
+
+
+_FRAME_BYTES = 512
+_EVERY_N = 3
+
+
+@gate_query(
+    "mm_frame_sample",
+    f"""WITH p AS (SELECT doc_id, text FROM documents),
+f AS (
+  SELECT p.doc_id, gs.i AS frame_idx,
+         substring(p.text, (gs.i * {_FRAME_BYTES} + 1)::BIGINT,
+                   {_FRAME_BYTES})::BLOB AS frame
+  FROM p, LATERAL (
+    SELECT unnest(range(0,
+        ((length(p.text) + {_FRAME_BYTES} - 1) // {_FRAME_BYTES})::BIGINT
+    )) AS i
+  ) gs
+  WHERE gs.i % {_EVERY_N} = 0
+)
+SELECT doc_id, frame_idx,
+       octet_length(frame)::BIGINT AS n_bytes,
+       substr(hex(frame), 1, 8) AS head_hex
+FROM f""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (round brief: frame-sample as a
+    first-class multimodal op): payloads chunked into 512-byte frames,
+    every 3rd kept -- a row-exploding mapInPandas. The binary frame column
+    is dropped for the oracle compare (the frame's length + first 4 bytes
+    pin its content); the oracle slices the VARCHAR then casts to BLOB,
+    byte-identical because the corpus is ASCII (asserted 0 non-ASCII
+    rows)."""
+    payloads = M.to_payload(load(spark, sf_dir, "documents"))
+    out = M.frame_sample(payloads, frame_bytes=_FRAME_BYTES,
+                         every_n=_EVERY_N)
+    return out.select("doc_id", "frame_idx", "n_bytes", "head_hex")

@@ -76,3 +76,45 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(meta, schema=META_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id bigint, frame_idx bigint, n_bytes bigint, "
+                "head_hex string, frame binary")
+
+
+def frame_sample(payloads: DataFrame, *, frame_bytes: int = 512,
+                 every_n: int = 3) -> DataFrame:
+    """Frame sampling over opaque media payloads: chunk each payload into
+    fixed-size frames and keep every Nth (the video frame-sample shape —
+    one input row explodes into many output rows inside mapInPandas).
+
+    The chunking stands in for a real demuxer (stubbed per environment,
+    see decode_image); the Spark plumbing is the real thing: Arrow batches
+    in, exploded Arrow batches out, schema (doc_id, frame_idx, n_bytes,
+    head_hex, frame binary). Frames inherit the input's partitioning — no
+    shuffle; downstream per-frame feature extraction chains another
+    mapInPandas over the same partitions.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, heads, blobs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    fr = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    heads.append(fr[:4].hex().upper())
+                    blobs.append(fr)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "head_hex": pd.Series(heads, dtype=object),
+                "frame": pd.Series(blobs, dtype=object),
+            })
+
+    return payloads.mapInPandas(frames, schema=FRAME_SCHEMA)

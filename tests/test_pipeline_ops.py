@@ -180,3 +180,27 @@ def test_ivf_save_load_prunes_partitions(spark, emb, tmp_path):
     from pyspark.sql import functions as F2
     pruned = cells.filter(F2.col("cell").isin([0, 1]))
     assert "PartitionFilters" in plan(pruned) and "cell" in plan(pruned)
+
+
+def test_frame_sample_reassembles_and_samples(spark, docs):
+    """every_n=1 frames concatenate back to the exact payload bytes;
+    every_n=3 keeps exactly frames 0,3,6,... of the same chunking."""
+    payloads = M.to_payload(docs, text_col="text").limit(20)
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+
+    full = M.frame_sample(payloads, frame_bytes=64, every_n=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in full:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    for doc_id, frames in by_doc.items():
+        frames.sort()
+        assert b"".join(b for _, b in frames) == raw[doc_id]
+        assert [i for i, _ in frames] == list(range(len(frames)))
+
+    sampled = M.frame_sample(payloads, frame_bytes=64, every_n=3).collect()
+    for r in sampled:
+        b = raw[r["doc_id"]]
+        assert r["frame_idx"] % 3 == 0
+        expect = b[r["frame_idx"] * 64:(r["frame_idx"] + 1) * 64]
+        assert bytes(r["frame"]) == expect
+        assert r["head_hex"] == expect[:4].hex().upper()
