@@ -68,3 +68,43 @@ def test_merge_rejects_overlapping_ids(spark, tmp_path):
     build_index(corpus, d2, CFG)
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes(spark, d1, d2, str(tmp_path / "z"))
+
+def test_incremental_stream_equals_cold_build(spark, tmp_path):
+    """Streaming index maintenance (foreachBatch delta-build + merge):
+    after consuming all file drops, the live index is score-identical to a
+    cold build over the full corpus — N/avgdl/df re-aggregated and
+    block-max bounds recomputed at every merge."""
+    from newssearchengine_spark.config import IndexConfig
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+    from newssearchengine_spark.streaming.pipeline import run_incremental_index
+
+    cfg = IndexConfig(n_buckets=4, doc_range=64, block_size=16)
+    docs = assign_doc_ids(source_files(spark, 240, seed=7, partitions=3),
+                          num_partitions=3)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    corpus = spark.read.parquet(src)
+
+    live = str(tmp_path / "live_idx")
+    metrics = run_incremental_index(spark, src, live, cfg,
+                                    text_col="content")
+    assert metrics["batches"] >= 2          # really incremental
+    assert metrics["n_docs"] == 240
+
+    cold = str(tmp_path / "cold_idx")
+    build_index(corpus, cold, cfg, text_col="content", resume=False)
+
+    si_live = SegmentIndex(spark, live)
+    si_cold = SegmentIndex(spark, cold)
+    assert si_live.stats["n_docs"] == si_cold.stats["n_docs"]
+    assert si_live.stats["avgdl"] == pytest.approx(si_cold.stats["avgdl"])
+    for q in (["getUser", "listNode"], ["mapList", "cacheIndex", "value_count"],
+              ["hashSort"]):
+        a = si_live.search(q, 25).collect()
+        b = si_cold.search(q, 25).collect()
+        assert [(r["doc_id"],) for r in a] == [(r["doc_id"],) for r in b]
+        for x, y in zip(a, b):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)
