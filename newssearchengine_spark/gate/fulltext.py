@@ -334,3 +334,60 @@ def ft_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOP_N)
         .select("doc_id", "term", "kscore")
     )
+
+
+_PHRASE = ["table", "scan"]
+
+
+def _phrase_sql(phrase: list[str], k: int,
+                bm25: BM25Config = BM25Config()) -> str:
+    n = len(phrase)
+    hit = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace(text,
+          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+      t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+           AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+         CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) - {n} + 2), i -> {hit}))
+         ELSE 0 END::BIGINT AS occ
+  FROM tokl WHERE len(toks) > 0
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         count(*) FILTER (occ > 0)::DOUBLE AS dfp
+  FROM occ
+),
+sc AS (
+  SELECT o.doc_id,
+         round(ln(1 + (s.n - s.dfp + 0.5) / (s.dfp + 0.5))
+               * (o.occ * ({k1} + 1)) /
+                 (o.occ + {k1} * (1 - {b} + {b} * o.dl / s.avgdl)), 6) AS score
+  FROM occ o CROSS JOIN stats s
+  WHERE o.occ > 0
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_phrase_bm25", _phrase_sql(_PHRASE, TOP_K))
+def ft_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval (ES match_phrase surface): docs where the analyzed
+    phrase terms appear consecutively, BM25-scored with tf = occurrence
+    count, df = phrase doc frequency. Consecutive-position matching is
+    pure higher-order Catalyst (sequence/filter/element_at) — codegen'd,
+    no Python, no positional index needed on the compositional path."""
+    from ..operators.bm25 import phrase_bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    out = phrase_bm25_topk(docs, _PHRASE, TOP_K, text_col="text",
+                           id_col="doc_id", analyzer=DOCS_ANALYZER)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))

@@ -221,3 +221,91 @@ def bm25_topk(
     return topk.select(
         (F.row_number().over(w) - 1).alias("rank"), "doc_id", "score"
     )
+
+
+def phrase_occurrences(toks: "F.Column", phrase: list[str]) -> "F.Column":
+    """Count of consecutive occurrences of `phrase` in the analyzed token
+    array — pure higher-order Catalyst expressions (sequence + filter +
+    element_at), fully codegen'd, no Python. element_at is 1-based."""
+    from functools import reduce
+    from operator import and_
+
+    n = len(phrase)
+    starts = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    hit = lambda i: reduce(
+        and_, [F.element_at(toks, i + j) == phrase[j] for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.size(F.filter(starts, hit))
+    ).otherwise(F.lit(0))
+
+
+def phrase_bm25_topk(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int,
+    *,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Config | None = None,
+) -> DataFrame:
+    """Phrase retrieval (ES match_phrase — part of the ES query surface the
+    reference's engine exposes, though its experiments issue only
+    OR-disjunctions): docs where the analyzed terms appear consecutively,
+    scored with Okapi BM25 where tf = phrase occurrence count and
+    df = number of docs containing the phrase (semantics defined by this
+    engine's oracle; documented, deterministic).
+
+    Plan shape: one scan computing the token array + occurrence count via
+    higher-order functions (whole-stage codegen), a tiny stats aggregate,
+    then global top-k (TakeOrderedAndProject). Corpus stats (N, avgdl)
+    cover docs with >= 1 kept token, matching bm25_scores.
+    """
+    from ..functions.analysis import analyze_expr
+
+    bm25 = bm25 or BM25Config()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        analyze_expr(F.col(text_col), analyzer).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        phrase_occurrences(F.col("toks"), list(phrase)).alias("occ"),
+    ).filter(F.col("dl") > 0)
+    toks = toks.persist()
+    try:
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.count(F.when(F.col("occ") > 0, 1)).alias("df_phrase"),
+        ).collect()[0]
+        n_docs = float(stats["n_docs"])
+        avgdl = float(stats["avgdl"] or 0.0)
+        dfp = float(stats["df_phrase"])
+        if dfp == 0:
+            return docs.sparkSession.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double"
+            )
+        k1, b = bm25.k1, bm25.b
+        idf = F.lit(float(np_log1p((n_docs - dfp + 0.5) / (dfp + 0.5))))
+        scored = toks.filter(F.col("occ") > 0).select(
+            "doc_id",
+            (idf * (F.col("occ") * (k1 + 1.0))
+             / (F.col("occ") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+             ).alias("score"),
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        ).localCheckpoint()
+    finally:
+        toks.unpersist()
+
+
+def np_log1p(x: float) -> float:
+    import math
+
+    return math.log1p(x)

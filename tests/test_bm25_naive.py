@@ -102,3 +102,54 @@ def test_dismax_tie_breaker_zero_is_best_field_max(corpus, spark):
         expected = max(per_field["title"].get(r["doc_id"], 0.0),
                        per_field["body"].get(r["doc_id"], 0.0))
         assert r["score"] == pytest.approx(expected, abs=1e-9)
+
+
+def _py_phrase_occurrences(tokens: list[str], phrase: list[str]) -> int:
+    n = len(phrase)
+    return sum(
+        1 for i in range(len(tokens) - n + 1)
+        if tokens[i:i + n] == phrase
+    )
+
+
+def test_phrase_bm25_matches_python_oracle(corpus):
+    """Phrase top-k: occurrence counts, df, and BM25 scores checked against
+    an independent pure-Python implementation over the same analyzer."""
+    import math
+
+    from newssearchengine_spark.operators.bm25 import phrase_bm25_topk
+
+    docs, _ = corpus
+    phrase = ["table", "scan"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: pure.analyze(r["text"], CFG) for r in rows}
+    toks = {d: t for d, t in toks.items() if t}
+    occ = {d: _py_phrase_occurrences(t, phrase) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfp = sum(1 for v in occ.values() if v > 0)
+    assert dfp > 0, "fixture phrase must occur in the corpus"
+
+    def score(d):
+        o, dl = occ[d], len(toks[d])
+        idf = math.log1p((n - dfp + 0.5) / (dfp + 0.5))
+        return idf * (o * 2.2) / (o + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    expected = sorted(
+        ((d, score(d)) for d, v in occ.items() if v > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:15]
+    got = phrase_bm25_topk(docs, phrase, 15, text_col="text",
+                           analyzer=CFG).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_phrase_bm25_no_match_is_empty(corpus):
+    from newssearchengine_spark.operators.bm25 import phrase_bm25_topk
+
+    docs, _ = corpus
+    got = phrase_bm25_topk(docs, ["zzz", "qqq"], 10, text_col="text",
+                           analyzer=CFG).collect()
+    assert got == []
