@@ -155,6 +155,37 @@ class SegmentIndex:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Terms in the dictionary starting with `prefix`, ordered by
+        descending df then term (ES prefix-query expansion order), capped
+        at max_expansions (the ES default 50). A pruned scan of the tiny
+        term_stats table — startsWith pushes to parquet as a range filter
+        on the sorted term column."""
+        rows = (
+            self._tstats
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_prefix(self, prefix: str, k: int, *,
+                      max_expansions: int = 50,
+                      mode: str = "taat") -> DataFrame:
+        """Prefix query (ES `prefix` / the expansion step of
+        match_phrase_prefix): expand the prefix against the term
+        dictionary, then run the expanded OR-disjunction through the
+        normal BM25 engine. Expansion is bounded exactly like ES
+        (max_expansions) so a hot prefix ('re', 'get') cannot explode the
+        query into the whole vocabulary."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double"
+            )
+        return self.search(terms, k, mode=mode)
+
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
         Spark job. `queries` maps query_id -> raw text or term list.

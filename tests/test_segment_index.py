@@ -219,3 +219,20 @@ def test_search_many_empty_and_missing_queries(spark, index_dir):
     si = SegmentIndex(spark, index_dir)
     out = si.search_many({"a": "zzz_nothing_matches", "b": ""}, 10).collect()
     assert out == []
+
+
+def test_prefix_expansion_and_search(spark, index_dir, oracle):
+    """Prefix expansion: df-desc order, deterministic tie-break, cap
+    honored; search_prefix == search over the manual expansion."""
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    full = si.expand_prefix("get", max_expansions=1000)
+    assert full and all(t.startswith("get") for t in full)
+    capped = si.expand_prefix("get", max_expansions=2)
+    assert capped == full[:2]
+    got = si.search_prefix("get", 20, max_expansions=2).collect()
+    manual = si.search(capped, 20).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ]
+    assert si.search_prefix("zzznope", 10).collect() == []
