@@ -451,3 +451,68 @@ def ft_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score")
         .filter(F.col("rank") < TOP_K)
     )
+
+
+_FUZZY_TERM = "tabel"   # misspelling of 'table' (distance 2: standard
+_FUZZY_EDITS = 2        # Levenshtein counts a transposition as 2 edits)
+_FUZZY_MAX_EXP = 5
+
+
+def _fuzzy_sql(term: str, max_edits: int, max_exp: int, k: int,
+               bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT term FROM (
+        SELECT term, df, levenshtein(term, '{term}') AS dist FROM alldf
+      ) WHERE dist <= {max_edits}
+      ORDER BY dist ASC, df DESC, term ASC LIMIT {max_exp}),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_fuzzy_bm25",
+            _fuzzy_sql(_FUZZY_TERM, _FUZZY_EDITS, _FUZZY_MAX_EXP, TOP_K))
+def ft_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query (ES `fuzzy` surface) through the REAL engine: expand a
+    misspelled term against the dictionary by Levenshtein distance
+    (distance asc, df desc; capped like ES max_expansions), then BM25 over
+    the expansion. Oracle re-derives the expansion with DuckDB's
+    levenshtein (both engines count standard Levenshtein edits)."""
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    docs = load(spark, sf_dir, "documents")
+    cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                      analyzer=DOCS_ANALYZER)
+    idx_dir = tempfile.mkdtemp(prefix="gate_fidx_")
+    build_index(docs, idx_dir, cfg, text_col="text", id_col="doc_id",
+                resume=False)
+    si = SegmentIndex(spark, idx_dir)
+    cand = si.search_fuzzy(_FUZZY_TERM, TOP_K + 20, max_edits=_FUZZY_EDITS,
+                           max_expansions=_FUZZY_MAX_EXP).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.select((F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+                    "doc_id", "score")
+        .filter(F.col("rank") < TOP_K)
+    )

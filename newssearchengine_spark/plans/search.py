@@ -186,6 +186,43 @@ class SegmentIndex:
             )
         return self.search(terms, k, mode=mode)
 
+    def expand_fuzzy(self, term: str, *, max_edits: int = 1,
+                     prefix_len: int = 0,
+                     max_expansions: int = 50) -> list[str]:
+        """Terms within `max_edits` Levenshtein distance of `term` (ES
+        fuzzy-query expansion), ordered (distance asc, df desc, term asc),
+        capped at max_expansions. prefix_len (ES prefix_length) requires
+        the first N chars to match exactly — at scale this turns the
+        dictionary scan into a prefix-range scan instead of a full pass.
+        Levenshtein runs JVM-side (built-in F.levenshtein)."""
+        cand = self._tstats
+        if prefix_len > 0:
+            cand = cand.filter(F.col("term").startswith(term[:prefix_len]))
+        rows = (
+            cand.withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+            .filter(F.col("dist") <= max_edits)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_fuzzy(self, term: str, k: int, *, max_edits: int = 1,
+                     prefix_len: int = 0, max_expansions: int = 50,
+                     mode: str = "taat") -> DataFrame:
+        """Fuzzy query (ES `fuzzy`): expand the term against the dictionary
+        by edit distance, then run the expansion as an OR-disjunction
+        through the BM25 engine. Expansion is bounded like ES
+        (max_expansions) and can be prefix-anchored (prefix_length)."""
+        terms = self.expand_fuzzy(term, max_edits=max_edits,
+                                  prefix_len=prefix_len,
+                                  max_expansions=max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double"
+            )
+        return self.search(terms, k, mode=mode)
+
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
         Spark job. `queries` maps query_id -> raw text or term list.

@@ -236,3 +236,23 @@ def test_prefix_expansion_and_search(spark, index_dir, oracle):
         (r["doc_id"], r["score"]) for r in manual
     ]
     assert si.search_prefix("zzznope", 10).collect() == []
+
+
+def test_fuzzy_expansion_and_search(spark, index_dir, oracle):
+    """Fuzzy expansion: distance-then-df ordering, prefix anchoring, cap;
+    search_fuzzy == search over the manual expansion."""
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    exp = si.expand_fuzzy("usr", max_edits=2, max_expansions=100)
+    assert "user" in exp
+    anchored = si.expand_fuzzy("usr", max_edits=2, prefix_len=1,
+                               max_expansions=100)
+    assert set(anchored) <= set(exp)
+    assert all(t.startswith("u") for t in anchored)
+    got = si.search_fuzzy("usr", 20, max_edits=2, max_expansions=3).collect()
+    manual = si.search(si.expand_fuzzy("usr", max_edits=2,
+                                       max_expansions=3), 20).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ]
+    assert si.search_fuzzy("qqqxyzzy", 10).collect() == []
