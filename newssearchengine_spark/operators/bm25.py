@@ -265,44 +265,43 @@ def phrase_bm25_topk(
     from ..functions.analysis import analyze_expr
 
     bm25 = bm25 or BM25Config()
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        analyze_expr(F.col(text_col), analyzer).alias("toks"),
-    ).select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        phrase_occurrences(F.col("toks"), list(phrase)).alias("occ"),
-    ).filter(F.col("dl") > 0)
-    toks = toks.persist()
-    try:
-        stats = toks.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.count(F.when(F.col("occ") > 0, 1)).alias("df_phrase"),
-        ).collect()[0]
-        n_docs = float(stats["n_docs"])
-        avgdl = float(stats["avgdl"] or 0.0)
-        dfp = float(stats["df_phrase"])
-        if dfp == 0:
-            return docs.sparkSession.createDataFrame(
-                [], "rank bigint, doc_id bigint, score double"
-            )
-        k1, b = bm25.k1, bm25.b
-        idf = F.lit(float(np_log1p((n_docs - dfp + 0.5) / (dfp + 0.5))))
-        scored = toks.filter(F.col("occ") > 0).select(
+
+    def occ_plan():
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            analyze_expr(F.col(text_col), analyzer).alias("toks"),
+        ).select(
             "doc_id",
-            (idf * (F.col("occ") * (k1 + 1.0))
-             / (F.col("occ") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-             ).alias("score"),
+            F.size("toks").alias("dl"),
+            phrase_occurrences(F.col("toks"), list(phrase)).alias("occ"),
+        ).filter(F.col("dl") > 0)
+
+    stats = occ_plan().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.count(F.when(F.col("occ") > 0, 1)).alias("df_phrase"),
+    ).collect()[0]
+    n_docs = float(stats["n_docs"] or 0)
+    avgdl = float(stats["avgdl"] or 0.0)
+    dfp = float(stats["df_phrase"] or 0)
+    if dfp == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
         )
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return topk.select(
-            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
-            "doc_id", "score",
-        ).localCheckpoint()
-    finally:
-        toks.unpersist()
+    k1, b = bm25.k1, bm25.b
+    idf = F.lit(float(np_log1p((n_docs - dfp + 0.5) / (dfp + 0.5))))
+    scored = occ_plan().filter(F.col("occ") > 0).select(
+        "doc_id",
+        (idf * (F.col("occ") * (k1 + 1.0))
+         / (F.col("occ") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+         ).alias("score"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )
 
 
 def np_log1p(x: float) -> float:

@@ -86,3 +86,37 @@ def test_lookup_join_broadcasts_dimension(spark, sf_tiny):
 
     p = plan(rel_lookup_join(spark, sf_tiny))
     assert "BroadcastHashJoin" in p
+
+
+def test_phrase_plan_is_jvm_side(spark, sf_tiny):
+    """Phrase matching (sequence/filter/element_at) must stay in codegen —
+    no Python evaluation anywhere in the plan."""
+    from newssearchengine_spark.operators.bm25 import phrase_bm25_topk
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    q = phrase_bm25_topk(docs, ["table", "scan"], 10, text_col="text",
+                         analyzer=AnalyzerConfig(
+                             stopwords=ENGLISH_MIN_STOPWORDS))
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the consecutive-match predicate compiles to higher-order exprs on the
+    # scan's filter (AQE hides codegen ids until execution)
+    assert "lambdafunction" in p and "TakeOrderedAndProject" in p
+
+
+def test_multi_query_batch_prunes_buckets(spark, tmp_path):
+    """search_many scans only the union of the queries' term buckets."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.index_build import build_index, term_bucket
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    corpus = assign_doc_ids(source_files(spark, 300, seed=5, partitions=2),
+                            num_partitions=2)
+    d = str(tmp_path / "idx_many")
+    build_index(corpus, d, IndexConfig(n_buckets=8, doc_range=128))
+    si = SegmentIndex(spark, d, cache=False)
+    q = si.search_many({"a": ["cache"], "b": ["index"]}, 10)
+    p = plan(q)
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "PushedFilters" in p and "In(term" in p
