@@ -516,3 +516,59 @@ def ft_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score")
         .filter(F.col("rank") < TOP_K)
     )
+
+
+_BOOL_MUST = ["table", "merge"]
+_BOOL_SHOULD = ["spark", "window"]
+_BOOL_NOT = ["customer"]
+
+
+def _bool_sql(must: list[str], should: list[str], must_not: list[str],
+              k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    sc_terms = ", ".join(f"'{t}'" for t in sorted(set(must) | set(should)))
+    must_terms = ", ".join(f"'{t}'" for t in sorted(set(must)))
+    not_terms = ", ".join(f"'{t}'" for t in sorted(set(must_not)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{sc_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc0 AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id),
+mok AS (
+  SELECT doc_id FROM tf WHERE term IN ({must_terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(must))}
+),
+sc AS (
+  SELECT s.doc_id, s.score FROM sc0 s
+  JOIN mok USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({not_terms}))
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bool_bm25",
+            _bool_sql(_BOOL_MUST, _BOOL_SHOULD, _BOOL_NOT, TOP_K))
+def ft_bool_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bool` query composition: must (AND constraint), should (score
+    boost), must_not (exclusion), scored by summed BM25 of must+should.
+    All Catalyst: broadcast term sets, one aggregation for the must-count
+    constraint (left_semi), left_anti for exclusion."""
+    from ..operators.bm25 import bool_bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    out = bool_bm25_topk(docs, must=_BOOL_MUST, should=_BOOL_SHOULD,
+                         must_not=_BOOL_NOT, k=TOP_K, text_col="text",
+                         analyzer=DOCS_ANALYZER)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))

@@ -308,3 +308,80 @@ def np_log1p(x: float) -> float:
     import math
 
     return math.log1p(x)
+
+
+def bool_bm25_topk(
+    docs: DataFrame,
+    *,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Config | None = None,
+) -> DataFrame:
+    """Boolean query composition (the ES `bool` query — the compositional
+    unit under every query_string the reference issues): docs must contain
+    ALL `must` terms, NONE of the `must_not` terms, and are scored by the
+    summed BM25 contributions of the `must` + `should` terms (ES
+    semantics: should-clauses add score; with a non-empty must they do
+    not constrain the match).
+
+    Plan shape, all Catalyst built-ins: one tf-table scan; the must
+    constraint is a per-doc count of distinct matched must-terms compared
+    to len(must) (a semi-join-free aggregate); must_not is a left_anti
+    join against the matching docs; scoring reuses bm25_scores' shape.
+    Returns (rank, doc_id, score).
+    """
+    must = sorted(set(must or []))
+    should = sorted(set(should or []))
+    must_not = sorted(set(must_not or []))
+    if not must and not should:
+        raise ValueError("bool query needs at least one must or should term")
+    bm25 = bm25 or BM25Config()
+    spark = docs.sparkSession
+
+    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=analyzer)
+    stats = corpus_stats(tf).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    k1, b = bm25.k1, bm25.b
+
+    scoring_terms = sorted(set(must) | set(should))
+    qdf = spark.createDataFrame([(t,) for t in scoring_terms], "term string")
+    matched = tf.join(F.broadcast(qdf), "term")
+    tstats = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    parts = (
+        matched.join(F.broadcast(tstats), "term")
+        .withColumn(
+            "part",
+            idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scores = parts.groupBy("doc_id").agg(F.sum("part").alias("score"))
+
+    if must:
+        mdf = spark.createDataFrame([(t,) for t in must], "term string")
+        n_matched = (
+            tf.join(F.broadcast(mdf), "term")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_must"))
+            .filter(F.col("n_must") == len(must))
+            .select("doc_id")
+        )
+        scores = scores.join(n_matched, "doc_id", "left_semi")
+    if must_not:
+        ndf = spark.createDataFrame([(t,) for t in must_not], "term string")
+        excluded = tf.join(F.broadcast(ndf), "term").select("doc_id").distinct()
+        scores = scores.join(excluded, "doc_id", "left_anti")
+
+    topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )

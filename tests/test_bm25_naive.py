@@ -153,3 +153,31 @@ def test_phrase_bm25_no_match_is_empty(corpus):
     got = phrase_bm25_topk(docs, ["zzz", "qqq"], 10, text_col="text",
                            analyzer=CFG).collect()
     assert got == []
+
+
+def test_bool_query_semantics(corpus):
+    """must = AND constraint, must_not = exclusion, should adds score:
+    verified against the pure oracle's postings."""
+    from newssearchengine_spark.operators.bm25 import bool_bm25_topk
+
+    docs, idx = corpus
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: set(pure.analyze(r["text"], CFG)) for r in rows}
+    must, should, must_not = ["table", "hash"], ["merge"], ["value"]
+    got = bool_bm25_topk(docs, must=must, should=should, must_not=must_not,
+                         k=100, text_col="text", analyzer=CFG).collect()
+    assert got, "fixture terms must select some docs"
+    eligible = {d for d, ts in toks.items()
+                if all(m in ts for m in must)
+                and not any(n in ts for n in must_not)}
+    assert {r["doc_id"] for r in got} <= eligible
+    # scores equal the plain OR-disjunction scores over must+should,
+    # restricted to the eligible docs
+    or_scores = {r["doc_id"]: r["score"]
+                 for r in bm25_topk(docs, must + should, 10_000,
+                                    text_col="text", analyzer=CFG).collect()}
+    for r in got:
+        assert r["score"] == pytest.approx(or_scores[r["doc_id"]], abs=1e-9)
+    # and every eligible doc that matched any scoring term is present
+    scored_eligible = {d for d in eligible if d in or_scores}
+    assert {r["doc_id"] for r in got} == scored_eligible
