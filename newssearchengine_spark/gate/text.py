@@ -127,3 +127,27 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.denormalize_keywords(docs, keywords_col="keywords",
                                  text_col="text")
     return out.select("doc_id", F.col("denormalized"))
+
+
+_HL_TERMS = ["table", "merge"]
+
+
+@gate_query(
+    "tx_highlight",
+    r"""SELECT doc_id,
+       regexp_replace(text, '(?i)\b(merge|table)\b', '<em>\1</em>', 'g')
+         AS highlighted,
+       regexp_extract(text,
+         '(?i)((?:\S+\s+){0,3}(?:merge|table)(?:\s+\S+){0,3})', 1)
+         AS fragment
+FROM documents""",
+)
+def tx_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style highlighting: whole-word case-insensitive term tagging +
+    first-match context fragment, as pure Catalyst regex projections."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.highlight(docs, _HL_TERMS, context_words=3).select(
+        "doc_id", "highlighted", "fragment"
+    )

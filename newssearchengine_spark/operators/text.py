@@ -193,3 +193,33 @@ def denormalize_keywords(
 
     return docs.withColumn(out_col, _denorm(F.col(keywords_col),
                                             F.col(text_col)))
+
+
+def highlight(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    context_words: int = 3,
+) -> DataFrame:
+    """Search-result highlighting (the ES `highlight` surface): wrap every
+    whole-word, case-insensitive occurrence of the query terms in
+    pre/post tags, and extract a first-match fragment with up to
+    `context_words` words of context on each side. Pure Catalyst regex
+    expressions — codegen'd, runs on the top-k join output (k rows), not
+    the corpus. Adds `highlighted` and `fragment` columns.
+    """
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in sorted(set(terms)))
+    tag_pat = rf"(?i)\b({alt})\b"
+    frag_pat = (rf"(?i)((?:\S+\s+){{0,{context_words}}}(?:{alt})"
+                rf"(?:\s+\S+){{0,{context_words}}})")
+    return docs.withColumn(
+        "highlighted",
+        F.regexp_replace(F.col(text_col), tag_pat, f"{pre_tag}$1{post_tag}"),
+    ).withColumn(
+        "fragment", F.regexp_extract(F.col(text_col), frag_pat, 1)
+    )
