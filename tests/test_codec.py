@@ -60,3 +60,56 @@ def test_unsorted_doc_ids_rejected():
     with pytest.raises(ValueError):
         encode_postings(np.array([3, 2]), np.array([1, 1]), np.array([5, 5]),
                         k1=1.2, b=0.75, avgdl=10.0, block_size=4)
+
+
+# ---- property-based round-trip (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    postings = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),   # doc id gaps well past 32-bit
+            st.integers(min_value=1, max_value=10_000),  # tf
+            st.integers(min_value=1, max_value=100_000), # dl
+        ),
+        min_size=0, max_size=300,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(postings, st.integers(min_value=1, max_value=64))
+    def test_roundtrip_property(rows, block_size):
+        """encode->decode is the identity for ANY strictly-increasing id
+        list, and every block's max tf-norm bound is >= the true per-row
+        tf-norm in that block (rank-safety of WAND pruning)."""
+        import numpy as np
+
+        from newssearchengine_spark.functions.codec import (
+            decode_postings, encode_postings, tf_norm,
+        )
+
+        ids = np.cumsum(np.array([r[0] + 1 for r in rows], dtype=np.int64))
+        tfs = np.array([r[1] for r in rows], dtype=np.int64)
+        dls = np.array([r[2] for r in rows], dtype=np.int64)
+        k1, b, avgdl = 1.2, 0.75, 37.5
+        docs_b, tfs_b, dls_b, blast, bmax = encode_postings(
+            ids, tfs, dls, k1=k1, b=b, avgdl=avgdl, block_size=block_size
+        )
+        out_ids, out_tfs, out_dls = decode_postings(docs_b, tfs_b, dls_b)
+        assert np.array_equal(out_ids, ids)
+        assert np.array_equal(out_tfs, tfs)
+        assert np.array_equal(out_dls, dls)
+        if ids.size:
+            tfn = tf_norm(tfs.astype(np.float64), dls.astype(np.float64),
+                          k1=k1, b=b, avgdl=avgdl)
+            # block index of each row
+            bi = np.searchsorted(blast, ids, "left")
+            # float32 storage rounds UP at encode: bound must still hold
+            assert np.all(np.asarray(bmax, dtype=np.float64)[bi] >= tfn)  # exact: encode rounds up
+            assert int(blast[-1]) == int(ids[-1])
