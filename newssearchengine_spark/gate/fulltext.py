@@ -572,3 +572,39 @@ def ft_bool_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                          must_not=_BOOL_NOT, k=TOP_K, text_col="text",
                          analyzer=DOCS_ANALYZER)
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+_SIG_TOP_N = 15
+
+
+def _sig_terms_sql(terms: list[str], top_n: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+fg_docs AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+ns AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS bg_n,
+              (SELECT count(*) FROM fg_docs)::DOUBLE AS fg_n),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM tf GROUP BY term),
+fg AS (SELECT term, count(*)::BIGINT AS fg_df
+       FROM tf WHERE doc_id IN (SELECT doc_id FROM fg_docs) GROUP BY term),
+scored AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round((fg.fg_df / ns.fg_n - bg.bg_df / ns.bg_n)
+               * ((fg.fg_df / ns.fg_n) / (bg.bg_df / ns.bg_n)), 6) AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN ns
+  WHERE fg.fg_df / ns.fg_n > bg.bg_df / ns.bg_n
+)
+SELECT (row_number() OVER (ORDER BY score DESC, term ASC) - 1)::BIGINT AS rank,
+       term, fg_df, bg_df, score
+FROM scored ORDER BY score DESC, term ASC LIMIT {top_n}"""
+
+
+@gate_query("ft_significant_terms", _sig_terms_sql(QUERY_TERMS, _SIG_TOP_N))
+def ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation: JLH-scored foreground (query
+    matches) vs background (corpus) term significance, top-n."""
+    from ..operators.bm25 import significant_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return significant_terms(docs, QUERY_TERMS, _SIG_TOP_N,
+                             text_col="text", analyzer=DOCS_ANALYZER)

@@ -385,3 +385,69 @@ def bool_bm25_topk(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "doc_id", "score",
     )
+
+
+def significant_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int,
+    *,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """The ES significant_terms aggregation over a query's result set:
+    terms over-represented in the FOREGROUND (docs matching the
+    OR-disjunction) relative to the BACKGROUND (whole corpus), scored
+    with the JLH heuristic (fg% - bg%) * (fg% / bg%) — the default ES
+    significance score. Terms whose foreground share does not exceed the
+    background share are dropped (they are not "significant").
+
+    Plan shape, all Catalyst: one tf-table scan feeding (a) the
+    foreground doc set via a broadcast semi-join on the query terms,
+    (b) background df via the usual term aggregation, (c) foreground df
+    via a semi-join + aggregation; one broadcast join stitches fg/bg
+    stats; final top-n is a TakeOrderedAndProject.
+
+    Returns (rank, term, fg_df, bg_df, score) with score rounded 6dp.
+    """
+    spark = docs.sparkSession
+    terms = sorted(set(query_terms))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=analyzer)
+    fg_docs = (
+        tf.join(F.broadcast(qdf), "term")
+        .select("doc_id").distinct()
+    )
+    bg_n = float(tf.select("doc_id").distinct().count())
+    fg_n = float(fg_docs.count())
+    if fg_n == 0:
+        return spark.createDataFrame(
+            [], "rank bigint, term string, fg_df bigint, "
+                "bg_df bigint, score double"
+        )
+    bg_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg_df = (
+        tf.join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    fg_pct = F.col("fg_df") / F.lit(fg_n)
+    bg_pct = F.col("bg_df") / F.lit(bg_n)
+    scored = (
+        fg_df.join(bg_df, "term")
+        .filter(fg_pct > bg_pct)
+        .select(
+            "term",
+            F.col("fg_df").cast("bigint").alias("fg_df"),
+            F.col("bg_df").cast("bigint").alias("bg_df"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+            .alias("score"),
+        )
+    )
+    topn = scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return topn.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "term", "fg_df", "bg_df", "score",
+    )

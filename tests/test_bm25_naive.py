@@ -181,3 +181,37 @@ def test_bool_query_semantics(corpus):
     # and every eligible doc that matched any scoring term is present
     scored_eligible = {d for d in eligible if d in or_scores}
     assert {r["doc_id"] for r in got} == scored_eligible
+
+
+def test_significant_terms_semantics(corpus):
+    """JLH significance vs a pure-Python recomputation; query terms with
+    fg% == bg% (present in every matching doc AND every corpus doc at the
+    same rate) are excluded only when not over-represented."""
+    from collections import Counter
+
+    from newssearchengine_spark.operators.bm25 import significant_terms
+
+    docs, _ = corpus
+    qterms = ["table", "hash"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: pure.analyze(r["text"], CFG) for r in rows}
+    toks = {d: t for d, t in toks.items() if t}
+    fg = {d for d, t in toks.items() if set(qterms) & set(t)}
+    bg_n, fg_n = len(toks), len(fg)
+    bg_df = Counter(t for ts in toks.values() for t in set(ts))
+    fg_df = Counter(t for d in fg for t in set(toks[d]))
+    expected = []
+    for t, f in fg_df.items():
+        fp, bp = f / fg_n, bg_df[t] / bg_n
+        if fp > bp:
+            expected.append((t, f, bg_df[t], round((fp - bp) * (fp / bp), 6)))
+    expected.sort(key=lambda x: (-x[3], x[0]))
+    expected = expected[:10]
+
+    got = significant_terms(docs, qterms, 10, text_col="text",
+                            analyzer=CFG).collect()
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in got] == [
+        (t, f, b) for t, f, b, _ in expected
+    ]
+    for r, (_, _, _, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-6)
