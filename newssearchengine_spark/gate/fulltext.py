@@ -608,3 +608,70 @@ def ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return significant_terms(docs, QUERY_TERMS, _SIG_TOP_N,
                              text_col="text", analyzer=DOCS_ANALYZER)
+
+
+_WILD_PATTERN = "s?a*"   # matches scan, spark, small, stream... per corpus
+_WILD_MAX_EXP = 4
+
+
+def _wildcard_sql(pattern: str, max_exp: int, k: int,
+                  bm25: BM25Config = BM25Config()) -> str:
+    import re as _re
+
+    regex = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    ) + "$"
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT term FROM alldf WHERE regexp_matches(term, '{regex}')
+      ORDER BY df DESC, term ASC LIMIT {max_exp}),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_wildcard_bm25",
+            _wildcard_sql(_WILD_PATTERN, _WILD_MAX_EXP, TOP_K))
+def ft_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query (ES `wildcard` surface) through the REAL engine:
+    pattern (* = any run, ? = one char) expanded against the dictionary
+    (df desc, capped), then BM25 over the expansion. Completes the
+    term-level query family: term / prefix / fuzzy / wildcard."""
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    docs = load(spark, sf_dir, "documents")
+    cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                      analyzer=DOCS_ANALYZER)
+    idx_dir = tempfile.mkdtemp(prefix="gate_widx_")
+    build_index(docs, idx_dir, cfg, text_col="text", id_col="doc_id",
+                resume=False)
+    si = SegmentIndex(spark, idx_dir)
+    cand = si.search_wildcard(_WILD_PATTERN, TOP_K + 20,
+                              max_expansions=_WILD_MAX_EXP).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.select((F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+                    "doc_id", "score")
+        .filter(F.col("rank") < TOP_K)
+    )

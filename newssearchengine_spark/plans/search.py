@@ -186,6 +186,43 @@ class SegmentIndex:
             )
         return self.search(terms, k, mode=mode)
 
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 50) -> list[str]:
+        """Terms matching an ES wildcard pattern (`*` = any run, `?` = one
+        char), ordered (df desc, term asc), capped at max_expansions. The
+        pattern compiles to an anchored regex evaluated JVM-side (rlike);
+        a leading literal prefix (everything before the first wildcard)
+        additionally prunes the dictionary scan to a term range."""
+        import re as _re
+
+        regex = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        ) + "$"
+        cand = self._tstats
+        lit_prefix = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+        if lit_prefix:
+            cand = cand.filter(F.col("term").startswith(lit_prefix))
+        rows = (
+            cand.filter(F.col("term").rlike(regex))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_wildcard(self, pattern: str, k: int, *,
+                        max_expansions: int = 50,
+                        mode: str = "taat") -> DataFrame:
+        """Wildcard query (ES `wildcard`): expand the pattern against the
+        term dictionary, then BM25 over the expansion (bounded like ES)."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double"
+            )
+        return self.search(terms, k, mode=mode)
+
     def expand_fuzzy(self, term: str, *, max_edits: int = 1,
                      prefix_len: int = 0,
                      max_expansions: int = 50) -> list[str]:

@@ -256,3 +256,25 @@ def test_fuzzy_expansion_and_search(spark, index_dir, oracle):
         (r["doc_id"], r["score"]) for r in manual
     ]
     assert si.search_fuzzy("qqqxyzzy", 10).collect() == []
+
+
+def test_wildcard_expansion_and_search(spark, index_dir):
+    """Wildcard: * and ? semantics, literal-prefix pruning parity, cap;
+    search_wildcard == search over the manual expansion."""
+    import re
+
+    si = SegmentIndex(spark, index_dir)
+    all_terms = [r["term"] for r in si._tstats.collect()]
+    pattern = "*ser"   # no literal prefix: full-dictionary regex path
+    exp = si.expand_wildcard(pattern, max_expansions=1000)
+    rx = re.compile("^" + pattern.replace("*", ".*").replace("?", ".") + "$")
+    assert set(exp) == {t for t in all_terms if rx.match(t)}
+    anchored = si.expand_wildcard("u?er", max_expansions=1000)
+    assert "user" in anchored and all(len(t) == 4 for t in anchored)
+    got = si.search_wildcard("u?er", 20, max_expansions=2).collect()
+    manual = si.search(si.expand_wildcard("u?er", max_expansions=2),
+                       20).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ]
+    assert si.search_wildcard("zz*qq", 10).collect() == []
