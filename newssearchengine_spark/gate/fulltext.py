@@ -610,7 +610,7 @@ def ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                              text_col="text", analyzer=DOCS_ANALYZER)
 
 
-_WILD_PATTERN = "s?a*"   # matches scan, spark, small, stream... per corpus
+_WILD_PATTERN = "s?a*"   # ^s.a.*$ — matches scan, spark, small (NOT stream)
 _WILD_MAX_EXP = 4
 
 

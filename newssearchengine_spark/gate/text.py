@@ -126,7 +126,11 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = T.denormalize_keywords(docs, keywords_col="keywords",
                                  text_col="text")
-    return out.select("doc_id", F.col("denormalized"))
+    # Project array<string> -> one space-joined string: the driver's rows-only
+    # canonicalizer pandas-sorts column values and dies on unhashable lists.
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("denormalized")).alias("denormalized")
+    )
 
 
 _HL_TERMS = ["table", "merge"]

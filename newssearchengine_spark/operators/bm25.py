@@ -188,7 +188,11 @@ def dismax_bm25_topk(
     total = None
     for c in score_cols:
         total = F.col(c) if total is None else total + F.col(c)
-    combined = (best + F.lit(float(tie_breaker)) * (total - best)).alias("score")
+    # Round BEFORE the top-k order/cut: the oracle orders by the 6dp-rounded
+    # score, and cross-engine float noise < 1e-6 must not flip ranks.
+    combined = F.round(
+        best + F.lit(float(tie_breaker)) * (total - best), 6
+    ).alias("score")
     out = filled.select("doc_id", combined)
     topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -290,11 +294,15 @@ def phrase_bm25_topk(
         )
     k1, b = bm25.k1, bm25.b
     idf = F.lit(float(np_log1p((n_docs - dfp + 0.5) / (dfp + 0.5))))
+    # Rounded 6dp before the top-k cut (determinism contract: rank on the
+    # rounded score so <1e-6 cross-engine noise cannot flip order).
     scored = occ_plan().filter(F.col("occ") > 0).select(
         "doc_id",
-        (idf * (F.col("occ") * (k1 + 1.0))
-         / (F.col("occ") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-         ).alias("score"),
+        F.round(
+            idf * (F.col("occ") * (k1 + 1.0))
+            / (F.col("occ") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+            6,
+        ).alias("score"),
     )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -362,7 +370,9 @@ def bool_bm25_topk(
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
         )
     )
-    scores = parts.groupBy("doc_id").agg(F.sum("part").alias("score"))
+    # Rounded 6dp before the top-k cut (same determinism contract as
+    # multi_query_scores / the gate wrappers: rank on the rounded score).
+    scores = parts.groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score"))
 
     if must:
         mdf = spark.createDataFrame([(t,) for t in must], "term string")

@@ -14,6 +14,7 @@ transformations.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 from typing import Any, Iterator, Tuple
@@ -140,11 +141,15 @@ def run_incremental_index(
     form of the reference's "patch missing v2 docs" upsert,
     wapo/index_es.py:187-192).
 
-    Checkpointing composes: the stream's own checkpoint (source offsets)
-    makes doc delivery exactly-once per micro-batch, and the engine's
-    per-bucket manifests make each delta build resumable — a crashed batch
-    re-runs idempotently because merge output goes to a staging dir that
-    replaces the live index atomically (os.replace) only on success.
+    Crash-safe swap scheme (versioned dirs + one atomic rename):
+    every batch's merged index is built into a sibling VERSION directory
+    ``<index_dir>.v<batch_id>``; the live path ``index_dir`` is a symlink
+    flipped with a single os.replace, so readers always observe either the
+    previous or the new complete index — never a missing or half-swapped
+    one. Redelivered batches (crash after flip, before the stream
+    checkpoint committed) are detected via the applied-batch marker inside
+    the live index and skipped, so re-runs are idempotent; stale
+    delta/version dirs from a crashed attempt are removed before rebuild.
 
     Runs the stream to completion of available input (processAllAvailable)
     and returns {"batches": n, "n_docs": total}. Production: same code
@@ -162,30 +167,73 @@ def run_incremental_index(
         .parquet(docs_dir)
     )
     state = {"batches": 0, "n_docs": 0}
-    # staging lives NEXT TO the live index: os.replace must stay on one
-    # filesystem for the atomic swap
-    work_root = index_dir.rstrip("/") + "_work"
+    base = index_dir.rstrip("/")
+    work_root = base + "_work"
     os.makedirs(work_root, exist_ok=True)
+
+    def _flip_live(target: str) -> None:
+        """Atomically point index_dir at `target` (symlink swap)."""
+        tmp = base + ".swap"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.abspath(target), tmp)
+        os.replace(tmp, index_dir)
+
+    # Adopt whatever pre-exists at index_dir exactly once, up front:
+    #  - empty real dir -> remove (first batch will create the link);
+    #  - a real index (stats.json) -> move into a version dir and link to
+    #    it, so later swaps are plain symlink flips;
+    #  - anything else -> refuse instead of nesting/clobbering.
+    if os.path.isdir(index_dir) and not os.path.islink(index_dir):
+        if not os.listdir(index_dir):
+            os.rmdir(index_dir)
+        elif os.path.exists(os.path.join(index_dir, "stats.json")):
+            adopted = base + ".vbase"
+            if os.path.lexists(adopted):
+                shutil.rmtree(adopted, ignore_errors=True)
+            os.rename(index_dir, adopted)
+            _flip_live(adopted)
+        else:
+            raise ValueError(
+                f"{index_dir} exists and is not an index; refusing to replace"
+            )
+
+    def _applied_batches() -> set[int]:
+        try:
+            with open(os.path.join(index_dir, "applied_batches.json")) as f:
+                return set(json.load(f))
+        except (OSError, ValueError):
+            return set()
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.count()
         if n == 0:
             return
+        applied = _applied_batches()
+        if int(batch_id) in applied:
+            return  # redelivery of a batch already merged+flipped
         delta_dir = os.path.join(work_root, f"delta_{batch_id}")
+        if os.path.exists(delta_dir):  # stale leftover from a crashed run
+            shutil.rmtree(delta_dir)
         batch_df.persist()
         build_index(batch_df, delta_dir, cfg, text_col=text_col,
                     id_col=id_col, resume=False)
         batch_df.unpersist()
-        if not os.path.exists(os.path.join(index_dir, "stats.json")):
-            shutil.move(delta_dir, index_dir)
+
+        ver = f"{base}.v{int(batch_id):06d}"
+        if os.path.lexists(ver):  # stale: crashed before the flip
+            shutil.rmtree(ver, ignore_errors=True)
+        prev = os.path.realpath(index_dir) if os.path.islink(index_dir) else None
+        if prev is None:
+            os.rename(delta_dir, ver)
         else:
-            staged = os.path.join(work_root, f"merged_{batch_id}")
-            merge_indexes(spark, index_dir, delta_dir, staged)
-            old = index_dir.rstrip("/") + ".old"
-            os.replace(index_dir, old)
-            os.replace(staged, index_dir)
-            shutil.rmtree(old, ignore_errors=True)
+            merge_indexes(spark, index_dir, delta_dir, ver)
             shutil.rmtree(delta_dir, ignore_errors=True)
+        with open(os.path.join(ver, "applied_batches.json"), "w") as f:
+            json.dump(sorted(applied | {int(batch_id)}), f)
+        _flip_live(ver)
+        if prev and prev != os.path.abspath(ver):
+            shutil.rmtree(prev, ignore_errors=True)  # GC the old version
         state["batches"] += 1
         state["n_docs"] += n
 

@@ -67,7 +67,8 @@ def test_dismax_single_field_equals_plain_bm25(corpus):
         (r["doc_id"], r["rank"]) for r in plain
     ]
     for a, b in zip(dm, plain):
-        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+        # dismax rounds 6dp before the cut (determinism contract); plain does not
+        assert a["score"] == pytest.approx(b["score"], abs=1e-6)
 
 
 def test_dismax_tie_breaker_zero_is_best_field_max(corpus, spark):
@@ -101,7 +102,7 @@ def test_dismax_tie_breaker_zero_is_best_field_max(corpus, spark):
     for r in got:
         expected = max(per_field["title"].get(r["doc_id"], 0.0),
                        per_field["body"].get(r["doc_id"], 0.0))
-        assert r["score"] == pytest.approx(expected, abs=1e-9)
+        assert r["score"] == pytest.approx(expected, abs=1e-6)
 
 
 def _py_phrase_occurrences(tokens: list[str], phrase: list[str]) -> int:
@@ -143,7 +144,8 @@ def test_phrase_bm25_matches_python_oracle(corpus):
                            analyzer=CFG).collect()
     assert [r["doc_id"] for r in got] == [d for d, _ in expected]
     for r, (_, s) in zip(got, expected):
-        assert r["score"] == pytest.approx(s, abs=1e-9)
+        # engine rounds 6dp before the cut (determinism contract)
+        assert r["score"] == pytest.approx(s, abs=1e-6)
 
 
 def test_phrase_bm25_no_match_is_empty(corpus):
@@ -177,7 +179,8 @@ def test_bool_query_semantics(corpus):
                  for r in bm25_topk(docs, must + should, 10_000,
                                     text_col="text", analyzer=CFG).collect()}
     for r in got:
-        assert r["score"] == pytest.approx(or_scores[r["doc_id"]], abs=1e-9)
+        # bool path rounds 6dp before the cut (determinism contract)
+        assert r["score"] == pytest.approx(or_scores[r["doc_id"]], abs=1e-6)
     # and every eligible doc that matched any scoring term is present
     scored_eligible = {d for d in eligible if d in or_scores}
     assert {r["doc_id"] for r in got} == scored_eligible
