@@ -135,3 +135,9 @@ class IndexConfig:
     block_size: int = 128          # postings per block-max block
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     bm25: BM25Config = field(default_factory=BM25Config)
+    # Store per-posting token positions (delta+varbyte sidecar column) so
+    # phrase queries are an INDEX operation (ES stores positions via
+    # term_vector:'yes', wapo/index_es.py:99 — a phrase query must not
+    # re-scan the corpus at 10^12-file scale). Costs ~1 extra varbyte
+    # stream per posting at build; disable for pure-disjunction workloads.
+    with_positions: bool = True

@@ -98,6 +98,72 @@ def doc_term_freqs(df: DataFrame, text_col: str = "content",
     )
 
 
+def doc_term_positions(df: DataFrame, text_col: str = "content",
+                       id_col: str = "doc_id",
+                       cfg: AnalyzerConfig | None = None) -> DataFrame:
+    """(id, text) -> (doc_id, term, tf int, dl int, positions array<int>).
+
+    Positions are 0-based indices into the ANALYZED (kept-token) array —
+    the coordinate system phrase matching uses (identical to the
+    compositional phrase_occurrences over analyze_expr output, and to what
+    ES stores for `term_vector: 'yes'` — /root/reference/wapo/index_es.py:99).
+
+    mode="code": Catalyst posexplode + sort_array(collect_list) — stays
+    JVM-side. mode="news": Arrow pandas path (Porter), positions emitted
+    directly in token order.
+    """
+    cfg = cfg or AnalyzerConfig()
+    if cfg.mode != "code":
+        return _doc_terms_pandas_positions(df, text_col=text_col,
+                                           id_col=id_col, cfg=cfg)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        analyze_expr(F.col(text_col), cfg).alias("toks"),
+    ).select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    return (
+        toks.groupBy("doc_id", "dl", "term")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+        )
+        .select("doc_id", "term", "tf", "dl", "positions")
+    )
+
+
+def _doc_terms_pandas_positions(df: DataFrame, text_col: str, id_col: str,
+                                cfg: AnalyzerConfig) -> DataFrame:
+    """Arrow-batched positional term vectors for non-Catalyst analyzer
+    modes (news/german stemming)."""
+    out_schema = "doc_id long, term string, tf int, dl int, positions array<int>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = _analyze_py_batch(pdf[text_col], cfg)
+            ids, terms, tfs, dls, poss = [], [], [], [], []
+            for i, lst in zip(pdf[id_col].tolist(), toks.tolist()):
+                by_term: dict[str, list[int]] = {}
+                for p, t in enumerate(lst):
+                    by_term.setdefault(t, []).append(p)
+                n = len(lst)
+                for t, ps in by_term.items():
+                    ids.append(i); terms.append(t)
+                    tfs.append(len(ps)); dls.append(n); poss.append(ps)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "term": pd.Series(terms, dtype="object"),
+                 "tf": pd.Series(tfs, dtype="int32"),
+                 "dl": pd.Series(dls, dtype="int32"),
+                 "positions": pd.Series(poss, dtype="object")}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def _analyze_news_batch(texts: pd.Series, cfg: AnalyzerConfig,
                         _memo: dict = {}) -> pd.Series:
     """News-mode analyzer over a batch: vectorized tokenize/strip/lower via

@@ -114,6 +114,51 @@ def decode_postings(docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
     return doc_ids, tfs, dls
 
 
+def encode_positions(flat_pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Per-posting token positions -> one varbyte blob.
+
+    `flat_pos` is the concatenation (doc order) of each posting's strictly
+    increasing position list; `tfs` gives the per-posting list lengths
+    (positions-per-doc == tf by construction). Within each doc the
+    positions are delta-encoded (first absolute, rest gaps); the per-doc
+    boundaries are NOT stored — the decoder re-derives them from tfs,
+    which the postings blob already carries. This is the Lucene positional
+    posting shape ES stores for the reference's `term_vector: 'yes'`
+    mapping (/root/reference/wapo/index_es.py:99).
+    """
+    flat_pos = np.asarray(flat_pos, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if flat_pos.size != int(tfs.sum()):
+        raise ValueError("flat positions length must equal sum(tfs)")
+    if flat_pos.size == 0:
+        return b""
+    deltas = np.empty_like(flat_pos)
+    deltas[0] = flat_pos[0]
+    deltas[1:] = flat_pos[1:] - flat_pos[:-1]
+    starts = np.r_[0, np.cumsum(tfs)[:-1]]
+    deltas[starts] = flat_pos[starts]  # absolute restart at each doc
+    if (deltas < 0).any():
+        raise ValueError("positions must be strictly increasing per doc")
+    return vb_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions -> flat int64 positions (len sum(tfs)).
+
+    Segmented prefix-sum: a full cumsum, then subtract each doc's carried-in
+    base (the cumsum value just before the doc's first delta) — fully
+    vectorized, no per-doc loop.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = vb_decode(blob).astype(np.int64)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    flat = np.cumsum(deltas)
+    starts = np.r_[0, np.cumsum(tfs)[:-1]]
+    bases = np.r_[0, flat[starts[1:] - 1]] if starts.size > 1 else np.zeros(1, np.int64)
+    return flat - np.repeat(bases, tfs)
+
+
 def tf_norm(tfs: np.ndarray, dls: np.ndarray, *, k1: float, b: float,
             avgdl: float) -> np.ndarray:
     """BM25 tf saturation term (float64): tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))."""

@@ -43,13 +43,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import AnalyzerConfig, IndexConfig
-from ..functions.analysis import doc_term_freqs
-from ..functions.codec import encode_postings
+from ..functions.analysis import doc_term_freqs, doc_term_positions
+from ..functions.codec import encode_positions, encode_postings
 
 SEGMENT_SCHEMA = (
     "bucket int, doc_part bigint, term string, df bigint, cf bigint, "
     "docs binary, tfs binary, dls binary, "
-    "block_last array<bigint>, block_max array<float>"
+    "block_last array<bigint>, block_max array<float>, positions binary"
 )
 
 
@@ -112,6 +112,8 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block_size = cfg.block_size
 
+    with_positions = cfg.with_positions
+
     def encode_group(key, pdf):
         bucket, doc_part = int(key[0]), int(key[1])
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
@@ -119,6 +121,7 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        poss = pdf["positions"].to_numpy() if with_positions else None
         bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.r_[0, bounds]
         ends = np.r_[bounds, terms.size]
@@ -128,15 +131,23 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
                 ids[s:e], tfs[s:e], dls[s:e],
                 k1=k1, b=b, avgdl=avgdl, block_size=block_size,
             )
+            if with_positions:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in poss[s:e]]
+                )
+                pos_b = encode_positions(flat, tfs[s:e])
+            else:
+                pos_b = None
             rows.append(
                 (bucket, doc_part, terms[s], int(e - s), int(tfs[s:e].sum()),
                  docs_b, tfs_b, dls_b, blast.tolist(),
-                 bmax.astype(np.float32).tolist())
+                 bmax.astype(np.float32).tolist(), pos_b)
             )
         return pd.DataFrame(
             rows,
             columns=["bucket", "doc_part", "term", "df", "cf",
-                     "docs", "tfs", "dls", "block_last", "block_max"],
+                     "docs", "tfs", "dls", "block_last", "block_max",
+                     "positions"],
         )
 
     return encode_group
@@ -176,7 +187,12 @@ def build_index(
     mark("fingerprint")
 
     # ---- analyze once; reuse for stats, doc store, and segments ----
-    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=cfg.analyzer)
+    if cfg.with_positions:
+        tf = doc_term_positions(docs, text_col=text_col, id_col=id_col,
+                                cfg=cfg.analyzer)
+    else:
+        tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col,
+                            cfg=cfg.analyzer)
     tf = tf.persist()
 
     total_tokens = tf.agg(F.sum(F.col("tf").cast("bigint"))).collect()[0][0] or 0
@@ -199,12 +215,20 @@ def build_index(
     mark("doc_store")
 
     # ---- global term stats (idf source). Hot terms are absorbed by
-    # Catalyst's map-side partial aggregation here. ----
+    # Catalyst's map-side partial aggregation here. Written partitioned by
+    # term bucket and term-sorted within files: the query side resolves
+    # term->df with a driver-LOCAL pruned parquet read (the Lucene
+    # term-dictionary shape) instead of a Spark job — see
+    # SegmentIndex.term_dfs. ----
     tstats = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum(F.col("tf").cast("bigint")).alias("cf"),
+    ).withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+    (
+        tstats.repartition("bucket").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "term_stats"))
     )
-    tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
     mark("term_stats")
 
     _atomic_write_json(
@@ -221,6 +245,7 @@ def build_index(
             "b": cfg.bm25.b,
             "min_token_len": cfg.analyzer.min_token_len,
             "analyzer_mode": cfg.analyzer.mode,
+            "with_positions": cfg.with_positions,
             "stopwords": sorted(cfg.analyzer.stopwords),
         },
     )
@@ -231,10 +256,13 @@ def build_index(
     if max_buckets is not None:
         pending = pending[:max_buckets]
 
+    keyed_cols = ["term", "doc_id", "tf", "dl"]
+    if cfg.with_positions:
+        keyed_cols.append("positions")
     keyed = tf.select(
         bucket_expr(F.col("term"), cfg.n_buckets).alias("bucket"),
         (F.col("doc_id") / cfg.doc_range).cast("bigint").alias("doc_part"),
-        "term", "doc_id", "tf", "dl",
+        *keyed_cols,
     )
     encoder = _make_encoder(cfg, avgdl)
     seg_dir = os.path.join(index_dir, "segments")
@@ -268,7 +296,8 @@ def build_index(
                     F.count(F.lit(1)).alias("n_rows"),
                     F.countDistinct("term").alias("n_terms"),
                     F.sum("df").alias("n_postings"),
-                    F.sum(F.length("docs") + F.length("tfs") + F.length("dls")).alias("bytes"),
+                    F.sum(F.length("docs") + F.length("tfs") + F.length("dls")
+                          + F.coalesce(F.length("positions"), F.lit(0))).alias("bytes"),
                     F.min("term").alias("term_lo"),
                     F.max("term").alias("term_hi"),
                 )

@@ -29,8 +29,10 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_postings, encode_postings
-from .index_build import SEGMENT_SCHEMA, _atomic_write_json, _manifest_path
+from ..functions.codec import (decode_positions, decode_postings,
+                               encode_positions, encode_postings)
+from .index_build import (SEGMENT_SCHEMA, _atomic_write_json, _manifest_path,
+                          bucket_expr)
 
 
 def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
@@ -45,6 +47,9 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
                 "min_token_len", "stopwords"):
         if sa[key] != sb[key]:
             raise ValueError(f"incompatible indexes: {key} differs")
+    if sa.get("with_positions", False) != sb.get("with_positions", False):
+        raise ValueError("incompatible indexes: with_positions differs")
+    with_positions = bool(sa.get("with_positions", False))
 
     store_a = spark.read.parquet(os.path.join(index_a, "doc_store"))
     store_b = spark.read.parquet(os.path.join(index_b, "doc_store"))
@@ -70,7 +75,9 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
         .groupBy("term")
         .agg(F.sum("df").cast("bigint").alias("df"),
              F.sum("cf").cast("bigint").alias("cf"))
-        .write.mode("overwrite")
+        .withColumn("bucket", bucket_expr(F.col("term"), int(sa["n_buckets"])))
+        .repartition("bucket").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
 
@@ -81,17 +88,22 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
     )
     _atomic_write_json(os.path.join(out_dir, "stats.json"), stats)
 
-    seg_a = spark.read.parquet(os.path.join(index_a, "segments"))
-    seg_b = spark.read.parquet(os.path.join(index_b, "segments"))
+    seg_a = spark.read.schema(SEGMENT_SCHEMA).parquet(os.path.join(index_a, "segments"))
+    seg_b = spark.read.schema(SEGMENT_SCHEMA).parquet(os.path.join(index_b, "segments"))
 
     def remerge(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bucket, doc_part = int(key[0]), int(key[1])
         rows = []
         for term, grp in pdf.groupby("term", sort=True):
-            ids_l, tfs_l, dls_l = [], [], []
+            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
             for r in grp.itertuples(index=False):
                 i, t, d = decode_postings(r.docs, r.tfs, r.dls)
                 ids_l.append(i); tfs_l.append(t); dls_l.append(d)
+                if with_positions:
+                    flat = decode_positions(r.positions or b"", t)
+                    # split back into per-posting lists so doc reordering
+                    # keeps each doc's positions attached to it
+                    pos_l.extend(np.split(flat, np.cumsum(t)[:-1]))
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l)
             dls = np.concatenate(dls_l)
@@ -100,14 +112,21 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
             docs_b, tfs_b, dls_b, blast, bmax = encode_postings(
                 ids, tfs, dls, k1=k1, b=b, avgdl=avgdl, block_size=block_size
             )
+            if with_positions:
+                flat = np.concatenate([pos_l[j] for j in order]) \
+                    if ids.size else np.empty(0, dtype=np.int64)
+                pos_b = encode_positions(flat, tfs)
+            else:
+                pos_b = None
             rows.append(
                 (bucket, doc_part, term, int(ids.size), int(tfs.sum()),
                  docs_b, tfs_b, dls_b, blast.tolist(),
-                 bmax.astype(np.float32).tolist())
+                 bmax.astype(np.float32).tolist(), pos_b)
             )
         return pd.DataFrame(
             rows, columns=["bucket", "doc_part", "term", "df", "cf",
-                           "docs", "tfs", "dls", "block_last", "block_max"])
+                           "docs", "tfs", "dls", "block_last", "block_max",
+                           "positions"])
 
     merged = (
         seg_a.unionByName(seg_b)

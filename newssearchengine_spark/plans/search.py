@@ -34,7 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_postings, lucene_idf, tf_norm
+from ..functions.codec import (decode_positions, decode_postings, lucene_idf,
+                               tf_norm)
 from ..oracle import pure
 from ..config import AnalyzerConfig
 from .index_build import term_bucket
@@ -61,9 +62,10 @@ class SegmentIndex:
         )
         from .index_build import SEGMENT_SCHEMA
 
+        self._df_cache: dict[str, int] = {}
         self._tstats = self._read_or_empty(
             os.path.join(self.index_dir, "term_stats"),
-            "term string, df bigint, cf bigint",
+            "term string, df bigint, cf bigint, bucket int",
         )
         self._segments = self._read_or_empty(
             os.path.join(self.index_dir, "segments"), SEGMENT_SCHEMA
@@ -88,10 +90,48 @@ class SegmentIndex:
         return pure.analyze(text, self.analyzer)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """Global df per query term — a pruned scan of the tiny term_stats
-        table (term predicate pushed to parquet), collected driver-side."""
-        rows = self._tstats.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: int(r["df"]) for r in rows}
+        """Global df per query term.
+
+        Fast path: a DRIVER-LOCAL pyarrow read of the term_stats parquet,
+        pruned to the terms' bucket partitions with the term predicate
+        pushed to row groups (files are term-sorted). This is the Lucene
+        term-dictionary-lookup shape — a local index structure, not a
+        cluster job — so a query costs ONE Spark job, not two. Results
+        memoize on the handle (repeat queries skip the read entirely).
+        Falls back to a pruned Spark scan if pyarrow/local-FS access is
+        unavailable (e.g. a remote object-store index).
+        """
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            got: dict[str, int] = {}
+            try:
+                got = self._term_dfs_local(missing)
+            except Exception:
+                rows = self._tstats.filter(F.col("term").isin(missing)).collect()
+                got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _term_dfs_local(self, terms: list[str]) -> dict[str, int]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        out: dict[str, int] = {}
+        root = os.path.join(self.index_dir, "term_stats")
+        for bkt in buckets:
+            bdir = os.path.join(root, f"bucket={bkt}")
+            if not os.path.isdir(bdir):
+                continue
+            tbl = pq.read_table(
+                bdir, columns=["term", "df"],
+                filters=pc.field("term").isin(terms),
+            )
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                out[t] = int(d)
+        return out
 
     def warm(self) -> "SegmentIndex":
         """Materialize the cached segment + term-stats tables (one pass) so
@@ -260,6 +300,86 @@ class SegmentIndex:
             )
         return self.search(terms, k, mode=mode)
 
+    def search_phrase(self, phrase, k: int, with_meta: bool = False) -> DataFrame:
+        """Indexed phrase retrieval (ES match_phrase) — a pure INDEX
+        operation over the positional postings sidecar, no corpus re-scan
+        (the reference's ES index stores positions for exactly this,
+        term_vector:'yes' at /root/reference/wapo/index_es.py:99).
+
+        `phrase` = raw text (analyzed by the index's analyzer) or an
+        ordered term list. Scoring matches operators.bm25.phrase_bm25_topk:
+        Okapi BM25 with tf = consecutive-occurrence count and df = phrase
+        doc frequency; scores rounded 6dp before the (score desc, doc_id
+        asc) top-k cut. Exact equality with the compositional path holds
+        when every doc has >= 1 kept token (true of the test corpora; the
+        compositional path computes N/avgdl over non-empty docs while the
+        index stores corpus-wide stats).
+
+        Plan: pruned positional-segment scan -> per-doc_part occurrence
+        counting in applyInPandas (postings+positions decoded once per
+        term, fully vectorized via packed (local-doc, position) keys) ->
+        tiny persisted candidate relation (only docs containing the whole
+        phrase) -> Catalyst scoring + TakeOrderedAndProject. Two jobs
+        total (phrase-df aggregate + top-k) over the candidate relation,
+        never over the corpus.
+        """
+        if not self.stats.get("with_positions"):
+            raise ValueError(
+                "index was built with with_positions=False; phrase search "
+                "needs the positional sidecar (IndexConfig.with_positions)"
+            )
+        terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        if not terms:
+            return empty
+        uterms = sorted(set(terms))
+        dfs = self.term_dfs(uterms)
+        if any(dfs.get(t, 0) == 0 for t in uterms):
+            return empty  # a phrase containing an absent term matches nothing
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in uterms})
+
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(uterms))
+            .select("doc_part", "term", "docs", "tfs", "dls", "positions")
+        )
+        matcher = _make_phrase_matcher(list(terms))
+        # persisted: the count action below and the returned top-k plan
+        # share one materialization of the (tiny) candidate relation
+        cand = seg.groupBy("doc_part").applyInPandas(
+            matcher, "doc_id bigint, occ bigint, dl bigint"
+        ).persist()
+        dfp = float(cand.count())
+        if dfp == 0:
+            cand.unpersist()
+            return empty
+        idf = float(np.log1p((n_docs - dfp + 0.5) / (dfp + 0.5)))
+        scored = cand.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * (F.col("occ") * (k1 + 1.0))
+                / (F.col("occ")
+                   + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+                6,
+            ).alias("score"),
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+        if with_meta:
+            out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
+        return out
+
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
         Spark job. `queries` maps query_id -> raw text or term list.
@@ -290,7 +410,8 @@ class SegmentIndex:
         dfs = self.term_dfs(all_terms)
         live = sorted(t for t in all_terms if dfs.get(t, 0) > 0)
         out_schema = "query_id string, rank bigint, doc_id bigint, score double"
-        qlive = {qid: [t for t in ts if t in set(live)]
+        live_set = set(live)
+        qlive = {qid: [t for t in ts if t in live_set]
                  for qid, ts in qterms.items()}
         qlive = {qid: ts for qid, ts in qlive.items() if ts}
         if not qlive:
@@ -319,6 +440,59 @@ class SegmentIndex:
             .filter(F.col("rank") < k)
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+def _make_phrase_matcher(phrase: list[str]):
+    """Per-doc_part phrase-occurrence counter for applyInPandas.
+
+    Decodes each phrase term's postings + positions ONCE, then counts
+    consecutive matches fully vectorized: occurrence starts are the
+    positions p of phrase[0] such that p+j is a position of phrase[j] for
+    every j — membership tested on packed (local_doc_index, position) int64
+    keys (local index, not raw doc_id, so the packing never overflows at
+    10^12-doc scale; both factors are bounded by doc_range / doc length).
+    Emits (doc_id, occ, dl) for docs containing the whole phrase.
+    """
+    POS_BITS = 33  # positions < 2^33 per doc; local doc index < 2^30
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "occ": pd.Series([], dtype=np.int64),
+            "dl": pd.Series([], dtype=np.int64),
+        })
+        dec: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        for row in pdf.itertuples(index=False):
+            ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+            flat = decode_positions(row.positions or b"", tfs)
+            dec[row.term] = (ids, tfs, dls, flat)
+        if any(t not in dec for t in phrase):
+            return empty  # some phrase term absent from this doc range
+        # compact local doc index shared by all terms in the group
+        all_ids = np.unique(np.concatenate([dec[t][0] for t in set(phrase)]))
+        keys = {}
+        for t in set(phrase):
+            ids, tfs, _, flat = dec[t]
+            loc = np.searchsorted(all_ids, ids)
+            keys[t] = (np.repeat(loc, tfs) << POS_BITS) + flat
+        ids0, tfs0, dls0, _ = dec[phrase[0]]
+        k0 = keys[phrase[0]]
+        mask = np.ones(k0.size, dtype=bool)
+        for j, t in enumerate(phrase[1:], start=1):
+            mask &= np.isin(k0 + j, keys[t])
+        if not mask.any():
+            return empty
+        occ = np.zeros(ids0.size, dtype=np.int64)
+        posting_idx = np.repeat(np.arange(ids0.size), tfs0)
+        np.add.at(occ, posting_idx[mask], 1)
+        sel = occ > 0
+        return pd.DataFrame({
+            "doc_id": ids0[sel],
+            "occ": occ[sel],
+            "dl": dls0[sel],
+        })
+
+    return match_group
 
 
 def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,

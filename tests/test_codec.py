@@ -113,3 +113,30 @@ if _HAVE_HYP:
             # float32 storage rounds UP at encode: bound must still hold
             assert np.all(np.asarray(bmax, dtype=np.float64)[bi] >= tfn)  # exact: encode rounds up
             assert int(blast[-1]) == int(ids[-1])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_positions_roundtrip_random(seed):
+    from newssearchengine_spark.functions.codec import (decode_positions,
+                                                        encode_positions)
+
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(30):
+        n_docs = int(rng.integers(0, 40))
+        lists = [
+            np.sort(rng.choice(5000, size=int(rng.integers(1, 30)),
+                               replace=False)).astype(np.int64)
+            for _ in range(n_docs)
+        ]
+        tfs = np.array([len(x) for x in lists], dtype=np.int64)
+        flat = (np.concatenate(lists) if lists
+                else np.empty(0, dtype=np.int64))
+        blob = encode_positions(flat, tfs)
+        assert np.array_equal(decode_positions(blob, tfs), flat)
+
+
+def test_positions_length_mismatch_rejected():
+    from newssearchengine_spark.functions.codec import encode_positions
+
+    with pytest.raises(ValueError):
+        encode_positions(np.array([0, 1, 2]), np.array([2]))

@@ -108,3 +108,21 @@ def test_incremental_stream_equals_cold_build(spark, tmp_path):
         assert [(r["doc_id"],) for r in a] == [(r["doc_id"],) for r in b]
         for x, y in zip(a, b):
             assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+
+def test_merged_phrase_search_equals_cold_build(spark, merged_setup, tmp_path):
+    """Positional sidecars survive the merge re-encode: phrase results over
+    merged(A, B) equal phrase results over a cold build of A ∪ B."""
+    dm, _, raw = merged_setup
+    corpus = assign_doc_ids(source_files(spark, 900, seed=11, partitions=4),
+                            num_partitions=4)
+    cold = str(tmp_path / "cold_for_phrase")
+    build_index(corpus, cold, CFG, resume=False)
+    si_m = SegmentIndex(spark, dm)
+    si_c = SegmentIndex(spark, cold)
+    for phrase in (["node", "cursor"], ["shard", "group"], ["close", "node"]):
+        a = si_m.search_phrase(phrase, 25).collect()
+        b = si_c.search_phrase(phrase, 25).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b]
+        assert a, f"fixture phrase {phrase} should match some docs"

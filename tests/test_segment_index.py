@@ -278,3 +278,41 @@ def test_wildcard_expansion_and_search(spark, index_dir):
         (r["doc_id"], r["score"]) for r in manual
     ]
     assert si.search_wildcard("zz*qq", 10).collect() == []
+
+
+def test_phrase_indexed_equals_compositional(spark, corpus, index_dir):
+    """Indexed phrase search (positional postings, no corpus scan) is rank-
+    and score-identical to the compositional higher-order-function path."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.operators.bm25 import phrase_bm25_topk
+
+    si = SegmentIndex(spark, index_dir)
+    # (phrase, must_match): splittable vocab identifiers (nodeCursor,
+    # shardGroup, streamSort) guarantee real consecutive matches
+    cases = [(["node", "cursor"], True), (["shard", "group"], True),
+             (["stream", "sort"], True), (["zz_absent", "node"], False)]
+    for phrase, must_match in cases:
+        a = si.search_phrase(phrase, 20).collect()
+        b = (
+            phrase_bm25_topk(corpus, phrase, 20, text_col="content",
+                             analyzer=CFG.analyzer)
+            .select("rank", "doc_id", F.round("score", 6).alias("score"))
+            .collect()
+        )
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b]
+        assert bool(a) == must_match, phrase
+
+
+def test_phrase_needs_positions(spark, corpus, tmp_path):
+    """An index built without the positional sidecar refuses phrase queries
+    with a clear error instead of silently wrong results."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, with_positions=False)
+    d = str(tmp_path / "nopos")
+    build_index(corpus.limit(50), d, cfg, resume=False)
+    si = SegmentIndex(spark, d)
+    with pytest.raises(ValueError, match="positions"):
+        si.search_phrase(["node", "cursor"], 5)
