@@ -81,13 +81,26 @@ class AnalyzerConfig:
 
     stopwords: frozenset[str] = CODE_STOPWORDS
     min_token_len: int = 2
-    mode: str = "code"  # "code" | "news"
+    mode: str = "code"  # "code" | "news" | "german"
 
 
 def news_analyzer() -> AnalyzerConfig:
     """The reference's WAPO english analyzer (stop list + Porter)."""
     return AnalyzerConfig(stopwords=ENGLISH_NLTK_STOPWORDS, min_token_len=1,
                           mode="news")
+
+
+def german_analyzer() -> AnalyzerConfig:
+    """ES's built-in `german` analyzer — what the reference's netzpolitik
+    half indexes with (/root/reference/netzpolitik/index_es.py:56,66):
+    standard tokenize -> lowercase -> German stoplist -> umlaut/eszett
+    normalization -> light German stemmer. Semantics pinned by the
+    reference's own ES golden fixtures (test/netzpolitik/test_parse.py:
+    40-104), asserted in tests/test_german_analyzer.py."""
+    from .functions.german import GERMAN_STOPWORDS
+
+    return AnalyzerConfig(stopwords=GERMAN_STOPWORDS, min_token_len=1,
+                          mode="german")
 
 
 @dataclass(frozen=True)

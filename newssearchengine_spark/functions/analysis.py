@@ -81,11 +81,11 @@ def doc_term_freqs(df: DataFrame, text_col: str = "content",
     every (doc, term) row so the posting build needs no extra join.
 
     mode="code": pure Catalyst expressions (JVM hot path).
-    mode="news": Porter stemming is not regex-expressible -> Arrow
+    mode="news"/"german": stemming is not regex-expressible -> Arrow
     pandas-UDF path (doc_terms_pandas), still batch-vectorized.
     """
     cfg = cfg or AnalyzerConfig()
-    if cfg.mode == "news":
+    if cfg.mode != "code":
         return doc_terms_pandas(df, text_col=text_col, id_col=id_col, cfg=cfg)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -194,10 +194,37 @@ def _analyze_news_batch(texts: pd.Series, cfg: AnalyzerConfig,
     return texts.fillna("").map(one)
 
 
+def _analyze_german_batch(texts: pd.Series, cfg: AnalyzerConfig,
+                          _memo: dict = {}) -> pd.Series:
+    """German-mode analyzer over a batch (ES built-in `german` chain):
+    unicode word tokenize, lowercase, German stoplist, normalization +
+    light stem with a process-lifetime per-token memo."""
+    from .german import WORD_RE, stem_german
+
+    stop = cfg.stopwords
+
+    def one(text: str) -> list[str]:
+        out = []
+        for tok in WORD_RE.findall(text):
+            tok = tok.lower()
+            if tok in stop:
+                continue
+            st = _memo.get(tok)
+            if st is None:
+                st = stem_german(tok)
+                _memo[tok] = st
+            out.append(st)
+        return out
+
+    return texts.fillna("").map(one)
+
+
 def _analyze_py_batch(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     """Vectorized (pandas .str) analyzer over a batch of strings."""
     if cfg.mode == "news":
         return _analyze_news_batch(texts, cfg)
+    if cfg.mode == "german":
+        return _analyze_german_batch(texts, cfg)
     s = texts.fillna("").str.replace(CAMEL_RE, r"\1 \2", regex=True)
     s = s.str.replace(ACRONYM_RE, r"\1 \2", regex=True)
     s = s.str.lower()

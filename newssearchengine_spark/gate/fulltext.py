@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import ENGLISH_MIN_STOPWORDS, AnalyzerConfig, BM25Config
+from ..config import (ENGLISH_MIN_STOPWORDS, ENGLISH_NLTK_STOPWORDS,
+                      AnalyzerConfig, BM25Config)
 from ..functions.analysis import doc_term_freqs
 from ..operators.bm25 import bm25_scores, term_stats
 from .registry import gate_query, load
@@ -211,6 +212,107 @@ def ft_bm25_topk_news(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "doc_id", "score",
     )
+
+
+# -- news-analyzer gate with a REAL hash-checked oracle -----------------
+# Porter itself is not SQL-expressible, but BM25 under the news chain IS
+# hash-checkable when every query term t satisfies (a) stem(t) == t and
+# (b) no other corpus token stems to t: then tf/df of t in stem space
+# equal plain token counts, and dl (kept-token count) is stem-invariant
+# by construction. tests/test_news_analyzer.py asserts (a)+(b) hold for
+# these terms over the sf0.01 vocabulary, so testdata drift fails loudly
+# in pytest rather than silently in the driver.
+_NEWS_STEM_TERMS = ["hash", "join", "scan", "spark", "window"]
+_NLTK_STOP_SQL = ", ".join(f"'{s}'" for s in sorted(ENGLISH_NLTK_STOPWORDS))
+
+# News tokenizer on this corpus reduces to lowercase word runs (the
+# fixture text has no apostrophes — asserted in tests): standard word
+# split, NLTK stoplist, no length/letter filter (wapo/index_es.py:65-91).
+NEWS_TOKENS_CTE = f"""
+ntoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+nkept AS (
+  SELECT doc_id, term FROM ntoks WHERE term NOT IN ({_NLTK_STOP_SQL})
+),
+ntf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM nkept GROUP BY 1, 2),
+ndl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM nkept GROUP BY 1)
+"""
+
+
+def _news_stem_sql(terms: list[str], k: int,
+                   bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {NEWS_TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM ndl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM ntf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT ntf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (ntf.tf * ({k1} + 1)) /
+             (ntf.tf + {k1} * (1 - {b} + {b} * ndl.dl / stats.avgdl)) AS p
+  FROM ntf
+  JOIN tstats USING (term)
+  JOIN ndl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bm25_topk_news_stem", _news_stem_sql(_NEWS_STEM_TERMS, TOP_K))
+def ft_bm25_topk_news_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the FULL news analyzer (standard tokenize -> possessive
+    strip -> lowercase -> NLTK stop -> Porter), hash-checked: the query
+    terms are stem-invariant with singleton preimages, so the DuckDB
+    oracle needs no stemmer (see _NEWS_STEM_TERMS comment). This gives the
+    Porter path a driver-verified row alongside the rows-only
+    ft_bm25_topk_news entry."""
+    from ..config import news_analyzer
+
+    docs = load(spark, sf_dir, "documents")
+    tf = doc_term_freqs(docs, text_col="text", id_col="doc_id",
+                        cfg=news_analyzer())
+    scores = bm25_scores(tf, _NEWS_STEM_TERMS)
+    cand = scores.select("doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)
+
+
+@gate_query("ft_bm25_topk_de", None)  # German stemmer not in DuckDB: rows-only
+def ft_bm25_topk_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the ES built-in `german` analyzer chain (standard
+    tokenize -> lowercase -> German stop -> umlaut normalization -> light
+    German stemmer), the analyzer the reference's netzpolitik corpus is
+    indexed with (netzpolitik/index_es.py:56,66). The fixture corpus is
+    the documents table with key tokens deterministically Germanified
+    (inflected umlauted forms), so real German morphology flows through
+    the chain: 'Tabellen'/'Zusammenführungen'/'Fenstern' must match the
+    differently-inflected query via shared stems. Exact parity vs the
+    pure oracle incl. ES-captured golden stems is asserted in
+    tests/test_german_analyzer.py; driver does a rows-only check."""
+    from ..config import german_analyzer
+    from ..oracle import pure
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"\btable\b", "Tabellen"),
+                r"\bmerge\b", "Zusammenführungen"),
+            r"\bwindow\b", "Fenstern").alias("text"),
+    )
+    cfg = german_analyzer()
+    tf = doc_term_freqs(docs, text_col="text", id_col="doc_id", cfg=cfg)
+    terms = pure.analyze("Tabelle Zusammenführung Fenster", cfg)
+    scores = bm25_scores(tf, terms)
+    cand = scores.select("doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)
 
 
 def _field_ctes(expr: str, p: str) -> str:

@@ -32,6 +32,10 @@ def analyze(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
         return []
     if cfg.mode == "news":
         return _analyze_news(text, cfg)
+    if cfg.mode == "german":
+        from ..functions.german import analyze_german
+
+        return analyze_german(text, cfg.stopwords)
     s = _CAMEL.sub(" ", text)
     s = _ACRONYM.sub(" ", s)
     s = s.lower()

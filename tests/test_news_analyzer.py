@@ -97,3 +97,34 @@ def test_news_bm25_end_to_end(spark, sf_tiny, tmp_path):
             assert [r["doc_id"] for r in got] == [d_ for d_, _ in expected]
             for r, (_, s) in zip(got, expected):
                 assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_stem_invariant_gate_terms(spark, sf_tiny):
+    """Guards the ft_bm25_topk_news_stem oracle assumption over the REAL
+    test corpus vocabulary: each gate query term t is a Porter fixed point
+    and nothing else in the vocabulary stems to t, and the corpus has no
+    apostrophes (so the SQL tokenizer reduction holds). If testdata ever
+    drifts, this fails loudly in pytest instead of silently in the driver."""
+    import re
+    from collections import defaultdict
+
+    from newssearchengine_spark.config import ENGLISH_NLTK_STOPWORDS
+    from newssearchengine_spark.functions.porter import stem
+    from newssearchengine_spark.gate.fulltext import _NEWS_STEM_TERMS
+
+    rows = spark.read.parquet(f"{sf_tiny}/documents.parquet") \
+        .select("text").collect()
+    word_re = re.compile(r"[A-Za-z0-9]+(?:['’][A-Za-z0-9]+)*")
+    vocab = set()
+    for r in rows:
+        assert "'" not in r["text"] and "’" not in r["text"]
+        for w in word_re.findall(r["text"]):
+            w = w.lower()
+            if w not in ENGLISH_NLTK_STOPWORDS:
+                vocab.add(w)
+    pre = defaultdict(set)
+    for w in vocab:
+        pre[stem(w)].add(w)
+    for t in _NEWS_STEM_TERMS:
+        assert stem(t) == t, t
+        assert pre.get(t, set()) <= {t}, (t, pre.get(t))
