@@ -309,6 +309,130 @@ def ex_ranking_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_SPLIT = 4  # queries 0..3 train the ranker; 4..7 are re-ranked
+
+_LTR_FEATS = [("bm25", "bm25"), ("cos", "cos"), ("doc_len", "doc_len"),
+              ("later", "later")]
+
+
+def _ltr_sql() -> str:
+    m = {f: f"avg({f})" for f, _ in _LTR_FEATS}
+    s = {f: f"stddev_pop({f})" for f, _ in _LTR_FEATS}
+    stats_cols = ", ".join(f"{m[f]} AS m_{f}, {s[f]} AS s_{f}"
+                           for f, _ in _LTR_FEATS)
+    z = {f: f"coalesce(({f} - st.m_{f}) / nullif(st.s_{f}, 0), 0)"
+         for f, _ in _LTR_FEATS}
+    w_cols = ", ".join(
+        f"avg(CASE WHEN label = 1 THEN {z[f]} END)"
+        f" - avg(CASE WHEN label = 0 THEN {z[f]} END) AS w_{f}"
+        for f, _ in _LTR_FEATS
+    )
+    rr = " + ".join(f"w.w_{f} * {z[f]}" for f, _ in _LTR_FEATS)
+    return f"""WITH {_EXP_CTES},
+feats AS (
+  SELECT t.query_id, t.doc_id, t.score AS bm25,
+         round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                      ed.embedding::DOUBLE[]), 6) AS cos,
+         d.n_chars::DOUBLE AS doc_len,
+         (t.doc_id > t.query_id)::INT::DOUBLE AS later,
+         CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM topk t
+  LEFT JOIN judged j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+  JOIN embeddings eq ON eq.vec_id = t.query_id
+  JOIN embeddings ed ON ed.vec_id = t.doc_id
+  JOIN documents d ON d.doc_id = t.doc_id
+),
+st AS (SELECT {stats_cols} FROM feats WHERE query_id < {TRAIN_SPLIT}),
+w AS (SELECT {w_cols} FROM feats CROSS JOIN st WHERE query_id < {TRAIN_SPLIT}),
+scored AS (
+  SELECT query_id, doc_id, round({rr}, 6) AS score
+  FROM feats CROSS JOIN st CROSS JOIN w
+  WHERE query_id >= {TRAIN_SPLIT}
+)
+SELECT query_id,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored"""
+
+
+@gate_query("ex_ltr_rerank", _ltr_sql())
+def ex_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the LTR loop (SURVEY M3 / ranking.py:302-357): retrieval ->
+    features -> ranker fit on the train query split -> argsort re-rank of
+    the test queries. The ranker is a deterministic class-centroid linear
+    discriminant (Rocchio-style): features z-scored with train-split
+    stats, weight per feature = mean(z | relevant) - mean(z | not),
+    score = w . z — the closed-form stand-in for LGBMRanker (no lightgbm
+    in this environment; the fit is pure aggregation, so it runs
+    IN-PLAN, distributed, with no driver-side collect at all, and is
+    exactly SQL-expressible for the oracle). Labels come from the judged
+    pairs, features are [bm25, cosine, doc_len, later_flag]
+    (ranking.py:30-60)."""
+    tf = _tf_df(spark, sf_dir)
+    kw = _query_keywords(tf)
+    topk = multi_query_bm25(tf, kw, RETRIEVAL_K)
+    judged = _judged(spark, sf_dir).withColumn("label", F.lit(1))
+    from ..operators.similarity import as_double, cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    eq = emb.select(F.col("vec_id").alias("query_id"),
+                    as_double(F.col("embedding")).alias("qv"))
+    ed = emb.select(F.col("vec_id").alias("doc_id"),
+                    as_double(F.col("embedding")).alias("dv"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    feats = (
+        topk.join(judged, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(eq), "query_id")
+        .join(ed, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "query_id", "doc_id",
+            F.col("score").alias("bm25"),
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("cos"),
+            F.col("n_chars").cast("double").alias("doc_len"),
+            (F.col("doc_id") > F.col("query_id")).cast("int")
+            .cast("double").alias("later"),
+            F.coalesce(F.col("label"), F.lit(0)).alias("label"),
+        )
+    )
+    train = feats.filter(F.col("query_id") < TRAIN_SPLIT)
+    st = train.agg(*[
+        agg for f, _ in _LTR_FEATS
+        for agg in (F.avg(f).alias(f"m_{f}"),
+                    F.stddev_pop(f).alias(f"s_{f}"))
+    ])
+
+    def z(f):
+        return F.coalesce(
+            (F.col(f) - F.col(f"m_{f}"))
+            / F.nullif(F.col(f"s_{f}"), F.lit(0.0)),
+            F.lit(0.0),
+        )
+
+    w = train.crossJoin(F.broadcast(st)).agg(*[
+        (F.avg(F.when(F.col("label") == 1, z(f)))
+         - F.avg(F.when(F.col("label") == 0, z(f)))).alias(f"w_{f}")
+        for f, _ in _LTR_FEATS
+    ])
+    rr = None
+    for f, _ in _LTR_FEATS:
+        term = F.col(f"w_{f}") * z(f)
+        rr = term if rr is None else rr + term
+    scored = (
+        feats.filter(F.col("query_id") >= TRAIN_SPLIT)
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(w))
+        .select("query_id", "doc_id", F.round(rr, 6).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        "query_id",
+        (F.row_number().over(win) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )
+
+
 SEM_K = 20
 
 

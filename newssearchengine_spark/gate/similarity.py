@@ -32,10 +32,42 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_knn(load(spark, sf_dir, "embeddings"), QUERY_ID, K)
 
 
-_IVF_CTES = f"""cents AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec FROM embeddings
-  WHERE vec_id < {N_CELLS}
+KMEANS_ITERS = 3
+
+
+def _kmeans_ctes(n_cells: int, n_iters: int) -> str:
+    """Unrolled seeded spherical-k-means CTE chain, iteration-identical to
+    operators.similarity.kmeans_centroids: unit vectors, argmax-cosine
+    assignment rounded 9dp (lowest cell on ties), per-dimension mean of
+    assigned unit vectors, empty cells keep their previous centroid.
+    Exposes `cents` (final centroids) and `assign` (final assignment)."""
+    parts = [f"""unitv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS uv
+  FROM embeddings
 ),
+c0 AS (SELECT vec_id AS cell, uv AS cvec FROM unitv WHERE vec_id < {n_cells})"""]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY round(list_cosine_similarity(u.uv, c.cvec), 9) DESC,
+                      c.cell ASC) AS rn
+    FROM unitv u, c{p} c
+  ) WHERE rn = 1
+),
+e{i} AS (
+  SELECT a.cell, unnest(range(len(u.uv))) AS dim, unnest(u.uv) AS x
+  FROM unitv u JOIN a{i} a USING (vec_id)
+),
+g{i} AS (SELECT cell, dim, avg(x) AS m FROM e{i} GROUP BY 1, 2),
+n{i} AS (SELECT cell, list(m ORDER BY dim) AS nv FROM g{i} GROUP BY cell),
+c{i} AS (SELECT c.cell, coalesce(n.nv, c.cvec) AS cvec
+         FROM c{p} c LEFT JOIN n{i} n USING (cell))""")
+    parts.append(f"""cents AS (SELECT cell, cvec FROM c{n_iters}),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
@@ -45,7 +77,11 @@ assign AS (
                       c.cell ASC) AS rn
     FROM embeddings e, cents c
   ) WHERE rn = 1
-)"""
+)""")
+    return ",\n".join(parts)
+
+
+_IVF_CTES = _kmeans_ctes(N_CELLS, KMEANS_ITERS)
 
 
 @gate_query(
@@ -53,8 +89,11 @@ assign AS (
     f"WITH {_IVF_CTES} SELECT vec_id, cell FROM assign",
 )
 def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell assignment (build-side of the ANN scale path)."""
-    return S.ivf_assign(load(spark, sf_dir, "embeddings"), N_CELLS)
+    """IVF cell assignment over deterministic seeded-k-means centroids
+    (build-side of the ANN scale path). The oracle unrolls the identical
+    Lloyd iterations in SQL."""
+    return S.ivf_assign(load(spark, sf_dir, "embeddings"), N_CELLS,
+                        kmeans_iters=KMEANS_ITERS)
 
 
 @gate_query(
@@ -80,6 +119,8 @@ SELECT (row_number() OVER (ORDER BY cos DESC, vec_id ASC) - 1)::BIGINT AS rank,
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {K}""",
 )
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat probe search: exact within the nprobe nearest cells."""
+    """IVF-Flat probe search over k-means centroids: exact within the
+    nprobe nearest cells."""
     return S.ivf_knn(load(spark, sf_dir, "embeddings"), QUERY_ID, K,
-                     n_cells=N_CELLS, nprobe=NPROBE)
+                     n_cells=N_CELLS, nprobe=NPROBE,
+                     kmeans_iters=KMEANS_ITERS)

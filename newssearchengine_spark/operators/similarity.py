@@ -72,18 +72,79 @@ def brute_force_knn(emb: DataFrame, query_id: int, k: int,
     )
 
 
-def ivf_assign(emb: DataFrame, n_cells: int, *, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its max-cosine centroid (centroids = the
-    vectors with id < n_cells; ties -> lowest centroid id).
-    Returns (vec_id, cell)."""
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("cvec")
+def derive_n_cells(n_vectors: int) -> int:
+    """Corpus-scaled cell count: the classic IVF heuristic ~sqrt(N)
+    (cells ~ probe cost balance point). 10^12 vectors -> ~10^6 cells."""
+    import math
+
+    return max(1, int(round(math.sqrt(max(0, n_vectors)))))
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
+                     *, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic spherical k-means centroids: (cell bigint,
+    cvec array<double>).
+
+    Seeded Lloyd iterations, fully reproducible on both engines (the
+    DuckDB oracle unrolls the identical iterations in SQL):
+      init      centroids = unit vectors of the n_cells lowest vec_ids
+      assign    argmax cosine, rounded 9dp, ties -> lowest cell
+      update    per-dimension MEAN of the assigned UNIT vectors
+                (spherical k-means; cosine is scale-invariant so the mean
+                need not be renormalized); empty cells keep their
+                previous centroid
+    Each iteration is one distributed assign + one aggregation; the tiny
+    (n_cells x dim) centroid table is collected and re-broadcast per
+    iteration — exactly the production shape at 10^12 vectors, where
+    centroids are the only driver-sized state.
+    """
+    spark = emb.sparkSession
+    uv_df = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .select("vec_id",
+                F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("uv"))
+        .persist()
     )
-    scored = emb.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
-    ).crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", F.round(cosine(F.col("v"), F.col("cvec")), 9).alias("ccos")
+    cents = uv_df.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("uv").alias("cvec")
+    )
+    for _ in range(n_iters):
+        a = _argmax_cell(uv_df.select("vec_id", F.col("uv").alias("v")), cents)
+        exploded = (
+            uv_df.join(a, "vec_id")
+            .select("cell", F.posexplode("uv"))
+            .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+        )
+        means = (
+            exploded.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("nv"))
+        )
+        nxt = cents.join(means, "cell", "left").select(
+            "cell", F.coalesce("nv", "cvec").alias("cvec")
+        )
+        rows = nxt.collect()  # n_cells x dim: tiny, re-broadcast next round
+        cents = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows],
+            "cell bigint, cvec array<double>",
+        )
+    uv_df.unpersist()
+    return cents
+
+
+def _argmax_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v) x (cell, cvec) -> (vec_id, cell): max-cosine cell,
+    cosine rounded 9dp so cross-engine float noise cannot flip the
+    argmax, ties -> lowest cell."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell",
+        F.round(cosine(F.col("v"), F.col("cvec")), 9).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     return (
@@ -93,13 +154,50 @@ def ivf_assign(emb: DataFrame, n_cells: int, *, id_col: str = "vec_id",
     )
 
 
-def ivf_save(emb: DataFrame, index_dir: str, *, n_cells: int = 16,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+def ivf_assign(emb: DataFrame, n_cells: int | None, *,
+               centroids: DataFrame | None = None,
+               kmeans_iters: int = 0,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its max-cosine centroid. Returns
+    (vec_id, cell).
+
+    centroids: (cell, cvec) table; if None, uses seeded k-means
+    (kmeans_iters > 0) or the raw low-id seed vectors (kmeans_iters == 0,
+    the degenerate init). n_cells=None derives ~sqrt(N) from the corpus.
+    """
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    if centroids is None:
+        if kmeans_iters > 0:
+            centroids = kmeans_centroids(emb, n_cells, kmeans_iters,
+                                         id_col=id_col, vec_col=vec_col)
+        else:
+            centroids = emb.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+    vecs = emb.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("v"))
+    return _argmax_cell(vecs, centroids)
+
+
+def ivf_save(emb: DataFrame, index_dir: str, *, n_cells: int | None = 16,
+             kmeans_iters: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> None:
     """Persist an IVF index: vectors partitioned by cell + a centroids table
     (the reference's save_index/load_index, pyw_hnswlib.py:48-56 /
     vector_storage.py:24-30, as a build-once-query-many on-disk layout).
-    partitionBy(cell) makes probe queries partition-pruned scans."""
-    assign = ivf_assign(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    partitionBy(cell) makes probe queries partition-pruned scans.
+    Centroids come from seeded k-means (kmeans_iters Lloyd rounds);
+    n_cells=None derives ~sqrt(N) from the corpus size."""
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    cents = kmeans_centroids(emb, n_cells, kmeans_iters,
+                             id_col=id_col, vec_col=vec_col) \
+        if kmeans_iters > 0 else None
+    assign = ivf_assign(emb, n_cells, centroids=cents,
+                        id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("embedding"))
     (
@@ -107,9 +205,13 @@ def ivf_save(emb: DataFrame, index_dir: str, *, n_cells: int = 16,
         .write.mode("overwrite").partitionBy("cell")
         .parquet(f"{index_dir}/cells")
     )
+    if cents is None:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
     (
-        emb.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+        cents.select("cell", F.col("cvec").alias("centroid"))
         .write.mode("overwrite").parquet(f"{index_dir}/centroids")
     )
 
@@ -140,18 +242,31 @@ def ivf_load_knn(spark, index_dir: str, query_vec: list[float], k: int,
     )
 
 
-def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int = 16,
-            nprobe: int = 2, id_col: str = "vec_id",
+def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int | None = 16,
+            nprobe: int = 2, kmeans_iters: int = 0,
+            centroids: DataFrame | None = None, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """IVF-Flat: probe the nprobe cells whose centroids are nearest the
     query, exact cosine within them. Returns (rank, vec_id, cos) —
-    approximate overall (recall < 1 vs brute force), exact within cells."""
-    assign = ivf_assign(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    approximate overall (recall < 1 vs brute force), exact within cells.
+    kmeans_iters > 0 uses seeded-k-means centroids (the real quality
+    path); 0 keeps the degenerate low-id seed centroids."""
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    cents = centroids
+    if cents is None:
+        if kmeans_iters > 0:
+            cents = kmeans_centroids(emb, n_cells, kmeans_iters,
+                                     id_col=id_col, vec_col=vec_col)
+        else:
+            cents = emb.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+    assign = ivf_assign(emb, n_cells, centroids=cents,
+                        id_col=id_col, vec_col=vec_col)
     q = emb.filter(F.col(id_col) == query_id).select(
         as_double(F.col(vec_col)).alias("qvec")
-    )
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), as_double(F.col(vec_col)).alias("cvec")
     )
     probe = (
         cents.crossJoin(F.broadcast(q))

@@ -167,8 +167,10 @@ def test_ivf_save_load_prunes_partitions(spark, emb, tmp_path):
     got = S.ivf_load_knn(spark, d, qvec, 10, nprobe=2).collect()
     # persisted-index results == in-memory ivf results (minus the self hit,
     # which ivf_knn drops but a raw-vector query keeps)
+    # ivf_save defaults to k-means centroids: compare against the same
     mem = {r["vec_id"]: r["cos"]
-           for r in S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=2).collect()}
+           for r in S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=2,
+                              kmeans_iters=3).collect()}
     for r in got:
         if r["vec_id"] == 0:
             continue
@@ -204,3 +206,35 @@ def test_frame_sample_reassembles_and_samples(spark, docs):
         expect = b[r["frame_idx"] * 64:(r["frame_idx"] + 1) * 64]
         assert bytes(r["frame"]) == expect
         assert r["head_hex"] == expect[:4].hex().upper()
+
+
+def test_ivf_kmeans_recall_and_determinism(spark, sf_tiny):
+    """Seeded k-means IVF: centroids are bit-reproducible run-to-run,
+    n_cells derives ~sqrt(N) from corpus size, and recall@10 vs brute
+    force averages >= 0.9 over the fixture queries (nprobe=5 of 22 cells
+    on near-uniform random embeddings — the adversarial case for IVF;
+    clustered real embeddings do better)."""
+    from newssearchengine_spark.operators.similarity import (
+        brute_force_knn, derive_n_cells, ivf_knn, kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet").persist()
+    n = emb.count()
+    nc = derive_n_cells(n)
+    assert nc == round(n ** 0.5)
+    assert derive_n_cells(10 ** 12) == 10 ** 6
+
+    c1 = kmeans_centroids(emb, nc, 3)
+    c2 = kmeans_centroids(emb, nc, 3)
+    assert sorted(map(tuple, ((r["cell"], tuple(r["cvec"])) for r in c1.collect()))) \
+        == sorted(map(tuple, ((r["cell"], tuple(r["cvec"])) for r in c2.collect())))
+    c1 = c1.persist()
+    c1.count()
+
+    recalls = []
+    for qid in range(8):
+        bf = {r["vec_id"] for r in brute_force_knn(emb, qid, 10).collect()}
+        iv = {r["vec_id"] for r in ivf_knn(emb, qid, 10, n_cells=nc,
+                                           nprobe=5, centroids=c1).collect()}
+        recalls.append(len(bf & iv) / len(bf))
+    assert sum(recalls) / len(recalls) >= 0.9 - 1e-9, recalls
