@@ -63,7 +63,13 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     n_docs = docs.count()
 
-    # 1) index build throughput (files/sec) — the BASELINE.json metric
+    # 1) index build throughput (files/sec) — the BASELINE.json metric.
+    # Primary build stores positional postings (the complete index: phrase
+    # queries become index operations, like ES term_vector='yes'); the
+    # positions-free variant is timed separately for the pure-disjunction
+    # configuration.
+    import dataclasses
+
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     cfg = IndexConfig(
         n_buckets=16,
@@ -71,11 +77,18 @@ def main() -> None:
         analyzer=AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS),
         bm25=BM25Config(),
     )
+    nopos_dir = tempfile.mkdtemp(prefix="bench_idx_np_")
     try:
         timed("index_build",
               lambda: build_index(docs, idx_dir, cfg, text_col="text",
                                   id_col="doc_id", resume=False))
         extra["build_files_per_sec"] = round(n_docs / timings["index_build"], 2)
+        cfg_np = dataclasses.replace(cfg, with_positions=False)
+        timed("index_build_nopos",
+              lambda: build_index(docs, nopos_dir, cfg_np, text_col="text",
+                                  id_col="doc_id", resume=False))
+        extra["build_files_per_sec_nopos"] = round(
+            n_docs / timings["index_build_nopos"], 2)
 
         # 2) BM25 query latency over the prebuilt index (warm engine)
         si = SegmentIndex(spark, idx_dir).warm()
@@ -100,12 +113,18 @@ def main() -> None:
         batch_sec = time.time() - t0
         timings["bm25_search_many_40q"] = round(batch_sec, 3)
         extra["bm25_batch_qps"] = round(len(many) / batch_sec, 2)
+
+        # indexed phrase query: positional-postings path, no corpus scan
+        timed("phrase_indexed_query",
+              lambda: si.search_phrase(["table", "scan"], 100).collect())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(nopos_dir, ignore_errors=True)
 
     # 3) one representative per operator family (gate implementations)
-    for name in ("ft_bm25_topk", "ex_recall_at_k", "dd_minhash_lsh",
-                 "sim_knn_bruteforce", "tx_quality", "rel_topk_per_group",
+    for name in ("ft_bm25_topk", "ex_recall_at_k", "ex_ltr_rerank",
+                 "dd_minhash_lsh", "sim_knn_bruteforce", "sim_ivf_knn",
+                 "tx_quality", "rel_topk_per_group",
                  "rel_sessionize", "dd_exact"):
         fn = REGISTRY[name].fn
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())

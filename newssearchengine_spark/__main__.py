@@ -44,12 +44,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--doc-range", type=int, default=1 << 20)
     b.add_argument("--waves", type=int, default=1)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--no-positions", action="store_true",
+                   help="skip the positional sidecar (disables phrase search)")
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["taat", "wand"], default="taat")
+    s.add_argument("--phrase", action="store_true",
+                   help="match the query terms as a consecutive phrase "
+                        "(positional-index path)")
 
     m = sub.add_parser("merge", help="merge two indexes")
     m.add_argument("--index-a", required=True)
@@ -74,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.corpus import assign_doc_ids
 
             docs = assign_doc_ids(docs)
-        cfg = IndexConfig(n_buckets=a.n_buckets, doc_range=a.doc_range)
+        cfg = IndexConfig(n_buckets=a.n_buckets, doc_range=a.doc_range,
+                          with_positions=not a.no_positions)
         metrics = build_index(docs, a.index, cfg, resume=not a.no_resume,
                               n_waves=a.waves,
                               meta_cols=tuple(c for c in
@@ -86,7 +92,9 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _spark("nse-search")
         si = SegmentIndex(spark, a.index)
-        for row in si.search(a.query, a.k, mode=a.mode).collect():
+        out = (si.search_phrase(a.query, a.k) if a.phrase
+               else si.search(a.query, a.k, mode=a.mode))
+        for row in out.collect():
             print(f"{row['rank']}\t{row['doc_id']}\t{row['score']:.6f}")
     elif a.cmd == "merge":
         from .plans.merge import merge_indexes

@@ -309,6 +309,29 @@ def ex_ranking_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eval_metrics_sql() -> str:
+    from .registry import REGISTRY
+
+    recall = REGISTRY["ex_recall_at_k"].sql
+    ndcg = REGISTRY["ex_ndcg_at_k"].sql
+    return f"""SELECT r.avg_recall, r.min_recall, r.max_recall,
+       n.avg_ndcg, r.n_queries
+FROM ({recall}) r CROSS JOIN (SELECT avg_ndcg FROM ({ndcg})) n"""
+
+
+@gate_query("ex_eval_metrics", _eval_metrics_sql())
+def ex_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k and nDCG@10 over the batch retrieval in one row — the
+    full evaluation surface (keyword_match_recall.py:51-72 +
+    ranking.py:309 eval_at) hash-checked in one driver window slot; the
+    single-metric entries stay registered for direct use."""
+    r = ex_recall_at_k(spark, sf_dir)
+    n = ex_ndcg_at_k(spark, sf_dir).select("avg_ndcg")
+    return r.crossJoin(n).select(
+        "avg_recall", "min_recall", "max_recall", "avg_ndcg", "n_queries"
+    )
+
+
 TRAIN_SPLIT = 4  # queries 0..3 train the ranker; 4..7 are re-ranked
 
 _LTR_FEATS = [("bm25", "bm25"), ("cos", "cos"), ("doc_len", "doc_len"),

@@ -499,19 +499,34 @@ SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
-@gate_query("ft_phrase_bm25", _phrase_sql(_PHRASE, TOP_K))
+def _phrase_dual_sql(phrase: list[str], k: int) -> str:
+    base = _phrase_sql(phrase, k)
+    return f"""SELECT 'indexed' AS path, * FROM ({base})
+UNION ALL
+SELECT 'taat' AS path, * FROM ({base})"""
+
+
+@gate_query("ft_phrase_bm25", _phrase_dual_sql(_PHRASE, TOP_K))
 def ft_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase retrieval (ES match_phrase surface): docs where the analyzed
-    phrase terms appear consecutively, BM25-scored with tf = occurrence
-    count, df = phrase doc frequency. Consecutive-position matching is
-    pure higher-order Catalyst (sequence/filter/element_at) — codegen'd,
-    no Python, no positional index needed on the compositional path."""
+    """Phrase retrieval (ES match_phrase surface) through BOTH engine
+    paths, labeled and unioned so one hash check proves each matches the
+    oracle AND the other: 'taat' = compositional higher-order Catalyst
+    matching (sequence/filter/element_at, codegen'd, no index needed);
+    'indexed' = consecutive-position matching over the positional
+    postings sidecar (no corpus re-scan — the 10^12-file path)."""
     from ..operators.bm25 import phrase_bm25_topk
 
     docs = load(spark, sf_dir, "documents")
-    out = phrase_bm25_topk(docs, _PHRASE, TOP_K, text_col="text",
-                           id_col="doc_id", analyzer=DOCS_ANALYZER)
-    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+    taat = phrase_bm25_topk(docs, _PHRASE, TOP_K, text_col="text",
+                            id_col="doc_id", analyzer=DOCS_ANALYZER).select(
+        F.lit("taat").alias("path"),
+        "rank", "doc_id", F.round("score", 6).alias("score"),
+    )
+    si = _gate_index(spark, sf_dir)
+    idxp = _rounded_topk(
+        si.search_phrase(_PHRASE, TOP_K).select("doc_id", "score"), TOP_K
+    ).select(F.lit("indexed").alias("path"), "rank", "doc_id", "score")
+    return idxp.unionByName(taat)
 
 
 @gate_query("ft_phrase_bm25_indexed", _phrase_sql(_PHRASE, TOP_K))
@@ -760,3 +775,33 @@ def ft_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("score", 6).alias("score")
     )
     return _rounded_topk(cand, TOP_K)
+
+
+def _expansion_sql() -> str:
+    from .registry import REGISTRY
+
+    return "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS qtype, * FROM ({REGISTRY[name].sql})"
+        for label, name in (("prefix", "ft_prefix_bm25"),
+                            ("fuzzy", "ft_fuzzy_bm25"),
+                            ("wildcard", "ft_wildcard_bm25"))
+    )
+
+
+@gate_query("ft_expansion_bm25", _expansion_sql())
+def ft_expansion_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole term-expansion query family (ES prefix / fuzzy /
+    wildcard, SURVEY P8) as one labeled union over the shared segment
+    index — one driver window slot hash-checks all three expansions
+    (dictionary scan order df desc, ES-style max_expansions caps).
+    The single-family entries stay registered for direct use."""
+    parts = []
+    for label, fn in (("prefix", ft_prefix_bm25),
+                      ("fuzzy", ft_fuzzy_bm25),
+                      ("wildcard", ft_wildcard_bm25)):
+        parts.append(fn(spark, sf_dir).select(
+            F.lit(label).alias("qtype"), "rank", "doc_id", "score"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -120,7 +120,9 @@ def rel_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
               count(*)::BIGINT AS n,
               round(avg(c_acctbal), 4) AS avg_bal,
               round(min(c_acctbal), 2) AS min_bal,
-              round(max(c_acctbal), 2) AS max_bal
+              round(max(c_acctbal), 2) AS max_bal,
+              round(quantile_cont(c_acctbal, 0.5), 4) AS p50_bal,
+              round(quantile_cont(c_acctbal, 0.95), 4) AS p95_bal
 FROM customer GROUP BY c_mktsegment""",
 )
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +132,8 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 4).alias("p95_bal"),
     )
 
 
@@ -203,10 +207,17 @@ def rel_date_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
               count(*)::BIGINT AS n,
               round(sum(o_totalprice), 2) AS value
-FROM orders GROUP BY 1""",
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY 1""",
 )
 def rel_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    """Date-truncated histogram behind a timestamp-compare predicate (P9 —
+    the date filter is pushed to the parquet scan; the join-form compare
+    stays covered by rel_date_predicate)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
     return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("value"),
@@ -272,6 +283,46 @@ def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.intersect(b)
+
+
+# --- U1-U4 combined: one labeled relation covering anti-join union AND
+# intersect, so the whole set-op family is hash-checked in one driver
+# window slot (rel_anti_union / rel_intersect stay registered singly) -----
+@gate_query(
+    "rel_set_ops",
+    """WITH a AS (SELECT o_orderkey, 'price' AS src FROM orders WHERE o_totalprice > 250000),
+     b AS (SELECT o_orderkey, 'prio' AS src FROM orders WHERE o_orderpriority = '1-URGENT'),
+     au AS (SELECT * FROM a
+            UNION ALL
+            SELECT * FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)),
+     ix AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+SELECT 'anti_union' AS op, o_orderkey AS key, src FROM au
+UNION ALL
+SELECT 'intersect' AS op, o_custkey AS key, '' AS src FROM ix""",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-source-wins union (keyword ∪ ANN dedup, ranking.py:112-120)
+    and relational intersect, emitted as one labeled relation."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", F.lit("price").alias("src")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("prio").alias("src")
+    )
+    au = a.unionByName(b.join(a, "o_orderkey", "left_anti")).select(
+        F.lit("anti_union").alias("op"),
+        F.col("o_orderkey").alias("key"), "src",
+    )
+    ia = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ib = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    ix = ia.intersect(ib).select(
+        F.lit("intersect").alias("op"),
+        F.col("o_custkey").alias("key"), F.lit("").alias("src"),
+    )
+    return au.unionByName(ix)
 
 
 # --- Sessionization (events): lag + gap cumsum window pattern ------------

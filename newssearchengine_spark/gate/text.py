@@ -136,6 +136,47 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HL_TERMS = ["table", "merge"]
 
 
+def _profile_sql() -> str:
+    """One wide doc-profile row joining all four text-analysis families —
+    lets the driver hash-check lang-id + quality + token counts +
+    fingerprints in a single window slot (the single-family entries stay
+    registered for direct use)."""
+    from .registry import REGISTRY
+
+    lang = REGISTRY["tx_lang_id"].sql
+    qual = REGISTRY["tx_quality"].sql
+    tok = REGISTRY["tx_token_counts"].sql
+    fp = REGISTRY["tx_fingerprints"].sql
+    return f"""SELECT l.doc_id, l.pred_lang, l.hits,
+       q.n_chars, q.n_tokens, q.mean_token_len, q.punct_ratio,
+       q.stopword_ratio, q.quality,
+       t.n_ws_tokens, t.n_bpeish_tokens,
+       f.fp_content, f.fp_tokenset
+FROM ({lang}) l
+JOIN ({qual}) q ON q.doc_id = l.doc_id
+JOIN ({tok}) t ON t.doc_id = l.doc_id
+JOIN ({fp}) f ON f.doc_id = l.doc_id"""
+
+
+@gate_query("tx_profile", _profile_sql())
+def tx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined text-analysis profile per document: language-ID, quality
+    scoring, token counting, and fingerprints joined on doc_id (SURVEY
+    LLM-pipeline text ops, all pure Catalyst)."""
+    docs = load(spark, sf_dir, "documents")
+    out = (
+        T.lang_id(docs)
+        .join(T.quality_features(docs), "doc_id")
+        .join(T.token_counts(docs), "doc_id")
+        .join(T.fingerprints(docs), "doc_id")
+    )
+    return out.select(
+        "doc_id", "pred_lang", "hits", "n_chars", "n_tokens",
+        "mean_token_len", "punct_ratio", "stopword_ratio", "quality",
+        "n_ws_tokens", "n_bpeish_tokens", "fp_content", "fp_tokenset",
+    )
+
+
 @gate_query(
     "tx_highlight",
     r"""SELECT doc_id,

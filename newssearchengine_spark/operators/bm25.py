@@ -270,17 +270,18 @@ def phrase_bm25_topk(
 
     bm25 = bm25 or BM25Config()
 
-    def occ_plan():
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
-            analyze_expr(F.col(text_col), analyzer).alias("toks"),
-        ).select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            phrase_occurrences(F.col("toks"), list(phrase)).alias("occ"),
-        ).filter(F.col("dl") > 0)
+    # One tokenize pass: the occ relation is persisted and shared by the
+    # stats action and the scoring plan (previously two full corpus scans).
+    occ_rel = docs.select(
+        F.col(id_col).alias("doc_id"),
+        analyze_expr(F.col(text_col), analyzer).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        phrase_occurrences(F.col("toks"), list(phrase)).alias("occ"),
+    ).filter(F.col("dl") > 0).persist()
 
-    stats = occ_plan().agg(
+    stats = occ_rel.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.count(F.when(F.col("occ") > 0, 1)).alias("df_phrase"),
@@ -289,6 +290,7 @@ def phrase_bm25_topk(
     avgdl = float(stats["avgdl"] or 0.0)
     dfp = float(stats["df_phrase"] or 0)
     if dfp == 0:
+        occ_rel.unpersist()
         return docs.sparkSession.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
@@ -296,7 +298,7 @@ def phrase_bm25_topk(
     idf = F.lit(float(np_log1p((n_docs - dfp + 0.5) / (dfp + 0.5))))
     # Rounded 6dp before the top-k cut (determinism contract: rank on the
     # rounded score so <1e-6 cross-engine noise cannot flip order).
-    scored = occ_plan().filter(F.col("occ") > 0).select(
+    scored = occ_rel.filter(F.col("occ") > 0).select(
         "doc_id",
         F.round(
             idf * (F.col("occ") * (k1 + 1.0))
@@ -351,7 +353,10 @@ def bool_bm25_topk(
     bm25 = bm25 or BM25Config()
     spark = docs.sparkSession
 
-    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=analyzer)
+    # One tokenize pass: tf is persisted and shared by the stats action,
+    # the scoring branch, the must-count branch, and the must_not branch.
+    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col,
+                        cfg=analyzer).persist()
     stats = corpus_stats(tf).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     k1, b = bm25.k1, bm25.b
@@ -425,14 +430,25 @@ def significant_terms(
     terms = sorted(set(query_terms))
     qdf = spark.createDataFrame([(t,) for t in terms], "term string")
 
-    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col, cfg=analyzer)
+    # One tokenize pass + ONE stats action (was: three derivations of the
+    # tf relation and two separate .count() jobs): tf is persisted, both
+    # corpus sizes come from a single aggregate, and the fg/bg df branches
+    # reuse the cache.
+    tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col,
+                        cfg=analyzer).persist()
+    row = tf.agg(
+        F.countDistinct("doc_id").alias("bg_n"),
+        F.countDistinct(
+            F.when(F.col("term").isin(terms), F.col("doc_id"))
+        ).alias("fg_n"),
+    ).collect()[0]
+    bg_n, fg_n = float(row["bg_n"]), float(row["fg_n"])
     fg_docs = (
         tf.join(F.broadcast(qdf), "term")
         .select("doc_id").distinct()
     )
-    bg_n = float(tf.select("doc_id").distinct().count())
-    fg_n = float(fg_docs.count())
     if fg_n == 0:
+        tf.unpersist()
         return spark.createDataFrame(
             [], "rank bigint, term string, fg_df bigint, "
                 "bg_df bigint, score double"

@@ -380,6 +380,72 @@ class SegmentIndex:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
 
+    def search_phrase_prefix(self, phrase, k: int, *,
+                             max_expansions: int = 50) -> DataFrame:
+        """ES match_phrase_prefix: the last phrase term is treated as a
+        PREFIX, expanded against the term dictionary (bounded by
+        max_expansions like ES), and a doc matches where the fixed terms
+        appear consecutively followed by ANY expansion. Scored like
+        search_phrase with tf = total such occurrences. Runs on the
+        positional index — same pruned-scan plan as search_phrase with the
+        expansions unioned into the last position's posting set."""
+        if not self.stats.get("with_positions"):
+            raise ValueError(
+                "index was built with with_positions=False; phrase search "
+                "needs the positional sidecar (IndexConfig.with_positions)"
+            )
+        terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        if not terms:
+            return empty
+        fixed, last = terms[:-1], terms[-1]
+        alts = self.expand_prefix(last, max_expansions)
+        if not alts:
+            return empty
+        if fixed:
+            dfs = self.term_dfs(sorted(set(fixed)))
+            if any(dfs.get(t, 0) == 0 for t in set(fixed)):
+                return empty
+        scan_terms = sorted(set(fixed) | set(alts))
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(scan_terms))
+            .select("doc_part", "term", "docs", "tfs", "dls", "positions")
+        )
+        matcher = _make_phrase_matcher(list(fixed) + [last],
+                                       last_alts=list(alts))
+        cand = seg.groupBy("doc_part").applyInPandas(
+            matcher, "doc_id bigint, occ bigint, dl bigint"
+        ).persist()
+        dfp = float(cand.count())
+        if dfp == 0:
+            cand.unpersist()
+            return empty
+        idf = float(np.log1p((n_docs - dfp + 0.5) / (dfp + 0.5)))
+        scored = cand.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * (F.col("occ") * (k1 + 1.0))
+                / (F.col("occ")
+                   + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+                6,
+            ).alias("score"),
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
         Spark job. `queries` maps query_id -> raw text or term list.
@@ -442,7 +508,7 @@ class SegmentIndex:
         )
 
 
-def _make_phrase_matcher(phrase: list[str]):
+def _make_phrase_matcher(phrase: list[str], last_alts: list[str] | None = None):
     """Per-doc_part phrase-occurrence counter for applyInPandas.
 
     Decodes each phrase term's postings + positions ONCE, then counts
@@ -452,6 +518,10 @@ def _make_phrase_matcher(phrase: list[str]):
     keys (local index, not raw doc_id, so the packing never overflows at
     10^12-doc scale; both factors are bounded by doc_range / doc length).
     Emits (doc_id, occ, dl) for docs containing the whole phrase.
+
+    last_alts: match_phrase_prefix support — the LAST position matches any
+    of these terms instead of phrase[-1] (their position sets are disjoint
+    unions: one token per position, so concatenation is exact).
     """
     POS_BITS = 33  # positions < 2^33 per doc; local doc index < 2^30
 
@@ -466,20 +536,46 @@ def _make_phrase_matcher(phrase: list[str]):
             ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
             flat = decode_positions(row.positions or b"", tfs)
             dec[row.term] = (ids, tfs, dls, flat)
-        if any(t not in dec for t in phrase):
-            return empty  # some phrase term absent from this doc range
-        # compact local doc index shared by all terms in the group
-        all_ids = np.unique(np.concatenate([dec[t][0] for t in set(phrase)]))
+        fixed = phrase[:-1] if last_alts is not None else phrase
+        alts = ([t for t in last_alts if t in dec]
+                if last_alts is not None else None)
+        if any(t not in dec for t in fixed) or (alts is not None and not alts):
+            return empty  # a required term absent from this doc range
+        present = set(fixed) | set(alts or ([phrase[-1]]
+                                            if last_alts is None else []))
+        all_ids = np.unique(np.concatenate([dec[t][0] for t in present]))
         keys = {}
-        for t in set(phrase):
+        for t in present:
             ids, tfs, _, flat = dec[t]
             loc = np.searchsorted(all_ids, ids)
             keys[t] = (np.repeat(loc, tfs) << POS_BITS) + flat
-        ids0, tfs0, dls0, _ = dec[phrase[0]]
-        k0 = keys[phrase[0]]
+
+        if not fixed:
+            # pure-prefix single-position phrase: occ = total positions of
+            # any alternative per doc
+            id_parts = [np.repeat(dec[t][0], dec[t][1]) for t in alts]
+            rep_ids = np.concatenate(id_parts)
+            uniq, counts = np.unique(rep_ids, return_counts=True)
+            dl_map = {}
+            for t in alts:
+                ids_t, _, dls_t, _ = dec[t]
+                for d, l in zip(ids_t.tolist(), dls_t.tolist()):
+                    dl_map.setdefault(d, l)
+            return pd.DataFrame({
+                "doc_id": uniq,
+                "occ": counts.astype(np.int64),
+                "dl": np.array([dl_map[int(d)] for d in uniq], dtype=np.int64),
+            })
+
+        ids0, tfs0, dls0, _ = dec[fixed[0]]
+        k0 = keys[fixed[0]]
         mask = np.ones(k0.size, dtype=bool)
-        for j, t in enumerate(phrase[1:], start=1):
+        for j, t in enumerate(fixed[1:], start=1):
             mask &= np.isin(k0 + j, keys[t])
+        if alts is not None:
+            last_j = len(fixed)
+            last_keys = np.concatenate([keys[t] for t in alts])
+            mask &= np.isin(k0 + last_j, last_keys)
         if not mask.any():
             return empty
         occ = np.zeros(ids0.size, dtype=np.int64)

@@ -120,3 +120,58 @@ def test_multi_query_batch_prunes_buckets(spark, tmp_path):
     p = plan(q)
     assert "PartitionFilters" in p and "bucket" in p
     assert "PushedFilters" in p and "In(term" in p
+
+
+def _live_parquet_scans(p: str) -> int:
+    """Count 'Scan parquet' nodes NOT inside an InMemoryRelation lineage
+    printout (a cached relation prints the plan that BUILT it, scans
+    included, but never re-executes it). Subtree membership is decided by
+    indentation: a scan is cached iff an InMemoryRelation line above it is
+    still 'open' (no subsequent line at indent <= the relation's)."""
+    def indent(ln: str) -> int:
+        for i, ch in enumerate(ln):
+            if ch.isalnum() or ch == '=':
+                return i
+        return len(ln)
+
+    live = 0
+    cache_stack: list[int] = []
+    for ln in p.splitlines():
+        if not ln.strip():
+            continue
+        ind = indent(ln)
+        while cache_stack and ind <= cache_stack[-1]:
+            cache_stack.pop()
+        if "InMemoryRelation" in ln:
+            cache_stack.append(ind)
+        elif "Scan parquet" in ln and not cache_stack:
+            live += 1
+    return live
+
+
+def test_hot_ops_single_corpus_scan(spark, sf_tiny):
+    """significant_terms / bool_bm25_topk / phrase_bm25_topk persist their
+    tokenized relation: after the internal stats action, the RETURNED plan
+    reads the cache (InMemoryTableScan) and performs ZERO live scans of
+    the documents parquet — one total tokenize pass per op."""
+    from newssearchengine_spark.operators.bm25 import (
+        bool_bm25_topk, phrase_bm25_topk, significant_terms,
+    )
+
+    cfg = AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS)
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+
+    q1 = significant_terms(docs, ["table", "hash"], 10, text_col="text",
+                           analyzer=cfg)
+    q2 = bool_bm25_topk(docs, must=["table"], should=["hash"],
+                        must_not=["value"], k=10, text_col="text",
+                        analyzer=cfg)
+    q3 = phrase_bm25_topk(docs, ["table", "scan"], 10, text_col="text",
+                          analyzer=cfg)
+    for q in (q1, q2, q3):
+        p = plan(q, mode="simple")
+        assert "InMemoryTableScan" in p
+        assert _live_parquet_scans(p) == 0, p
+    # sanity: the helper DOES see a live scan on an uncached plan
+    assert _live_parquet_scans(
+        plan(docs.select("doc_id"), mode="simple")) == 1

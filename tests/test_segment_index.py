@@ -316,3 +316,42 @@ def test_phrase_needs_positions(spark, corpus, tmp_path):
     si = SegmentIndex(spark, d)
     with pytest.raises(ValueError, match="positions"):
         si.search_phrase(["node", "cursor"], 5)
+
+
+def test_phrase_prefix_matches_oracle(spark, corpus, index_dir, oracle):
+    """ES match_phrase_prefix semantics: fixed terms followed by ANY
+    dictionary expansion of the last-term prefix (df-desc order, capped),
+    scored like phrase BM25 — checked against a pure-Python recomputation."""
+    import math
+
+    oidx, raw = oracle
+    si = SegmentIndex(spark, index_dir)
+    for fixed, prefix, max_exp in ([["node"], "c", 5], [[], "cur", 3]):
+        cand = [(t, len(p)) for t, p in oidx.postings.items()
+                if t.startswith(prefix)]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        alts = {t for t, _ in cand[:max_exp]}
+        assert alts
+        toks = {d: pure.analyze(t, CFG.analyzer) for d, t in raw.items()}
+        occ = {}
+        for d, ts in toks.items():
+            n = 0
+            for i in range(len(ts) - len(fixed)):
+                if ts[i:i + len(fixed)] == fixed and ts[i + len(fixed)] in alts:
+                    n += 1
+            if n:
+                occ[d] = n
+        assert occ, "fixture must have phrase-prefix matches"
+        N, avgdl = oidx.n_docs, oidx.avgdl
+        dfp = len(occ)
+        idf = math.log1p((N - dfp + 0.5) / (dfp + 0.5))
+
+        def score(d):
+            o, dl = occ[d], len(toks[d])
+            return round(idf * o * 2.2 / (o + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+
+        expected = sorted(((d, score(d)) for d in occ),
+                          key=lambda x: (-x[1], x[0]))[:20]
+        got = si.search_phrase_prefix(fixed + [prefix], 20,
+                                      max_expansions=max_exp).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == expected
