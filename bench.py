@@ -78,7 +78,14 @@ def main() -> None:
         bm25=BM25Config(),
     )
     nopos_dir = tempfile.mkdtemp(prefix="bench_idx_np_")
+    warm_dir = tempfile.mkdtemp(prefix="bench_idx_warm_")
     try:
+        # warm the JVM JIT + Python/Arrow workers on a 50-doc build so the
+        # timed runs measure the engine, not process startup (at real scale
+        # startup is amortized; in this one-shot harness it would dominate)
+        build_index(docs.limit(50), warm_dir, cfg, text_col="text",
+                    id_col="doc_id", resume=False)
+        shutil.rmtree(warm_dir, ignore_errors=True)
         timed("index_build",
               lambda: build_index(docs, idx_dir, cfg, text_col="text",
                                   id_col="doc_id", resume=False))

@@ -380,6 +380,69 @@ class SegmentIndex:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
 
+    def explain(self, query, doc_ids: list[int]) -> DataFrame:
+        """Per-term BM25 score breakdown for specific docs — the engine-path
+        analog of es.explain (the reference extracts its BM25 ranking
+        feature that way, /root/reference/wapo/experiments/ranking.py:40-52).
+
+        Returns (doc_id, term, tf, dl, idf, partial) where
+        sum(partial) grouped by doc_id equals search()'s score exactly
+        (asserted in tests). Plan: the same pruned positional-free segment
+        scan as search(), with decoding restricted to the requested docs.
+        """
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        terms = sorted(set(terms))
+        out_schema = ("doc_id bigint, term string, tf bigint, dl bigint, "
+                      "idf double, partial double")
+        empty = self.spark.createDataFrame([], out_schema)
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms or not doc_ids:
+            return empty
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t]))) for t in terms}
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        want = np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+
+        def explain_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+                m = np.isin(ids, want)
+                if not m.any():
+                    continue
+                idf = idf_map[row.term]
+                part = idf * tf_norm(
+                    tfs[m].astype(np.float64), dls[m].astype(np.float64),
+                    k1=k1, b=b, avgdl=avgdl,
+                )
+                outs.append(pd.DataFrame({
+                    "doc_id": ids[m], "term": row.term,
+                    "tf": tfs[m], "dl": dls[m],
+                    "idf": idf, "partial": part,
+                }))
+            if not outs:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                    "idf": pd.Series([], dtype=np.float64),
+                    "partial": pd.Series([], dtype=np.float64),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        return seg.groupBy("doc_part").applyInPandas(explain_group, out_schema)
+
     def search_phrase_prefix(self, phrase, k: int, *,
                              max_expansions: int = 50) -> DataFrame:
         """ES match_phrase_prefix: the last phrase term is treated as a

@@ -355,3 +355,28 @@ def test_phrase_prefix_matches_oracle(spark, corpus, index_dir, oracle):
         got = si.search_phrase_prefix(fixed + [prefix], 20,
                                       max_expansions=max_exp).collect()
         assert [(r["doc_id"], r["score"]) for r in got] == expected
+
+
+def test_index_explain_partials_sum_to_scores(spark, index_dir):
+    """Engine-path BM25 explain (es.explain analog, ranking.py:40-52):
+    per-term partials over the requested docs sum exactly to search()'s
+    scores, and idf matches the Lucene formula from global df."""
+    import math
+
+    si = SegmentIndex(spark, index_dir)
+    q = ["get", "user", "node"]
+    top = si.search(q, 8).collect()
+    assert top
+    ids = [r["doc_id"] for r in top]
+    ex = si.explain(q, ids).collect()
+    got = {}
+    for r in ex:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0.0) + r["partial"]
+    for r in top:
+        assert got[r["doc_id"]] == pytest.approx(r["score"], abs=1e-9)
+    dfs = si.term_dfs(sorted(set(q)))
+    n = si.stats["n_docs"]
+    for r in ex:
+        want_idf = math.log1p((n - dfs[r["term"]] + 0.5) / (dfs[r["term"]] + 0.5))
+        assert r["idf"] == pytest.approx(want_idf, rel=1e-12)
+        assert r["tf"] >= 1 and r["dl"] >= 1

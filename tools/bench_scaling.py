@@ -43,7 +43,8 @@ QUERIES = [
 ]
 
 
-def worker(cpus: int, corpus_path: str, out_path: str) -> None:
+def worker(cpus: int, corpus_path: str, out_path: str,
+           with_positions: bool = True) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from newssearchengine_spark.config import IndexConfig
@@ -62,7 +63,8 @@ def worker(cpus: int, corpus_path: str, out_path: str) -> None:
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
 
-    cfg = IndexConfig(n_buckets=32, doc_range=1 << 14)
+    cfg = IndexConfig(n_buckets=32, doc_range=1 << 14,
+                      with_positions=with_positions)
     # best-of-2 builds (first run pays JIT/python-worker warmup)
     build_sec = float("inf")
     phases = {}
@@ -162,7 +164,8 @@ def machine_ceiling(lo: int, hi: int, per: int = 400_000) -> dict:
     }
 
 
-def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
+def orchestrate(n_docs: int, corpus: str = "", lo: int = 2,
+                with_positions: bool = True) -> None:
     if corpus and os.path.exists(corpus):
         corpus_path = corpus
         print(f"reusing corpus {corpus_path}", file=sys.stderr)
@@ -184,20 +187,33 @@ def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
     print(f"probing machine ceiling {lo} vs {hi} procs ...", file=sys.stderr)
     hw = machine_ceiling(lo, hi)
 
-    reports = {}
-    for cpus in (lo, hi):
+    # The sandbox host's available CPU drifts over minutes; a single
+    # lo-then-hi sequence bakes that drift into the ratio. Alternate
+    # lo,hi,lo,hi and take each level's best run (runs of the same level
+    # bracket the other level in time), report the spread alongside.
+    all_runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for cpus in (lo, hi, lo, hi):
         out = tempfile.mktemp(suffix=".json")
         print(f"running local[{cpus}] ...", file=sys.stderr)
         time.sleep(5)  # let the previous JVM's threads fully drain
-        subprocess.run(
-            [sys.executable, __file__, "--run", str(cpus),
-             "--corpus", corpus_path, "--out", out],
-            check=True,
-        )
+        cmd = [sys.executable, __file__, "--run", str(cpus),
+               "--corpus", corpus_path, "--out", out]
+        if not with_positions:
+            cmd.append("--no-positions")
+        subprocess.run(cmd, check=True)
         with open(out) as f:
-            reports[cpus] = json.load(f)
+            all_runs[cpus].append(json.load(f))
+    reports = {c: max(rs, key=lambda r: r["build_files_per_sec"])
+               for c, rs in all_runs.items()}
+    spread = {
+        str(c): sorted(round(r["build_files_per_sec"], 1) for r in rs)
+        for c, rs in all_runs.items()
+    }
 
     rlo, rhi = reports[lo], reports[hi]
+    for runs in all_runs.values():          # rank identity across ALL runs
+        for r in runs:
+            assert r["topk"] == rlo["topk"], "rank drift across runs"
     n_docs = rlo["n_docs"]
     rank_identical = (rlo["topk"] == rhi["topk"]
                       and rlo["batch_topk"] == rhi["batch_topk"]
@@ -208,8 +224,10 @@ def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
                  / rlo["batch_query_throughput_qps"]) / 4
     summary = {
         "n_docs": n_docs,
+        "index_with_positions": with_positions,
         "parallelism": {"N": lo, "4N": hi},
         "machine_ceiling": hw,
+        "build_files_per_sec_all_runs": spread,
         f"local{lo}": {k: v for k, v in rlo.items() if k != "topk"},
         f"local{hi}": {k: v for k, v in rhi.items() if k != "topk"},
         "rank_identical_across_parallelism": rank_identical,
@@ -220,7 +238,8 @@ def orchestrate(n_docs: int, corpus: str = "", lo: int = 2) -> None:
             eff_build / hw["hw_efficiency"], 3
         ),
     }
-    out_path = f"/root/repo/BENCH_SCALING_{lo}v{hi}.json"
+    suffix = "" if with_positions else "_nopos"
+    out_path = f"/root/repo/BENCH_SCALING_{lo}v{hi}{suffix}.json"
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))
@@ -234,11 +253,14 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=400_000)
     ap.add_argument("--lo", type=int, default=2,
                     help="N of the N-vs-4N pair (default 2 vs 8)")
+    ap.add_argument("--no-positions", action="store_true",
+                    help="build without the positional sidecar "
+                         "(the round-1-comparable configuration)")
     a = ap.parse_args()
     if a.run:
-        worker(a.run, a.corpus, a.out)
+        worker(a.run, a.corpus, a.out, with_positions=not a.no_positions)
     else:
-        orchestrate(a.docs, a.corpus, a.lo)
+        orchestrate(a.docs, a.corpus, a.lo, with_positions=not a.no_positions)
 
 
 if __name__ == "__main__":
