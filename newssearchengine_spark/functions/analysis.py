@@ -133,56 +133,6 @@ def doc_term_positions(df: DataFrame, text_col: str = "content",
     )
 
 
-def doc_token_occurrences(df: DataFrame, text_col: str = "content",
-                          id_col: str = "doc_id",
-                          cfg: AnalyzerConfig | None = None) -> DataFrame:
-    """(id, text) -> one row per token OCCURRENCE:
-    (doc_id, term, pos int, dl int), pos = 0-based index into the
-    analyzed token array.
-
-    This is the positional build's shuffle-optimal shape: occurrence rows
-    flow STRAIGHT into the (bucket, doc_part) segment shuffle and the
-    encoder aggregates (doc, term) postings itself — one wide shuffle
-    total. Pre-grouping with collect_list would shuffle the same position
-    data TWICE (once for the groupBy, once for the segment keying), since
-    positions, unlike counts, cannot shrink under map-side combine.
-
-    mode="code": pure Catalyst (posexplode — no aggregation at all).
-    Other modes: Arrow pandas path.
-    """
-    cfg = cfg or AnalyzerConfig()
-    if cfg.mode != "code":
-        out_schema = "doc_id long, term string, pos int, dl int"
-
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                toks = _analyze_py_batch(pdf[text_col], cfg)
-                ids, terms, poss, dls = [], [], [], []
-                for i, lst in zip(pdf[id_col].tolist(), toks.tolist()):
-                    n = len(lst)
-                    for p, t in enumerate(lst):
-                        ids.append(i); terms.append(t)
-                        poss.append(p); dls.append(n)
-                yield pd.DataFrame(
-                    {"doc_id": pd.Series(ids, dtype="int64"),
-                     "term": pd.Series(terms, dtype="object"),
-                     "pos": pd.Series(poss, dtype="int32"),
-                     "dl": pd.Series(dls, dtype="int32")}
-                )
-
-        return df.select(F.col(id_col).alias(id_col), F.col(text_col)) \
-            .mapInPandas(gen, schema=out_schema)
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        analyze_expr(F.col(text_col), cfg).alias("toks"),
-    ).select(
-        "doc_id", F.size("toks").alias("dl"),
-        F.posexplode("toks").alias("pos", "term"),
-    )
-    return toks.select("doc_id", "term", F.col("pos").cast("int").alias("pos"),
-                       "dl")
-
-
 def _doc_terms_pandas_positions(df: DataFrame, text_col: str, id_col: str,
                                 cfg: AnalyzerConfig) -> DataFrame:
     """Arrow-batched positional term vectors for non-Catalyst analyzer

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import AnalyzerConfig, IndexConfig
-from ..functions.analysis import doc_term_freqs, doc_token_occurrences
+from ..functions.analysis import doc_term_freqs, doc_term_positions
 from ..functions.codec import encode_positions, encode_postings
 
 SEGMENT_SCHEMA = (
@@ -113,17 +113,15 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
     block_size = cfg.block_size
 
     with_positions = cfg.with_positions
-    COLS = ["bucket", "doc_part", "term", "df", "cf",
-            "docs", "tfs", "dls", "block_last", "block_max", "positions"]
 
     def encode_group(key, pdf):
-        """(doc_id, term, tf, dl) rows -> one segment row per term."""
         bucket, doc_part = int(key[0]), int(key[1])
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        poss = pdf["positions"].to_numpy() if with_positions else None
         bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.r_[0, bounds]
         ends = np.r_[bounds, terms.size]
@@ -133,49 +131,26 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
                 ids[s:e], tfs[s:e], dls[s:e],
                 k1=k1, b=b, avgdl=avgdl, block_size=block_size,
             )
+            if with_positions:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in poss[s:e]]
+                )
+                pos_b = encode_positions(flat, tfs[s:e])
+            else:
+                pos_b = None
             rows.append(
                 (bucket, doc_part, terms[s], int(e - s), int(tfs[s:e].sum()),
                  docs_b, tfs_b, dls_b, blast.tolist(),
-                 bmax.astype(np.float32).tolist(), None)
-            )
-        return pd.DataFrame(rows, columns=COLS)
-
-    def encode_group_occurrences(key, pdf):
-        """One row per token OCCURRENCE (doc_id, term, pos, dl) -> segment
-        rows with positional sidecars. The (doc, term) aggregation happens
-        HERE, after the single segment shuffle, instead of in a separate
-        pre-shuffle groupBy — positions can't shrink under map-side
-        combine, so pre-grouping would shuffle them twice."""
-        bucket, doc_part = int(key[0]), int(key[1])
-        pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        pos = pdf["pos"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-        starts = np.r_[0, bounds]
-        ends = np.r_[bounds, terms.size]
-        rows = []
-        for s, e in zip(starts, ends):
-            ids_t = ids[s:e]
-            change = np.flatnonzero(ids_t[1:] != ids_t[:-1]) + 1
-            dstart = np.r_[0, change]
-            doc_ids = ids_t[dstart]
-            tfs_t = np.diff(np.r_[dstart, ids_t.size])
-            dls_t = dls[s:e][dstart]
-            docs_b, tfs_b, dls_b, blast, bmax = encode_postings(
-                doc_ids, tfs_t, dls_t,
-                k1=k1, b=b, avgdl=avgdl, block_size=block_size,
-            )
-            pos_b = encode_positions(pos[s:e], tfs_t)
-            rows.append(
-                (bucket, doc_part, terms[s], int(doc_ids.size), int(ids_t.size),
-                 docs_b, tfs_b, dls_b, blast.tolist(),
                  bmax.astype(np.float32).tolist(), pos_b)
             )
-        return pd.DataFrame(rows, columns=COLS)
+        return pd.DataFrame(
+            rows,
+            columns=["bucket", "doc_part", "term", "df", "cf",
+                     "docs", "tfs", "dls", "block_last", "block_max",
+                     "positions"],
+        )
 
-    return encode_group_occurrences if with_positions else encode_group
+    return encode_group
 
 
 def build_index(
@@ -212,24 +187,15 @@ def build_index(
     mark("fingerprint")
 
     # ---- analyze once; reuse for stats, doc store, and segments ----
-    # Positional builds use OCCURRENCE-grade rows (one per token) so
-    # positions flow straight into the single segment shuffle; plain
-    # builds pre-aggregate (doc, term, tf) — counts shrink under
-    # map-side combine, positions would not.
     if cfg.with_positions:
-        tf = doc_token_occurrences(docs, text_col=text_col, id_col=id_col,
-                                   cfg=cfg.analyzer)
+        tf = doc_term_positions(docs, text_col=text_col, id_col=id_col,
+                                cfg=cfg.analyzer)
     else:
         tf = doc_term_freqs(docs, text_col=text_col, id_col=id_col,
                             cfg=cfg.analyzer)
     tf = tf.persist()
 
-    if cfg.with_positions:
-        total_tokens = tf.count()
-    else:
-        total_tokens = tf.agg(
-            F.sum(F.col("tf").cast("bigint"))
-        ).collect()[0][0] or 0
+    total_tokens = tf.agg(F.sum(F.col("tf").cast("bigint"))).collect()[0][0] or 0
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
     mark("analyze")
 
@@ -254,17 +220,10 @@ def build_index(
     # term->df with a driver-LOCAL pruned parquet read (the Lucene
     # term-dictionary shape) instead of a Spark job — see
     # SegmentIndex.term_dfs. ----
-    if cfg.with_positions:
-        tstats = tf.groupBy("term").agg(
-            F.countDistinct("doc_id").cast("bigint").alias("df"),
-            F.count(F.lit(1)).cast("bigint").alias("cf"),
-        )
-    else:
-        tstats = tf.groupBy("term").agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.sum(F.col("tf").cast("bigint")).alias("cf"),
-        )
-    tstats = tstats.withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
+    tstats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("tf").cast("bigint")).alias("cf"),
+    ).withColumn("bucket", bucket_expr(F.col("term"), cfg.n_buckets))
     (
         tstats.repartition("bucket").sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("bucket")
@@ -297,8 +256,9 @@ def build_index(
     if max_buckets is not None:
         pending = pending[:max_buckets]
 
-    keyed_cols = (["term", "doc_id", "pos", "dl"] if cfg.with_positions
-                  else ["term", "doc_id", "tf", "dl"])
+    keyed_cols = ["term", "doc_id", "tf", "dl"]
+    if cfg.with_positions:
+        keyed_cols.append("positions")
     keyed = tf.select(
         bucket_expr(F.col("term"), cfg.n_buckets).alias("bucket"),
         (F.col("doc_id") / cfg.doc_range).cast("bigint").alias("doc_part"),
