@@ -380,6 +380,35 @@ class SegmentIndex:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
 
+    def score_all(self, query) -> DataFrame:
+        """Complete (doc_id, score double) relation for an OR-disjunction —
+        every matching doc, no top-k cut. The full-score form multi-field
+        DisMax and LTR feature pipelines consume. Same pruned segment scan
+        as search(); exact taat accumulation (per-doc ranges are disjoint,
+        so per-part scores are complete)."""
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t]))) for t in terms}
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("doc_part", "term", "docs", "tfs", "dls",
+                    "block_last", "block_max")
+        )
+        scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=None,
+                              mode="taat")
+        return seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+
     def explain(self, query, doc_ids: list[int]) -> DataFrame:
         """Per-term BM25 score breakdown for specific docs — the engine-path
         analog of es.explain (the reference extracts its BM25 ranking
@@ -571,6 +600,44 @@ class SegmentIndex:
         )
 
 
+def search_dismax(field_indexes: dict, query, k: int, *,
+                  tie_breaker: float = 0.0) -> DataFrame:
+    """Multi-field best_fields retrieval over PER-FIELD segment indexes —
+    the indexed form of the reference's query shape (query_string over
+    [title, text], /root/reference/wapo/experiments/ranking.py:128-139).
+    Each field scores with its OWN index statistics (field-local N/avgdl/
+    df — ES DisjunctionMaxQuery semantics), combined as
+    max + tie_breaker * (sum - max), rounded 6dp before the
+    (score desc, doc_id asc) top-k cut. Exactly matches the compositional
+    operators.bm25.dismax_bm25_topk (asserted in tests) without
+    re-tokenizing any corpus.
+
+    field_indexes: {field_name: SegmentIndex} — one index per field.
+    """
+    scored = None
+    cols = []
+    for name, si in field_indexes.items():
+        s = si.score_all(query).withColumnRenamed("score", f"s_{name}")
+        cols.append(f"s_{name}")
+        scored = s if scored is None else scored.join(s, "doc_id", "full_outer")
+    filled = scored.na.fill(0.0, cols)
+    best = (F.col(cols[0]) if len(cols) == 1
+            else F.greatest(*[F.col(c) for c in cols]))
+    total = None
+    for c in cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    combined = F.round(
+        best + F.lit(float(tie_breaker)) * (total - best), 6
+    ).alias("score")
+    out = filled.select("doc_id", combined)
+    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score",
+    )
+
+
 def _make_phrase_matcher(phrase: list[str], last_alts: list[str] | None = None):
     """Per-doc_part phrase-occurrence counter for applyInPandas.
 
@@ -747,11 +814,11 @@ def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
     uniq, inv = np.unique(ids, return_inverse=True)
     acc = np.zeros(uniq.size)
     np.add.at(acc, inv, scores)  # element order = term-sorted: deterministic
-    if uniq.size > k:
-        # top-k by (score desc, doc_id asc): lexsort is stable & total
-        order = np.lexsort((uniq, -acc))[:k]
-    else:
-        order = np.lexsort((uniq, -acc))
+    # top-k by (score desc, doc_id asc): lexsort is stable & total.
+    # k=None emits every scored doc (the score_all full-relation form).
+    order = np.lexsort((uniq, -acc))
+    if k is not None and uniq.size > k:
+        order = order[:k]
     return uniq[order], acc[order]
 
 

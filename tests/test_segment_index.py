@@ -380,3 +380,58 @@ def test_index_explain_partials_sum_to_scores(spark, index_dir):
         want_idf = math.log1p((n - dfs[r["term"]] + 0.5) / (dfs[r["term"]] + 0.5))
         assert r["idf"] == pytest.approx(want_idf, rel=1e-12)
         assert r["tf"] >= 1 and r["dl"] >= 1
+
+
+def test_indexed_dismax_matches_compositional(spark, corpus, tmp_path):
+    """search_dismax over per-field segment indexes == the compositional
+    dismax_bm25_topk (field-local stats, max + tie * others), rank- and
+    rounded-score-identical, without re-tokenizing the corpus."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.operators.bm25 import dismax_bm25_topk
+    from newssearchengine_spark.plans.search import search_dismax
+
+    two = corpus.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        .alias("title"),
+        F.col("content").alias("body"),
+    ).persist()
+    idxs = {}
+    for fld in ("title", "body"):
+        d = str(tmp_path / f"dismax_{fld}")
+        build_index(two, d, CFG, text_col=fld, resume=False)
+        idxs[fld] = SegmentIndex(spark, d)
+    terms = ["node", "cursor", "shard"]
+    got = search_dismax(idxs, terms, 25, tie_breaker=0.3).collect()
+    want = (
+        dismax_bm25_topk(two, terms, 25, fields=["title", "body"],
+                         tie_breaker=0.3, analyzer=CFG.analyzer)
+        .collect()
+    )
+    assert got, "fixture terms must match"
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], round(r["score"], 6)) for r in want]
+    two.unpersist()
+
+
+def test_no_row_at_a_time_python_udfs():
+    """BASELINE input_hint mandates 'no per-row Python': the package must
+    contain no row-at-a-time F.udf usage and no RDD drop-downs — every
+    JVM/Python crossing is an Arrow-batched pandas UDF / mapInPandas /
+    applyInPandas."""
+    import pathlib
+    import re
+
+    import newssearchengine_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    bad = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if re.search(r"\bF\.udf\(|\bfunctions\.udf\(|^\s*@udf\b", src,
+                     re.MULTILINE):
+            bad.append(f"{p}: row-at-a-time udf")
+        if re.search(r"\.rdd\b", src):
+            bad.append(f"{p}: rdd drop-down")
+    assert not bad, bad
