@@ -123,6 +123,66 @@ def run_stateful_user_counts(spark: SparkSession, events_path: str,
     )
 
 
+def run_stream_dedup(spark: SparkSession, docs_path: str,
+                     text_col: str = "content",
+                     query_name: str = "st_dedup") -> DataFrame:
+    """Streaming exact dedup: emit each distinct content hash the FIRST
+    time it is seen across the whole stream; duplicates in later batches
+    (or later in the same batch) are dropped.
+
+    The LLM-ingest shape: dedup must happen before anything downstream
+    pays for a duplicate document. State is partitioned by a hash PREFIX
+    (256 groups), so per-group state stays bounded and the operator
+    scales horizontally; each group's GroupState carries the set of
+    hashes it has admitted (at production scale: a per-group Bloom/
+    hash-set spilled via state store TTLs).
+
+    Returns the final distinct-hash table (content_hash string) — equal
+    as a SET to the batch `SELECT DISTINCT sha256(content)` regardless of
+    arrival order (asserted in tests)."""
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0].split(",")) if state.exists else set()
+        fresh = []
+        for pdf in pdfs:
+            for h in pdf["content_hash"]:
+                if h not in seen:
+                    seen.add(h)
+                    fresh.append(h)
+        state.update((",".join(sorted(seen)),))
+        yield pd.DataFrame({"content_hash": pd.Series(fresh, dtype=object)})
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_path)
+    )
+    hashed = stream.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash")
+    ).withColumn("grp", F.substring("content_hash", 1, 2))
+    out = hashed.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType="content_hash string",
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_incremental_index(
     spark: SparkSession,
     docs_dir: str,

@@ -238,3 +238,34 @@ def test_ivf_kmeans_recall_and_determinism(spark, sf_tiny):
                                            nprobe=5, centroids=c1).collect()}
         recalls.append(len(bf & iv) / len(bf))
     assert sum(recalls) / len(recalls) >= 0.9 - 1e-9, recalls
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    """Streaming stateful dedup (applyInPandasWithState, hash-prefix
+    partitioned state): the admitted set equals the batch DISTINCT of
+    content hashes, each hash emitted exactly once, regardless of how the
+    stream is chunked into micro-batches."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+    from newssearchengine_spark.streaming.pipeline import run_stream_dedup
+
+    docs = assign_doc_ids(source_files(spark, 300, seed=13, partitions=3),
+                          num_partitions=3)
+    # inject real duplicates: every doc_id % 3 == 0 doc repeated verbatim
+    dups = docs.filter("doc_id % 3 = 0")
+    full = docs.unionByName(dups)
+    src = str(tmp_path / "dedup_src")
+    full.repartition(4).write.parquet(src)
+
+    got = run_stream_dedup(spark, src, text_col="content",
+                           query_name="t_sdedup").collect()
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
+    expected = {
+        r["h"]
+        for r in spark.read.parquet(src)
+        .select(F.sha2("content", 256).alias("h")).distinct().collect()
+    }
+    assert set(hashes) == expected
