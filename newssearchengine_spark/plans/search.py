@@ -409,6 +409,81 @@ class SegmentIndex:
                               mode="taat")
         return seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
 
+    def _term_docs(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id) membership relation for the given terms — the
+        raw postings-doc sets, decoded from the pruned segment scan (the
+        set-operand form bool constraints consume)."""
+        terms = sorted(set(terms))
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, _, _ = decode_postings(row.docs, row.tfs, row.dls)
+                outs.append(pd.DataFrame({"term": row.term, "doc_id": ids}))
+            if not outs:
+                return pd.DataFrame({
+                    "term": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        return seg.groupBy("doc_part").applyInPandas(
+            emit, "term string, doc_id bigint"
+        )
+
+    def search_bool(self, *, must=None, should=None, must_not=None,
+                    k: int) -> DataFrame:
+        """ES `bool` query from the INDEX (compositional form:
+        operators.bm25.bool_bm25_topk — asserted identical in tests):
+        docs must contain ALL `must` terms and NONE of `must_not`,
+        scored by the summed BM25 of must+should, rounded 6dp before the
+        (score desc, doc_id asc) top-k cut.
+
+        Plan: one score_all pass over the scoring terms' postings, the
+        must-count constraint as a left_semi against the decoded postings
+        doc sets, must_not as a left_anti — all index reads, no corpus
+        scan."""
+        must = sorted(set(must or []))
+        should = sorted(set(should or []))
+        must_not = sorted(set(must_not or []))
+        if not must and not should:
+            raise ValueError("bool query needs at least one must or should term")
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        if must:
+            dfs = self.term_dfs(must)
+            if any(dfs.get(t, 0) == 0 for t in must):
+                return empty  # an absent must-term matches nothing
+        scores = self.score_all(sorted(set(must) | set(should)))
+        if must:
+            ok = (
+                self._term_docs(must)
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("n_must"))
+                .filter(F.col("n_must") == len(must))
+                .select("doc_id")
+            )
+            scores = scores.join(ok, "doc_id", "left_semi")
+        if must_not:
+            ex = self._term_docs(must_not).select("doc_id").distinct()
+            scores = scores.join(ex, "doc_id", "left_anti")
+        rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
     def explain(self, query, doc_ids: list[int]) -> DataFrame:
         """Per-term BM25 score breakdown for specific docs — the engine-path
         analog of es.explain (the reference extracts its BM25 ranking

@@ -435,3 +435,32 @@ def test_no_row_at_a_time_python_udfs():
         if re.search(r"\.rdd\b", src):
             bad.append(f"{p}: rdd drop-down")
     assert not bad, bad
+
+
+def test_indexed_bool_matches_compositional(spark, corpus, index_dir):
+    """search_bool from the index == the compositional bool_bm25_topk:
+    must = AND constraint, must_not = exclusion, should adds score —
+    rank- and rounded-score-identical, all index reads."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.operators.bm25 import bool_bm25_topk
+
+    si = SegmentIndex(spark, index_dir)
+    cases = [
+        (["node", "cursor"], ["shard"], ["stream"]),
+        (["group"], [], ["proto"]),
+        ([], ["node", "shard"], []),
+        (["zz_absent"], ["node"], []),
+    ]
+    for must, should, must_not in cases:
+        a = si.search_bool(must=must, should=should, must_not=must_not,
+                           k=25).collect()
+        b = (
+            bool_bm25_topk(corpus, must=must, should=should,
+                           must_not=must_not, k=25, text_col="content",
+                           analyzer=CFG.analyzer)
+            .select("rank", "doc_id", F.round("score", 6).alias("score"))
+            .collect()
+        )
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b], (must, should, must_not)
