@@ -4,6 +4,7 @@ over-large k, empty queries."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from newssearchengine_spark.config import IndexConfig
 from newssearchengine_spark.oracle import pure
@@ -75,3 +76,45 @@ def test_empty_corpus_build_and_search(spark, tmp_path):
     assert m["n_docs"] == 0
     si = SegmentIndex(spark, d)
     assert si.search("anything", 10).count() == 0
+
+
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    """The spark-submit entry path end-to-end: gen -> build -> search ->
+    phrase search -> merge, all through __main__.main() against the
+    active session."""
+    from newssearchengine_spark.__main__ import main
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    assert main(["gen", "--rows", "200", "--out", corpus]) == 0
+    assert main(["build", "--corpus", corpus, "--index", idx,
+                 "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", idx, "--query", "nodeCursor",
+                 "-k", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(out) <= 5 and out[0].split("\t")[0] == "0"
+    assert main(["search", "--index", idx, "--query", "node cursor",
+                 "--phrase", "-k", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "phrase CLI should match nodeCursor docs"
+    # merge two disjoint halves == queryable union
+    c2 = str(tmp_path / "c2")
+    i2 = str(tmp_path / "i2")
+    m = str(tmp_path / "m")
+    import json as _json
+
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    docs2 = assign_doc_ids(source_files(spark, 100, seed=99, partitions=2),
+                           num_partitions=2).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    docs2.write.parquet(c2)
+    assert main(["build", "--corpus", c2, "--index", i2,
+                 "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["merge", "--index-a", idx, "--index-b", i2,
+                 "--out", m]) == 0
+    metrics = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_docs"] == 300
