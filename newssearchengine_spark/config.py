@@ -151,6 +151,12 @@ class IndexConfig:
     # Store per-posting token positions (delta+varbyte sidecar column) so
     # phrase queries are an INDEX operation (ES stores positions via
     # term_vector:'yes', wapo/index_es.py:99 — a phrase query must not
-    # re-scan the corpus at 10^12-file scale). Costs ~1 extra varbyte
+    # re-scan the corpus at 100 TB scale). Costs ~1 extra varbyte
     # stream per posting at build; disable for pure-disjunction workloads.
     with_positions: bool = True
+    # Store per-doc term vectors (doc_id, term, tf) partitioned by
+    # doc_part — the forward index ES keeps for term_vector:'yes' and
+    # serves via es.termvectors (the reference's keyword extraction,
+    # wapo/parser.py:10-47, reads exactly this). Opt-in like ES: it
+    # roughly doubles the index's storage footprint.
+    with_term_vectors: bool = False

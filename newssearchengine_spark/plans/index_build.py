@@ -231,6 +231,23 @@ def build_index(
     )
     mark("term_stats")
 
+    # ---- optional forward index: per-doc term vectors (es.termvectors,
+    # the reference's keyword-extraction source, wapo/parser.py:10-47).
+    # Partitioned by doc_part so per-doc reads are directory-pruned. ----
+    if cfg.with_term_vectors:
+        (
+            tf.select(
+                (F.col("doc_id") / cfg.doc_range).cast("bigint")
+                .alias("doc_part"),
+                "doc_id", "term", F.col("tf").cast("int").alias("tf"),
+                F.col("dl").cast("int").alias("dl"),
+            )
+            .repartition("doc_part").sortWithinPartitions("doc_id", "term")
+            .write.mode("overwrite").partitionBy("doc_part")
+            .parquet(os.path.join(index_dir, "term_vectors"))
+        )
+        mark("term_vectors")
+
     _atomic_write_json(
         os.path.join(index_dir, "stats.json"),
         {
@@ -246,6 +263,7 @@ def build_index(
             "min_token_len": cfg.analyzer.min_token_len,
             "analyzer_mode": cfg.analyzer.mode,
             "with_positions": cfg.with_positions,
+            "with_term_vectors": cfg.with_term_vectors,
             "stopwords": sorted(cfg.analyzer.stopwords),
         },
     )

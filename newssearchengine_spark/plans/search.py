@@ -409,6 +409,61 @@ class SegmentIndex:
                               mode="taat")
         return seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
 
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """Per-doc term vectors (doc_id, term, tf, dl) for the requested
+        docs — the es.termvectors read (the reference's keyword extraction
+        hits it per doc+field, wapo/parser.py:10-47). Requires an index
+        built with IndexConfig.with_term_vectors; the read prunes to the
+        docs' doc_part partitions with the doc_id predicate pushed to
+        row groups (files are doc-sorted)."""
+        if not self.stats.get("with_term_vectors"):
+            raise ValueError(
+                "index was built with with_term_vectors=False; the forward "
+                "index needs IndexConfig.with_term_vectors (the ES "
+                "term_vector:'yes' opt-in)"
+            )
+        ids = sorted(set(int(d) for d in doc_ids))
+        doc_range = int(self.stats["doc_range"])
+        parts = sorted({d // doc_range for d in ids})
+        return (
+            self.spark.read
+            .schema("doc_id bigint, term string, tf int, dl int, doc_part bigint")
+            .parquet(os.path.join(self.index_dir, "term_vectors"))
+            .filter(F.col("doc_part").isin(parts))
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "term", "tf", "dl")
+        )
+
+    def keywords_tf_idf(self, doc_ids: list[int], *, min_tf: int = 2,
+                        min_df: int = 5, top_n: int = 25) -> DataFrame:
+        """tf-idf top terms per doc straight from the index — the
+        reference's query formulation (two es.termvectors calls with
+        min_term_freq/min_doc_freq/max_num_terms filters + idf weighting,
+        wapo/parser.py:10-47). Term vectors give tf; the term_stats
+        dictionary gives global df; score = tf * lucene_idf, tie-break
+        (score desc, term asc). Returns (doc_id, term, kscore rounded 6dp).
+        """
+        tv = self.term_vectors(doc_ids).filter(F.col("tf") >= min_tf)
+        n_docs = float(self.stats["n_docs"])
+        ts = self._tstats.select("term", "df").filter(F.col("df") >= min_df)
+        idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        # broadcast the SMALL side: the requested docs' term vectors, not
+        # the whole dictionary (billions of terms at corpus scale)
+        scored = (
+            ts.join(F.broadcast(tv), "term")
+            .select("doc_id", "term",
+                    F.round(F.col("tf") * idf, 6).alias("kscore"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("kscore"), F.asc("term")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select("doc_id", "term", "kscore")
+        )
+
     def _term_docs(self, terms: list[str]) -> DataFrame:
         """(term, doc_id) membership relation for the given terms — the
         raw postings-doc sets, decoded from the pruned segment scan (the

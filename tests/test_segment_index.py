@@ -464,3 +464,53 @@ def test_indexed_bool_matches_compositional(spark, corpus, index_dir):
         )
         assert [(r["doc_id"], r["score"]) for r in a] == \
                [(r["doc_id"], r["score"]) for r in b], (must, should, must_not)
+
+
+def test_term_vectors_and_indexed_keywords(spark, corpus, oracle, tmp_path):
+    """The forward index (term_vector:'yes' analog): stored term vectors
+    equal the analyzer's term counts per doc, and index-path tf-idf
+    keyword extraction equals the pure-oracle recomputation of the
+    reference's termvectors query formulation (wapo/parser.py:10-47)."""
+    import dataclasses
+    from collections import Counter
+
+    oidx, raw = oracle
+    cfg = dataclasses.replace(CFG, with_term_vectors=True)
+    d = str(tmp_path / "tv_idx")
+    build_index(corpus, d, cfg, resume=False)
+    si = SegmentIndex(spark, d)
+
+    ids = [0, 5, 17, 100, 999]
+    got = {}
+    for r in si.term_vectors(ids).collect():
+        got[(r["doc_id"], r["term"])] = (r["tf"], r["dl"])
+    expected = {}
+    for doc_id in ids:
+        toks = pure.analyze(raw[doc_id], CFG.analyzer)
+        for t, n in Counter(toks).items():
+            expected[(doc_id, t)] = (n, len(toks))
+    assert got == expected
+
+    kws = {}
+    for r in si.keywords_tf_idf(ids, min_tf=2, min_df=5, top_n=3).collect():
+        kws.setdefault(r["doc_id"], []).append((r["term"], r["kscore"]))
+    want = {}
+    for doc_id in ids:
+        toks = Counter(pure.analyze(raw[doc_id], CFG.analyzer))
+        scored = []
+        for t, tf in toks.items():
+            df = len(oidx.postings.get(t, {}))
+            if tf >= 2 and df >= 5:
+                scored.append((t, round(tf * oidx.idf(t), 6)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        if scored[:3]:
+            want[doc_id] = scored[:3]
+    assert kws == want
+
+
+def test_term_vectors_opt_in(spark, index_dir):
+    """Indexes built without with_term_vectors refuse forward-index reads
+    with a clear error (the ES term_vector:'yes' opt-in semantics)."""
+    si = SegmentIndex(spark, index_dir)
+    with pytest.raises(ValueError, match="term_vectors"):
+        si.term_vectors([0])
