@@ -464,6 +464,61 @@ class SegmentIndex:
             .select("doc_id", "term", "kscore")
         )
 
+    def significant_terms(self, query_terms: list[str],
+                          top_n: int) -> DataFrame:
+        """ES significant_terms from the INDEX (compositional form:
+        operators.bm25.significant_terms — asserted identical in tests):
+        JLH-scored foreground (docs matching the query) vs background
+        (corpus) term significance. Foreground docs come from the query
+        terms' postings, per-term foreground df from the stored term
+        vectors (requires with_term_vectors), background df from the
+        term_stats dictionary — all index reads, no corpus scan.
+        Returns (rank, term, fg_df, bg_df, score rounded 6dp)."""
+        if not self.stats.get("with_term_vectors"):
+            raise ValueError(
+                "significant_terms needs the forward index "
+                "(IndexConfig.with_term_vectors)"
+            )
+        terms = sorted(set(query_terms))
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, term string, fg_df bigint, bg_df bigint, "
+                "score double"
+        )
+        dfs = self.term_dfs(terms)
+        live = [t for t in terms if dfs.get(t, 0) > 0]
+        if not live:
+            return empty
+        fg = self._term_docs(live).select("doc_id").distinct()
+        fg_n = float(fg.count())
+        bg_n = float(self.stats["n_docs"])
+        tv = self.spark.read.schema(
+            "doc_id bigint, term string, tf int, dl int, doc_part bigint"
+        ).parquet(os.path.join(self.index_dir, "term_vectors"))
+        fg_df = (
+            tv.join(fg, "doc_id", "left_semi")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+        )
+        bg_df = self._tstats.select("term", F.col("df").alias("bg_df"))
+        fg_pct = F.col("fg_df") / F.lit(fg_n)
+        bg_pct = F.col("bg_df") / F.lit(bg_n)
+        scored = (
+            fg_df.join(bg_df, "term")
+            .filter(fg_pct > bg_pct)
+            .select(
+                "term",
+                F.col("fg_df").cast("bigint").alias("fg_df"),
+                F.col("bg_df").cast("bigint").alias("bg_df"),
+                F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+                .alias("score"),
+            )
+        )
+        topn = scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
+        w = Window.orderBy(F.desc("score"), F.asc("term"))
+        return topn.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "term", "fg_df", "bg_df", "score",
+        )
+
     def _term_docs(self, terms: list[str]) -> DataFrame:
         """(term, doc_id) membership relation for the given terms — the
         raw postings-doc sets, decoded from the pruned segment scan (the

@@ -514,3 +514,26 @@ def test_term_vectors_opt_in(spark, index_dir):
     si = SegmentIndex(spark, index_dir)
     with pytest.raises(ValueError, match="term_vectors"):
         si.term_vectors([0])
+
+def test_indexed_significant_terms_matches_compositional(spark, corpus,
+                                                         tmp_path):
+    """significant_terms from the index (postings foreground + term-vector
+    fg df + dictionary bg df) == the compositional JLH aggregation."""
+    import dataclasses
+
+    from newssearchengine_spark.operators.bm25 import significant_terms
+
+    cfg = dataclasses.replace(CFG, with_term_vectors=True)
+    d = str(tmp_path / "sig_idx")
+    build_index(corpus, d, cfg, resume=False)
+    si = SegmentIndex(spark, d)
+    # mid-df terms: the foreground must be a PROPER subset of the corpus,
+    # otherwise no term is over-represented and both sides are empty
+    qterms = ["field", "index", "load"]
+    a = si.significant_terms(qterms, 12).collect()
+    b = significant_terms(corpus, qterms, 12, text_col="content",
+                          analyzer=CFG.analyzer).collect()
+    assert a and [(r["term"], r["fg_df"], r["bg_df"], r["score"])
+                  for r in a] == \
+                 [(r["term"], r["fg_df"], r["bg_df"], r["score"])
+                  for r in b]
