@@ -1,0 +1,126 @@
+"""ES query-DSL adapter: run the reference's LITERAL es.search bodies.
+
+A user of the reference issues ES query dicts; this module maps those
+bodies onto the engine so the queries run UNCHANGED:
+
+- query_string over fields (the WAPO retrieval shape,
+  /root/reference/wapo/experiments/ranking.py:128-139)
+- multi_match with operator:"or" (the netzpolitik shape,
+  /root/reference/netzpolitik/experiments/keyword_match_recall.py:30-43)
+- term on a keyword field (the url lookup,
+  /root/reference/netzpolitik/index_vs.py:47-58)
+- match / match_phrase / match_phrase_prefix / bool / prefix / fuzzy /
+  wildcard (the surrounding ES surface the engine implements)
+
+The analyzer key inside a body is ignored on purpose: write/read
+analyzer unity comes from the target index's own stats.json (the engine
+equivalent of an ES index's bound analyzer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import SegmentIndex, search_dismax
+
+_STOP_OPERATORS = {"OR", "AND"}
+
+
+def _strip_operators(query: str) -> str:
+    """ES query_string disjunctions arrive as 'a OR b OR c' — the engine
+    analyzes the raw text, so drop the operator tokens."""
+    return " ".join(t for t in query.split() if t.upper() not in _STOP_OPERATORS)
+
+
+def _field_text(spec: dict) -> tuple[str, str]:
+    field, val = next(iter(spec.items()))
+    if isinstance(val, dict):
+        val = val.get("query", val.get("value"))
+    return field, str(val)
+
+
+def es_search(indexes, body: dict, size: int = 10, *,
+              tie_breaker: float = 0.0, mode: str = "taat") -> DataFrame:
+    """Evaluate an es.search body against the engine.
+
+    indexes: a single SegmentIndex (one indexed field) or a
+    {field_name: SegmentIndex} dict for multi-field bodies.
+    body: either the full {"query": {...}} body or the inner query dict.
+    Returns (rank, doc_id, score) — except `term`, which returns the
+    matching doc-store rows (the reference uses it as an id lookup).
+    """
+    q = body.get("query", body)
+    kind, spec = next(iter(q.items()))
+    multi = indexes if isinstance(indexes, dict) else None
+
+    def one(field: str | None = None) -> SegmentIndex:
+        if multi is None:
+            return indexes
+        if field is not None and field in multi:
+            return multi[field]
+        return next(iter(multi.values()))
+
+    if kind in ("query_string", "multi_match"):
+        if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
+            raise ValueError("only operator:'or' multi_match is supported "
+                             "(the only form the reference issues)")
+        text = _strip_operators(str(spec["query"]))
+        fields = spec.get("fields")
+        if multi is None or not fields or len(fields) == 1:
+            si = one(fields[0] if fields else None)
+            return si.search(text, size, mode=mode)
+        return search_dismax({f: multi[f] for f in fields}, text, size,
+                             tie_breaker=tie_breaker)
+
+    if kind == "match":
+        field, text = _field_text(spec)
+        return one(field).search(text, size, mode=mode)
+
+    if kind == "match_phrase":
+        field, text = _field_text(spec)
+        return one(field).search_phrase(text, size)
+
+    if kind == "match_phrase_prefix":
+        field, text = _field_text(spec)
+        return one(field).search_phrase_prefix(text, size)
+
+    if kind == "bool":
+        si = one()
+
+        def terms_of(clauses) -> list[str]:
+            out: list[str] = []
+            for c in (clauses if isinstance(clauses, list) else [clauses]):
+                ck, cs = next(iter(c.items()))
+                if ck not in ("match", "term"):
+                    raise ValueError(f"unsupported bool clause: {ck}")
+                _, text = _field_text(cs)
+                out.extend(si.analyze_query(text))
+            return out
+
+        return si.search_bool(
+            must=terms_of(spec.get("must", [])),
+            should=terms_of(spec.get("should", [])),
+            must_not=terms_of(spec.get("must_not", [])),
+            k=size,
+        )
+
+    if kind == "prefix":
+        field, val = _field_text(spec)
+        return one(field).search_prefix(val, size)
+
+    if kind == "fuzzy":
+        field, val = _field_text(spec)
+        return one(field).search_fuzzy(val, size)
+
+    if kind == "wildcard":
+        field, val = _field_text(spec)
+        return one(field).search_wildcard(val, size)
+
+    if kind == "term":
+        field, val = _field_text(spec)
+        # exact keyword-field lookup -> doc-store filter (the reference's
+        # url -> _id translation); returns the matching doc rows
+        return one().doc_store().filter(F.col(field) == val)
+
+    raise ValueError(f"unsupported query kind: {kind}")

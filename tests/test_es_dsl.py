@@ -1,0 +1,119 @@
+"""The reference's LITERAL es.search bodies run unchanged through the
+DSL adapter and equal the direct engine calls.
+
+Body shapes copied verbatim from the reference:
+- query_string over two fields: wapo/experiments/ranking.py:128-139
+- multi_match operator:'or':
+  netzpolitik/experiments/keyword_match_recall.py:30-43
+- term on a keyword field: netzpolitik/index_vs.py:47-58
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newssearchengine_spark.config import IndexConfig
+from newssearchengine_spark.datagen import source_files
+from newssearchengine_spark.plans.dsl import es_search
+from newssearchengine_spark.plans.index_build import build_index
+from newssearchengine_spark.plans.search import SegmentIndex, search_dismax
+from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+CFG = IndexConfig(n_buckets=8, doc_range=200, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def two_field(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsl")
+    docs = assign_doc_ids(source_files(spark, 400, seed=21, partitions=4),
+                          num_partitions=4)
+    two = docs.select(
+        "doc_id", "repo", "path",
+        F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        .alias("title"),
+        F.col("content").alias("text"),
+    ).persist()
+    idxs = {}
+    for fld in ("title", "text"):
+        d = str(root / fld)
+        build_index(two, d, CFG, text_col=fld,
+                    meta_cols=("repo", "path"), resume=False)
+        idxs[fld] = SegmentIndex(spark, d)
+    return two, idxs
+
+
+def test_reference_query_string_body(two_field):
+    """The exact retrieval body from ranking.py:128-139."""
+    _, idxs = two_field
+    query_keywords = " OR ".join(["nodeCursor", "shardGroup", "streamSort"])
+    body = {
+        "query": {
+            "query_string": {
+                "fields": ["title", "text"],
+                "query": query_keywords,
+            }
+        }
+    }
+    got = es_search(idxs, body, size=20).collect()
+    want = search_dismax(idxs, "nodeCursor shardGroup streamSort", 20,
+                         tie_breaker=0.0).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_reference_multi_match_body(two_field):
+    """The exact netzpolitik retrieval body (keyword_match_recall.py:30-43)
+    — the analyzer key is governed by the index, not the body."""
+    _, idxs = two_field
+    body = {
+        "query": {
+            "multi_match": {
+                "fields": ["title", "text"],
+                "query": "nodeCursor protoShard",
+                "analyzer": "german",
+                "operator": "or",
+            }
+        }
+    }
+    got = es_search(idxs, body, size=15).collect()
+    want = search_dismax(idxs, "nodeCursor protoShard", 15).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_reference_term_lookup_body(two_field):
+    """The exact url->id term-lookup body (index_vs.py:47-58), on the
+    path keyword column."""
+    two, idxs = two_field
+    some_path = two.limit(1).collect()[0]["path"]
+    body = {"query": {"term": {"path": {"value": some_path}}}}
+    got = es_search(idxs, body).collect()
+    assert len(got) == 1 and got[0]["path"] == some_path
+
+
+def test_dsl_single_index_forms(two_field):
+    """match / match_phrase / bool / prefix map to the direct calls."""
+    _, idxs = two_field
+    si = idxs["text"]
+    assert [
+        (r["doc_id"], r["score"])
+        for r in es_search(si, {"match": {"text": "nodeCursor"}}, 10).collect()
+    ] == [(r["doc_id"], r["score"]) for r in si.search("nodeCursor", 10).collect()]
+    assert [
+        (r["doc_id"], r["score"])
+        for r in es_search(si, {"match_phrase": {"text": "node cursor"}},
+                           10).collect()
+    ] == [(r["doc_id"], r["score"])
+          for r in si.search_phrase("node cursor", 10).collect()]
+    got = es_search(si, {"query": {"bool": {
+        "must": [{"match": {"text": "nodeCursor"}}],
+        "must_not": [{"match": {"text": "protoShard"}}],
+    }}}, 10).collect()
+    want = si.search_bool(must=["node", "cursor"], must_not=["proto", "shard"],
+                          k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+    assert es_search(si, {"prefix": {"text": "curso"}}, 5).collect()
+    with pytest.raises(ValueError, match="unsupported"):
+        es_search(si, {"more_like_this": {}}, 5)
