@@ -44,8 +44,9 @@ _PRIORITY = [
     # similarity family
     "sim_knn_bruteforce", "sim_ivf_assign", "sim_ivf_knn",
     "sim_mean_pairwise_cosine",
-    # text analysis
-    "tx_profile", "tx_html_strip", "tx_highlight", "tx_denorm_keywords",
+    # text analysis (denorm: the hash-checked no-backoff variant holds the
+    # window slot; the full-backoff form stays registered past the window)
+    "tx_profile", "tx_html_strip", "tx_highlight", "tx_denorm_keywords_nb",
     # relational surface
     "rel_nested_extract", "rel_json_extract", "rel_lookup_join",
     "rel_semi_join", "rel_set_ops", "rel_group_collect", "rel_agg_stats",
@@ -57,7 +58,7 @@ _PRIORITY = [
     "ex_recall_at_k", "ex_ndcg_at_k", "tx_lang_id", "tx_quality",
     "tx_token_counts", "tx_fingerprints", "rel_proj_filter",
     "rel_date_predicate", "rel_anti_union", "rel_intersect",
-    "rel_grouped_counters", "rel_percentiles",
+    "rel_grouped_counters", "rel_percentiles", "tx_denorm_keywords",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -404,6 +404,11 @@ def ex_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = emb.select(F.col("vec_id").alias("doc_id"),
                     as_double(F.col("embedding")).alias("dv"))
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # The feature subtree (tokenize -> multi_query_bm25 -> 4 joins) feeds
+    # THREE consumers: the train-stats agg, the weights agg, and the
+    # scoring projection. Persist it so the expensive retrieval pipeline
+    # materializes once (it was the costliest bench entry unpersisted);
+    # gate-scope cache, same lifecycle as _gate_index.
     feats = (
         topk.join(judged, ["query_id", "doc_id"], "left")
         .join(F.broadcast(eq), "query_id")
@@ -418,7 +423,7 @@ def ex_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("later"),
             F.coalesce(F.col("label"), F.lit(0)).alias("label"),
         )
-    )
+    ).persist()
     train = feats.filter(F.col("query_id") < TRAIN_SPLIT)
     st = train.agg(*[
         agg for f, _ in _LTR_FEATS

@@ -284,7 +284,68 @@ def ft_bm25_topk_news_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(cand, TOP_K)
 
 
-@gate_query("ft_bm25_topk_de", None)  # German stemmer not in DuckDB: rows-only
+# -- German-analyzer gate with a REAL hash-checked oracle ---------------
+# Same trick as ft_bm25_topk_news_stem: the German stemmer is not SQL-
+# expressible, but BM25 under the german chain IS hash-checkable because
+# each query stem has a SINGLETON preimage in the (Germanified) corpus
+# vocabulary: 'Tabelle'->'tabell' matches only 'tabellen',
+# 'Zusammenführung'->'zusammenfuhrung' only 'zusammenführungen',
+# 'Fenster'->'fenst' only 'fenstern'. So stem-space tf/df equal the
+# surface tokens' plain counts, and dl (kept-token count) is
+# stem-invariant. tests/test_german_analyzer.py asserts the preimage
+# property over the gate corpus vocabulary so testdata drift fails loudly
+# in pytest rather than silently in the driver.
+_DE_STEM_SURFACES = {
+    "tabell": "tabellen",
+    "zusammenfuhrung": "zusammenführungen",
+    "fenst": "fenstern",
+}
+
+
+def _de_stem_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    from ..functions.german import GERMAN_STOPWORDS
+
+    stop_sql = ", ".join(f"'{s}'" for s in sorted(GERMAN_STOPWORDS))
+    surf_sql = ", ".join(
+        f"'{s}'" for s in sorted(_DE_STEM_SURFACES.values())
+    )
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH gdocs AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '\\btable\\b', 'Tabellen', 'g'),
+             '\\bmerge\\b', 'Zusammenführungen', 'g'),
+             '\\bwindow\\b', 'Fenstern', 'g') AS text
+  FROM documents
+),
+gtoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS term
+  FROM gdocs
+),
+gkept AS (SELECT doc_id, term FROM gtoks WHERE term NOT IN ({stop_sql})),
+gtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gkept GROUP BY 1, 2),
+gdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM gkept GROUP BY 1),
+q AS (SELECT unnest([{surf_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM gdl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM gtf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT gtf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (gtf.tf * ({k1} + 1)) /
+             (gtf.tf + {k1} * (1 - {b} + {b} * gdl.dl / stats.avgdl)) AS p
+  FROM gtf
+  JOIN tstats USING (term)
+  JOIN gdl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bm25_topk_de", _de_stem_sql(TOP_K))
 def ft_bm25_topk_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 under the ES built-in `german` analyzer chain (standard
     tokenize -> lowercase -> German stop -> umlaut normalization -> light
@@ -293,9 +354,11 @@ def ft_bm25_topk_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table with key tokens deterministically Germanified
     (inflected umlauted forms), so real German morphology flows through
     the chain: 'Tabellen'/'Zusammenführungen'/'Fenstern' must match the
-    differently-inflected query via shared stems. Exact parity vs the
-    pure oracle incl. ES-captured golden stems is asserted in
-    tests/test_german_analyzer.py; driver does a rows-only check."""
+    differently-inflected query via shared stems. HASH-CHECKED by the
+    driver: the query stems have singleton surface preimages, so the
+    DuckDB oracle needs no stemmer (see _DE_STEM_SURFACES; preimage
+    property + ES-captured golden stems asserted in
+    tests/test_german_analyzer.py)."""
     from ..config import german_analyzer
     from ..oracle import pure
 

@@ -206,7 +206,9 @@ def rel_date_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_date_histogram",
     """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
               count(*)::BIGINT AS n,
-              round(sum(o_totalprice), 2) AS value
+              round(sum(o_totalprice), 2) AS value,
+              sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+              sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
 GROUP BY 1""",
@@ -214,14 +216,30 @@ GROUP BY 1""",
 def rel_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-truncated histogram behind a timestamp-compare predicate (P9 —
     the date filter is pushed to the parquet scan; the join-form compare
-    stays covered by rel_date_predicate)."""
+    stays covered by rel_date_predicate). Also carries the PIVOT family
+    in-window: the per-priority columns come from a real
+    groupBy().pivot().agg() (the rel_pivot operator), joined onto the
+    histogram — the oracle re-expresses the pivot as CASE sums."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
     )
-    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+    base = o.groupBy(month).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("value"),
     )
+    piv = (
+        o.groupBy(month)
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["1-URGENT", "2-HIGH"])
+        .select(
+            "month",
+            F.col("`1-URGENT`").cast("bigint").alias("n_urgent"),
+            F.col("`2-HIGH`").cast("bigint").alias("n_high"),
+        )
+    )
+    return base.join(piv, "month")
 
 
 # --- §2.8 JSON scalar: schema-on-read props extraction (S1 analog) ------

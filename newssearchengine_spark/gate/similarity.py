@@ -39,7 +39,9 @@ def _kmeans_ctes(n_cells: int, n_iters: int) -> str:
     """Unrolled seeded spherical-k-means CTE chain, iteration-identical to
     operators.similarity.kmeans_centroids: unit vectors, argmax-cosine
     assignment rounded 9dp (lowest cell on ties), per-dimension mean of
-    assigned unit vectors, empty cells keep their previous centroid.
+    assigned unit vectors ROUNDED 12dp (so the iteration state is
+    bit-comparable across engines despite differing summation orders),
+    empty cells keep their previous centroid.
     Exposes `cents` (final centroids) and `assign` (final assignment)."""
     parts = [f"""unitv AS (
   SELECT vec_id,
@@ -64,7 +66,8 @@ e{i} AS (
   FROM unitv u JOIN a{i} a USING (vec_id)
 ),
 g{i} AS (SELECT cell, dim, avg(x) AS m FROM e{i} GROUP BY 1, 2),
-n{i} AS (SELECT cell, list(m ORDER BY dim) AS nv FROM g{i} GROUP BY cell),
+n{i} AS (SELECT cell, list_transform(list(m ORDER BY dim), x -> round(x, 12)) AS nv
+         FROM g{i} GROUP BY cell),
 c{i} AS (SELECT c.cell, coalesce(n.nv, c.cvec) AS cvec
          FROM c{p} c LEFT JOIN n{i} n USING (cell))""")
     parts.append(f"""cents AS (SELECT cell, cvec FROM c{n_iters}),

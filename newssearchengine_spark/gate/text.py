@@ -133,6 +133,55 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- denormalization with a REAL hash-checked oracle --------------------
+# The general backoff loop (shrink the stem until the regex matches,
+# wapo/parser.py:59-67) isn't SQL — but when every keyword resolves on the
+# FIRST probe (no backoff), denormalization IS: surface =
+# regexp_extract(text, '\b<kw>\w*') per keyword. Keywords here are 4-char
+# prefixes of the doc's first 3 whitespace tokens, so each keyword matches
+# its own source token by construction (prefix of a real word). Output
+# order is lexicographic (match offsets aren't SQL-reconstructible);
+# offset ordering + full backoff stay covered by the pytest-verified
+# tx_denorm_keywords gate and tests/test_denorm_keywords.py.
+_DENORM_NB_SQL = """WITH kwd AS (
+  SELECT doc_id, text,
+         list_transform(list_slice(string_split(text, ' '), 1, 3),
+                        w -> substring(w, 1, 4)) AS kws
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           list_transform(kws,
+             k -> regexp_extract(text, '\\b' || k || '[\\w]*', 0)),
+           s -> s IS NOT NULL AND s <> ''))) AS surfaces
+  FROM kwd
+)
+SELECT doc_id, array_to_string(surfaces, ' ') AS denormalized FROM ex"""
+
+
+@gate_query("tx_denorm_keywords_nb", _DENORM_NB_SQL)
+def tx_denorm_keywords_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY K5 denormalization through the REAL operator (the same
+    pandas-UDF regex path as tx_denorm_keywords), hash-checked: keywords
+    are constructed so no backoff is ever needed, which makes the oracle
+    a per-keyword regexp_extract in DuckDB (see _DENORM_NB_SQL)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.transform(F.slice(F.split(F.col("text"), " "), 1, 3),
+                    lambda w: F.substring(w, 1, 4)).alias("keywords"),
+    )
+    out = T.denormalize_keywords(docs, keywords_col="keywords",
+                                 text_col="text")
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("denormalized"))))
+        .alias("denormalized"),
+    )
+
+
 _HL_TERMS = ["table", "merge"]
 
 

@@ -253,6 +253,7 @@ def phrase_bm25_topk(
     id_col: str = "doc_id",
     analyzer: AnalyzerConfig | None = None,
     bm25: BM25Config | None = None,
+    _lazy: bool = False,
 ) -> DataFrame:
     """Phrase retrieval (ES match_phrase — part of the ES query surface the
     reference's engine exposes, though its experiments issue only
@@ -308,10 +309,29 @@ def phrase_bm25_topk(
     )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
+    out = topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "doc_id", "score",
     )
+    if _lazy:
+        # plan-introspection path (tests): hand back the live declarative
+        # plan; the cache is released up front, so the returned plan
+        # recomputes from the scan — the full codegen shape
+        occ_rel.unpersist()
+        return out
+    return _eager_topk(occ_rel, out)
+
+
+def _eager_topk(rel: DataFrame, out: DataFrame, schema: str | None = None
+                ) -> DataFrame:
+    """Materialize a (tiny, <= k rows) result and release the persisted
+    intermediate: these ops persist a relation shared by a stats action
+    and the final plan, and returning lazily would leak the cache in
+    long-lived sessions (ADVICE fix; same pattern as plans.search)."""
+    schema = schema or "rank bigint, doc_id bigint, score double"
+    rows = out.collect()
+    rel.unpersist()
+    return out.sparkSession.createDataFrame(rows, schema)
 
 
 def np_log1p(x: float) -> float:
@@ -396,10 +416,10 @@ def bool_bm25_topk(
 
     topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
+    return _eager_topk(tf, topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "doc_id", "score",
-    )
+    ))
 
 
 def significant_terms(
@@ -473,7 +493,7 @@ def significant_terms(
     )
     topn = scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
     w = Window.orderBy(F.desc("score"), F.asc("term"))
-    return topn.select(
+    return _eager_topk(tf, topn.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "term", "fg_df", "bg_df", "score",
-    )
+    ), "rank bigint, term string, fg_df bigint, bg_df bigint, score double")

@@ -195,32 +195,48 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
 
 
 def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
-                             n_cells: int = 16, id_col: str = "vec_id",
+                             n_cells: int = 16, probe_cells: int = 1,
+                             id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed.
 
-    Scale path: candidate pairs only form WITHIN an IVF cell (near-identical
-    vectors share a nearest centroid), so the join is cell-local instead of
-    an all-pairs product — the embedding analog of LSH banding. Returns
-    (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+    Scale path: candidate pairs only form within a SHARED IVF cell
+    (near-identical vectors share a nearest centroid), so the join is
+    cell-local instead of an all-pairs product — the embedding analog of
+    LSH banding. Returns (id_a, id_b, cos) with cos >= threshold,
+    id_a < id_b.
 
-    Caveat (documented recall/cost trade): true near-dups straddling a cell
-    boundary are missed; lower the centroid count or probe neighbors for
-    higher recall.
+    probe_cells=1 buckets each vector into its single nearest cell (the
+    cheapest form; true near-dups straddling a cell boundary are missed).
+    probe_cells=2 assigns each vector to its top-2 cells for CANDIDATE
+    GENERATION (the scoring is exact either way): a boundary-straddling
+    pair shares at least one cell whenever either vector's 2nd-nearest
+    cell is the other's nearest — recall up at bounded cost (candidates
+    ~probe_cells^2 per colliding pair, never corpus-quadratic).
     """
-    from .similarity import as_double, cosine, ivf_assign
+    from .similarity import as_double, cosine, ivf_assign_topn
 
-    assign = ivf_assign(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign_topn(emb, n_cells, probe_cells,
+                             id_col=id_col, vec_col=vec_col)
+    cand = (
+        assign.alias("a")
+        .join(assign.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+        .distinct()  # a pair sharing 2 cells must score (and emit) once
+    )
     v = emb.select(F.col(id_col).alias("vec_id"),
-                   as_double(F.col(vec_col)).alias("v")).join(assign, "vec_id")
-    a, b = v.alias("a"), v.alias("b")
+                   as_double(F.col(vec_col)).alias("v"))
     return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(v.select(F.col("vec_id").alias("id_a"),
+                           F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"),
+                       F.col("v").alias("vb")), "id_b")
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -92,13 +92,24 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
       assign    argmax cosine, rounded 9dp, ties -> lowest cell
       update    per-dimension MEAN of the assigned UNIT vectors
                 (spherical k-means; cosine is scale-invariant so the mean
-                need not be renormalized); empty cells keep their
+                need not be renormalized), components rounded 12dp so the
+                iteration STATE is bit-comparable across engines (not just
+                the assignments — distributed summation order must not
+                leak into the next iteration); empty cells keep their
                 previous centroid
     Each iteration is one distributed assign + one aggregation; the tiny
     (n_cells x dim) centroid table is collected and re-broadcast per
     iteration — exactly the production shape at 10^12 vectors, where
     centroids are the only driver-sized state.
+
+    The mean is computed ARRAY-WISE with Spark-ML Summarizer (one
+    incremental vector aggregation per cell) — never by exploding vectors
+    to (cell, dim) rows, which at dim=768 would multiply the shuffle by
+    768x per iteration.
     """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
     spark = emb.sparkSession
     uv_df = (
         emb.select(F.col(id_col).alias("vec_id"),
@@ -113,18 +124,15 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
     )
     for _ in range(n_iters):
         a = _argmax_cell(uv_df.select("vec_id", F.col("uv").alias("v")), cents)
-        exploded = (
-            uv_df.join(a, "vec_id")
-            .select("cell", F.posexplode("uv"))
-            .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
-        )
         means = (
-            exploded.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+            uv_df.join(a, "vec_id")
             .groupBy("cell")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("nv"))
+            .agg(vector_to_array(
+                Summarizer.mean(array_to_vector(F.col("uv")))
+            ).alias("nv_raw"))
+            .select("cell",
+                    F.transform(F.col("nv_raw"),
+                                lambda x: F.round(x, 12)).alias("nv"))
         )
         nxt = cents.join(means, "cell", "left").select(
             "cell", F.coalesce("nv", "cvec").alias("cvec")
@@ -138,10 +146,12 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
     return cents
 
 
-def _argmax_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, v) x (cell, cvec) -> (vec_id, cell): max-cosine cell,
-    cosine rounded 9dp so cross-engine float noise cannot flip the
-    argmax, ties -> lowest cell."""
+def _argmax_cell(vecs: DataFrame, cents: DataFrame,
+                 n_probe: int = 1) -> DataFrame:
+    """(vec_id, v) x (cell, cvec) -> (vec_id, cell): the n_probe
+    max-cosine cells per vector (one row each), cosine rounded 9dp so
+    cross-engine float noise cannot flip the argmax, ties -> lowest
+    cell."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell",
         F.round(cosine(F.col("v"), F.col("cvec")), 9).alias("ccos"),
@@ -149,9 +159,36 @@ def _argmax_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("vec_id", "cell")
     )
+
+
+def ivf_assign_topn(emb: DataFrame, n_cells: int | None, n_probe: int, *,
+                    centroids: DataFrame | None = None,
+                    kmeans_iters: int = 0,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe assignment: every vector assigned to its n_probe
+    nearest centroids (one (vec_id, cell) row per probe). Candidate-
+    generation form for near-dup detection — vectors straddling a cell
+    boundary share their 2nd-nearest cell, recovering the pairs a
+    single-cell bucketing misses (bounded cost: candidate volume scales
+    ~n_probe^2 per colliding pair, not with the corpus)."""
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    if centroids is None:
+        if kmeans_iters > 0:
+            centroids = kmeans_centroids(emb, n_cells, kmeans_iters,
+                                         id_col=id_col, vec_col=vec_col)
+        else:
+            centroids = emb.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+    vecs = emb.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("v"))
+    return _argmax_cell(vecs, centroids, n_probe=n_probe)
 
 
 def ivf_assign(emb: DataFrame, n_cells: int | None, *,

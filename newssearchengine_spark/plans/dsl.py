@@ -24,13 +24,20 @@ from pyspark.sql import functions as F
 
 from .search import SegmentIndex, search_dismax
 
-_STOP_OPERATORS = {"OR", "AND"}
-
-
 def _strip_operators(query: str) -> str:
     """ES query_string disjunctions arrive as 'a OR b OR c' — the engine
-    analyzes the raw text, so drop the operator tokens."""
-    return " ".join(t for t in query.split() if t.upper() not in _STOP_OPERATORS)
+    analyzes the raw text, so drop the OR tokens. An explicit 'AND'
+    operator would change the result set (conjunction), so it is
+    REJECTED rather than silently treated as OR; the reference only ever
+    issues OR-joined query strings (wapo/experiments/ranking.py:127)."""
+    toks = query.split()
+    if any(t.upper() == "AND" for t in toks):
+        raise ValueError(
+            "query_string 'AND' operator is not supported: the adapter "
+            "evaluates OR-disjunctions (use a bool query with must "
+            "clauses for conjunctions)"
+        )
+    return " ".join(t for t in toks if t.upper() != "OR")
 
 
 def _field_text(spec: dict) -> tuple[str, str]:
@@ -88,20 +95,26 @@ def es_search(indexes, body: dict, size: int = 10, *,
     if kind == "bool":
         si = one()
 
-        def terms_of(clauses) -> list[str]:
-            out: list[str] = []
+        def clauses_of(clauses) -> list[list[str]]:
+            """One analyzed term list PER CLAUSE: a multi-token match
+            under `must` requires the doc to match the CLAUSE (OR of its
+            tokens, the ES match default) — not every token."""
+            out: list[list[str]] = []
             for c in (clauses if isinstance(clauses, list) else [clauses]):
                 ck, cs = next(iter(c.items()))
                 if ck not in ("match", "term"):
                     raise ValueError(f"unsupported bool clause: {ck}")
                 _, text = _field_text(cs)
-                out.extend(si.analyze_query(text))
+                toks = si.analyze_query(text) if ck == "match" else [text]
+                if toks:  # a clause analyzed to nothing is a no-op
+                    out.append(toks)
             return out
 
+        flat = lambda cl: [t for c in clauses_of(cl) for t in c]
         return si.search_bool(
-            must=terms_of(spec.get("must", [])),
-            should=terms_of(spec.get("should", [])),
-            must_not=terms_of(spec.get("must_not", [])),
+            must=clauses_of(spec.get("must", [])),
+            should=flat(spec.get("should", [])),
+            must_not=flat(spec.get("must_not", [])),
             k=size,
         )
 

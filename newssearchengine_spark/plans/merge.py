@@ -49,7 +49,10 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
             raise ValueError(f"incompatible indexes: {key} differs")
     if sa.get("with_positions", False) != sb.get("with_positions", False):
         raise ValueError("incompatible indexes: with_positions differs")
+    if sa.get("with_term_vectors", False) != sb.get("with_term_vectors", False):
+        raise ValueError("incompatible indexes: with_term_vectors differs")
     with_positions = bool(sa.get("with_positions", False))
+    with_term_vectors = bool(sa.get("with_term_vectors", False))
 
     store_a = spark.read.parquet(os.path.join(index_a, "doc_store"))
     store_b = spark.read.parquet(os.path.join(index_b, "doc_store"))
@@ -80,6 +83,24 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
+
+    # forward index: doc-id spaces are disjoint (checked above), so the
+    # merged term_vectors is a plain union re-partitioned by doc_part —
+    # without this, the merged stats would advertise with_term_vectors
+    # while term_vectors()/keywords_tf_idf()/significant_terms() die on a
+    # missing parquet path.
+    if with_term_vectors:
+        tv_schema = "doc_id bigint, term string, tf int, dl int, doc_part bigint"
+        tv_a = spark.read.schema(tv_schema).parquet(
+            os.path.join(index_a, "term_vectors"))
+        tv_b = spark.read.schema(tv_schema).parquet(
+            os.path.join(index_b, "term_vectors"))
+        (
+            tv_a.unionByName(tv_b)
+            .repartition("doc_part").sortWithinPartitions("doc_id", "term")
+            .write.mode("overwrite").partitionBy("doc_part")
+            .parquet(os.path.join(out_dir, "term_vectors"))
+        )
 
     stats = dict(sa)
     stats.update(

@@ -110,10 +110,45 @@ def test_dsl_single_index_forms(two_field):
         "must": [{"match": {"text": "nodeCursor"}}],
         "must_not": [{"match": {"text": "protoShard"}}],
     }}}, 10).collect()
-    want = si.search_bool(must=["node", "cursor"], must_not=["proto", "shard"],
-                          k=10).collect()
+    # ES semantics: ONE must clause = doc must match the clause (OR of its
+    # analyzed tokens), not every token
+    want = si.search_bool(must=[["node", "cursor"]],
+                          must_not=["proto", "shard"], k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == \
         [(r["doc_id"], r["score"]) for r in want]
     assert es_search(si, {"prefix": {"text": "curso"}}, 5).collect()
     with pytest.raises(ValueError, match="unsupported"):
         es_search(si, {"more_like_this": {}}, 5)
+
+
+def test_bool_must_clause_is_or_of_tokens(spark, two_field):
+    """A multi-token match clause under must admits docs containing ANY
+    of its tokens (ES match default) — while TWO single-token clauses
+    require both. Checked against the tf relation directly."""
+    two, idxs = two_field
+    si = idxs["text"]
+    one_clause = {d for (d,) in es_search(si, {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+    }}}, 400).select("doc_id").collect()}
+    two_clauses = {d for (d,) in es_search(si, {"query": {"bool": {
+        "must": [{"match": {"text": "node"}}, {"match": {"text": "cursor"}}],
+    }}}, 400).select("doc_id").collect()}
+
+    from newssearchengine_spark.functions.analysis import doc_term_freqs
+    tf = doc_term_freqs(two, text_col="text", id_col="doc_id").filter(
+        F.col("term").isin(["node", "cursor"]))
+    per_doc = {r["doc_id"]: r["ts"] for r in tf.groupBy("doc_id").agg(
+        F.collect_set("term").alias("ts")).collect()}
+    want_any = {d for d, ts in per_doc.items() if ts}
+    want_all = {d for d, ts in per_doc.items() if len(ts) == 2}
+    assert one_clause == want_any
+    assert two_clauses == want_all
+    assert want_all < want_any  # the distinction is actually exercised
+
+
+def test_query_string_and_operator_rejected(two_field):
+    _, idxs = two_field
+    body = {"query": {"query_string": {
+        "fields": ["text"], "query": "node AND cursor"}}}
+    with pytest.raises(ValueError, match="AND"):
+        es_search(idxs["text"], body, size=10)

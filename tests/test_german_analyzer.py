@@ -106,3 +106,47 @@ def test_spark_german_pipeline_matches_oracle(spark):
     assert [r["doc_id"] for r in have] == [d for d, _ in want]
     for r, (_, s) in zip(have, want):
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_de_gate_stem_preimages_are_singletons():
+    """The ft_bm25_topk_de driver oracle assumes each query stem has
+    EXACTLY one surface form in the Germanified gate-corpus vocabulary
+    (and that the query analyzes to exactly those stems) — then stem-space
+    tf/df equal plain surface-token counts and DuckDB needs no stemmer.
+    Scan the vocabulary of every gate sf dir present so testdata drift
+    fails here, not silently in the driver."""
+    import os
+    import re
+
+    import duckdb
+
+    from newssearchengine_spark.config import german_analyzer
+    from newssearchengine_spark.functions.german import (GERMAN_STOPWORDS,
+                                                         WORD_RE, stem_german)
+    from newssearchengine_spark.gate.fulltext import _DE_STEM_SURFACES
+    from newssearchengine_spark.oracle import pure
+
+    assert pure.analyze("Tabelle Zusammenführung Fenster",
+                        german_analyzer()) == list(_DE_STEM_SURFACES)
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = duckdb.sql(
+            f"SELECT text FROM read_parquet('{path}')").fetchall()
+        vocab = set()
+        for (t,) in rows:
+            t = re.sub(r"\btable\b", "Tabellen", t)
+            t = re.sub(r"\bmerge\b", "Zusammenführungen", t)
+            t = re.sub(r"\bwindow\b", "Fenstern", t)
+            vocab.update(tok.lower() for tok in WORD_RE.findall(t))
+        pre = {s: set() for s in _DE_STEM_SURFACES}
+        for tok in vocab:
+            if tok in GERMAN_STOPWORDS:
+                continue
+            st = stem_german(tok)
+            if st in pre:
+                pre[st].add(tok)
+        assert pre == {s: {surf} for s, surf in _DE_STEM_SURFACES.items()}, (
+            sf, pre)

@@ -126,3 +126,42 @@ def test_merged_phrase_search_equals_cold_build(spark, merged_setup, tmp_path):
         assert [(r["doc_id"], r["score"]) for r in a] == \
                [(r["doc_id"], r["score"]) for r in b]
         assert a, f"fixture phrase {phrase} should match some docs"
+
+
+def test_merged_term_vectors_serves_forward_index(spark, tmp_path):
+    """ADVICE fix: merging two with_term_vectors indexes must carry the
+    forward index through — term_vectors()/keywords_tf_idf() on the merged
+    index must work and match a cold build over the union corpus. Also:
+    merging a with_term_vectors index with a without one must be rejected
+    (stats flag mismatch), not silently produce a broken index."""
+    cfg = IndexConfig(n_buckets=4, doc_range=64, block_size=16,
+                      with_term_vectors=True)
+    corpus = assign_doc_ids(source_files(spark, 300, seed=23, partitions=2),
+                            num_partitions=2).persist()
+    a = corpus.filter("doc_id < 200")
+    b = corpus.filter("doc_id >= 200")
+    da, db, dm, dc = (str(tmp_path / x) for x in ("a", "b", "m", "cold"))
+    build_index(a, da, cfg)
+    build_index(b, db, cfg)
+    merge_indexes(spark, da, db, dm)
+    build_index(corpus, dc, cfg)
+
+    sm, sc = SegmentIndex(spark, dm), SegmentIndex(spark, dc)
+    ids = [5, 150, 250]
+    tv_m = sorted(map(tuple, sm.term_vectors(ids).collect()))
+    tv_c = sorted(map(tuple, sc.term_vectors(ids).collect()))
+    assert tv_m == tv_c and len(tv_m) > 0
+
+    kw_m = sorted(map(tuple, sm.keywords_tf_idf(ids, min_tf=1, min_df=1,
+                                                top_n=5).collect()))
+    kw_c = sorted(map(tuple, sc.keywords_tf_idf(ids, min_tf=1, min_df=1,
+                                                top_n=5).collect()))
+    assert kw_m == kw_c and len(kw_m) > 0
+
+    cfg_no = IndexConfig(n_buckets=4, doc_range=64, block_size=16,
+                         with_term_vectors=False)
+    dn = str(tmp_path / "n")
+    build_index(b, dn, cfg_no)
+    with pytest.raises(ValueError, match="with_term_vectors"):
+        merge_indexes(spark, da, dn, str(tmp_path / "x"))
+    corpus.unpersist()

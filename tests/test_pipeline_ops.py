@@ -269,3 +269,56 @@ def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
         .select(F.sha2("content", 256).alias("h")).distinct().collect()
     }
     assert set(hashes) == expected
+
+
+def test_embedding_near_dup_neighbor_probe_recovers_boundary_pair(spark):
+    """A constructed near-dup pair straddling an IVF cell boundary:
+    single-cell bucketing (probe_cells=1) misses it, top-2-cell candidate
+    generation (probe_cells=2) finds it — and emits it exactly once even
+    though the pair shares both probed cells."""
+    from newssearchengine_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),     # seed centroid for cell 0
+        (1, [0.0, 1.0]),     # seed centroid for cell 1
+        (2, [0.72, 0.69]),   # nearest cell 0 ...
+        (3, [0.69, 0.72]),   # ... nearest cell 1, but cos(2,3) ~ 0.999
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    p1 = {(r["id_a"], r["id_b"])
+          for r in embedding_near_dup_pairs(emb, threshold=0.95, n_cells=2,
+                                            probe_cells=1).collect()}
+    assert (2, 3) not in p1  # the documented single-probe boundary miss
+
+    got = embedding_near_dup_pairs(emb, threshold=0.95, n_cells=2,
+                                   probe_cells=2).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert pairs.count((2, 3)) == 1
+    assert {(2, 3)} == set(pairs)  # centroid pair (0,1) has cos 0 < 0.95
+
+
+def test_ivf_derived_sizing_production_path(spark, sf_tiny):
+    """n_cells=None flows through ivf_assign/ivf_knn (derive_n_cells
+    internally) and equals the explicitly-sized call — the production
+    sizing path, not just the helper."""
+    from newssearchengine_spark.operators.similarity import (
+        derive_n_cells, ivf_assign, ivf_knn,
+    )
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet").persist()
+    n = emb.count()
+    nc = derive_n_cells(n)
+    assert nc != 16  # the gate constant must not mask the derived path
+
+    a_none = sorted(map(tuple, ivf_assign(emb, None).collect()))
+    a_expl = sorted(map(tuple, ivf_assign(emb, nc).collect()))
+    assert a_none == a_expl
+    assert len({c for _, c in a_none}) > 1
+
+    k_none = [tuple(r) for r in ivf_knn(emb, 3, 10, n_cells=None,
+                                        nprobe=5).collect()]
+    k_expl = [tuple(r) for r in ivf_knn(emb, 3, 10, n_cells=nc,
+                                        nprobe=5).collect()]
+    assert k_none == k_expl and len(k_none) == 10
+    emb.unpersist()

@@ -94,9 +94,11 @@ def test_phrase_plan_is_jvm_side(spark, sf_tiny):
     from newssearchengine_spark.operators.bm25 import phrase_bm25_topk
 
     docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    # _lazy: the production form eagerly materializes its <= k rows (cache
+    # hygiene); the lazy form exposes the live plan this test inspects
     q = phrase_bm25_topk(docs, ["table", "scan"], 10, text_col="text",
                          analyzer=AnalyzerConfig(
-                             stopwords=ENGLISH_MIN_STOPWORDS))
+                             stopwords=ENGLISH_MIN_STOPWORDS), _lazy=True)
     p = plan(q)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the consecutive-match predicate compiles to higher-order exprs on the
@@ -151,16 +153,22 @@ def _live_parquet_scans(p: str) -> int:
 
 def test_hot_ops_single_corpus_scan(spark, sf_tiny):
     """significant_terms / bool_bm25_topk / phrase_bm25_topk persist their
-    tokenized relation: after the internal stats action, the RETURNED plan
-    reads the cache (InMemoryTableScan) and performs ZERO live scans of
-    the documents parquet — one total tokenize pass per op."""
+    tokenized relation (one corpus tokenize pass shared by the stats
+    action and the scoring plan), eagerly materialize the tiny top-k, and
+    UNPERSIST before returning: the returned plan performs zero live
+    parquet scans AND no cached relation is leaked into the session
+    (ADVICE leak fix — long-lived sessions must not accumulate caches)."""
     from newssearchengine_spark.operators.bm25 import (
         bool_bm25_topk, phrase_bm25_topk, significant_terms,
     )
 
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
     cfg = AnalyzerConfig(stopwords=ENGLISH_MIN_STOPWORDS)
     docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
 
+    before = n_cached()
     q1 = significant_terms(docs, ["table", "hash"], 10, text_col="text",
                            analyzer=cfg)
     q2 = bool_bm25_topk(docs, must=["table"], should=["hash"],
@@ -168,10 +176,25 @@ def test_hot_ops_single_corpus_scan(spark, sf_tiny):
                         analyzer=cfg)
     q3 = phrase_bm25_topk(docs, ["table", "scan"], 10, text_col="text",
                           analyzer=cfg)
+    assert n_cached() == before, "persisted relation leaked by a hot op"
     for q in (q1, q2, q3):
-        p = plan(q, mode="simple")
-        assert "InMemoryTableScan" in p
-        assert _live_parquet_scans(p) == 0, p
+        assert q.count() > 0
+        assert _live_parquet_scans(plan(q, mode="simple")) == 0
     # sanity: the helper DOES see a live scan on an uncached plan
     assert _live_parquet_scans(
         plan(docs.select("doc_id"), mode="simple")) == 1
+
+
+def test_ltr_rerank_persists_feature_subtree(spark):
+    """ex_ltr_rerank materializes `feats` ONCE: the returned plan reads
+    the cache for all three consumers (train stats, weights, scoring) and
+    performs zero live parquet scans (VERDICT fix: the unpersisted
+    feature subtree re-ran the whole retrieval pipeline per branch)."""
+    from newssearchengine_spark.gate.experiments import ex_ltr_rerank
+
+    q = ex_ltr_rerank(spark, "/root/testdata/sf0.001")
+    p = plan(q, mode="simple")
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p
+    assert _live_parquet_scans(p) == 0, p
+    assert q.count() > 0
+    spark.catalog.clearCache()  # release the gate-scope cache in tests
