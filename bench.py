@@ -98,7 +98,7 @@ def main() -> None:
             n_docs / timings["index_build_nopos"], 2)
 
         # 2) BM25 query latency over the prebuilt index (warm engine)
-        si = SegmentIndex(spark, idx_dir).warm()
+        si = SegmentIndex(spark, idx_dir).warm(positions=True)
         si.search(["warmup"], 10, mode="taat").collect()
         lat = []
         for terms in BM25_QUERY_TERMS * 2:

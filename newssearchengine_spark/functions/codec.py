@@ -22,6 +22,50 @@ from __future__ import annotations
 
 import numpy as np
 
+# -- Catalyst (codegen) counterpart of the per-posting positions encoder --
+# The per-TERM positions blob is, by construction (encode_positions), the
+# doc-order concatenation of per-POSTING independent varbyte runs: within
+# one doc the first position is absolute and the rest are gaps, so no state
+# crosses a posting boundary. That makes the packing shuffle-commutable:
+# each (doc, term) row can pack its own positions into binary BEFORE the
+# segment shuffle — in whole-stage codegen, no Python — and the encoder
+# merely byte-joins the blobs in doc order. At dim build scale this swaps
+# the shuffled representation from array<int> (4+ bytes/position plus
+# UnsafeArray headers) to ~1 byte/position varbyte.
+
+
+def _vb_hex(d):
+    """bigint column (0 <= d < 2^35) -> hex string of its varbyte bytes
+    (little-endian 7-bit groups, MSB = continuation), built from pure
+    Catalyst expressions."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for k in range(5):
+        group = F.shiftright(d, 7 * k).bitwiseAND(F.lit(127))
+        cont = F.when(d >= F.lit(1 << (7 * (k + 1))), F.lit(128)).otherwise(
+            F.lit(0))
+        byte = F.lpad(F.hex(group + cont), 2, "0")
+        parts.append(byte if k == 0 else
+                     F.when(d >= F.lit(1 << (7 * k)), byte).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def positions_pack_expr(pos):
+    """array<int> strictly-increasing positions -> binary, bit-identical to
+    ``encode_positions`` restricted to one posting (first absolute, rest
+    deltas, varbyte). Values up to 2^35 are supported — beyond any real
+    per-doc token count. Runs entirely inside codegen (hex assembly +
+    one unhex), so the pre-shuffle pack costs no Python and the segment
+    shuffle carries compressed bytes instead of int arrays."""
+    from pyspark.sql import functions as F
+
+    p = pos.cast("array<long>")
+    prev = F.concat(F.array(F.lit(0).cast("long")),
+                    F.slice(p, 1, F.greatest(F.size(p) - 1, F.lit(0))))
+    deltas = F.zip_with(p, prev, lambda a, b: a - b)
+    return F.unhex(F.array_join(F.transform(deltas, _vb_hex), ""))
+
 # 7-bit groups: values >= 2^(7k) need more than k bytes; full uint64 needs 10
 _THRESH = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 

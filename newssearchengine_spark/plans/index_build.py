@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..config import AnalyzerConfig, IndexConfig
 from ..functions.analysis import doc_term_freqs, doc_term_positions
-from ..functions.codec import encode_positions, encode_postings
+from ..functions.codec import encode_postings, positions_pack_expr
 
 SEGMENT_SCHEMA = (
     "bucket int, doc_part bigint, term string, df bigint, cf bigint, "
@@ -132,10 +132,11 @@ def _make_encoder(cfg: IndexConfig, avgdl: float):
                 k1=k1, b=b, avgdl=avgdl, block_size=block_size,
             )
             if with_positions:
-                flat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in poss[s:e]]
-                )
-                pos_b = encode_positions(flat, tfs[s:e])
+                # rows arrive with their positions ALREADY varbyte-packed
+                # (positions_pack_expr ran pre-shuffle, in codegen); the
+                # per-term blob is just the doc-order concatenation —
+                # bit-identical to encode_positions on the flat list
+                pos_b = b"".join(poss[s:e])
             else:
                 pos_b = None
             rows.append(
@@ -274,9 +275,14 @@ def build_index(
     if max_buckets is not None:
         pending = pending[:max_buckets]
 
-    keyed_cols = ["term", "doc_id", "tf", "dl"]
+    keyed_cols: list = ["term", "doc_id", "tf", "dl"]
     if cfg.with_positions:
-        keyed_cols.append("positions")
+        # pack positions to delta+varbyte binary BEFORE the shuffle (pure
+        # codegen): the exchange carries ~1 byte/position instead of an
+        # int array — the positional sidecar no longer doubles the
+        # shuffle payload (round-2 scaling bottleneck)
+        keyed_cols.append(
+            positions_pack_expr(F.col("positions")).alias("positions"))
     keyed = tf.select(
         bucket_expr(F.col("term"), cfg.n_buckets).alias("bucket"),
         (F.col("doc_id") / cfg.doc_range).cast("bigint").alias("doc_part"),

@@ -43,6 +43,19 @@ from .index_build import term_bucket
 TOPK_SCHEMA = "doc_id bigint, score double"
 
 
+def _eager_topk(rel: DataFrame, out: DataFrame,
+                schema: str = "rank bigint, doc_id bigint, score double"
+                ) -> DataFrame:
+    """Materialize a (tiny, <= k rows) top-k result and release the
+    persisted intermediate `rel` — phrase/bool search persist a candidate
+    relation shared by a stats action and the scoring plan, and a lazy
+    return would leak that cache in long-lived sessions (e.g. the
+    incremental-index stream that queries every batch)."""
+    rows = out.collect()
+    rel.unpersist()
+    return out.sparkSession.createDataFrame(rows, schema)
+
+
 class SegmentIndex:
     """Handle over an index directory written by plans.index_build."""
 
@@ -67,12 +80,35 @@ class SegmentIndex:
             os.path.join(self.index_dir, "term_stats"),
             "term string, df bigint, cf bigint, bucket int",
         )
-        self._segments = self._read_or_empty(
+        full = self._read_or_empty(
             os.path.join(self.index_dir, "segments"), SEGMENT_SCHEMA
         )
+        # Split caches: the HOT segment relation excludes the positions
+        # sidecar, so disjunction/bool/dismax workloads never materialize
+        # (or pin in executor memory) position blobs — column pruning that
+        # actually reaches the cache, not just the scan. The positional
+        # relation is persisted lazily on first phrase query.
+        self._segments = full.select(
+            "bucket", "doc_part", "term", "df", "cf",
+            "docs", "tfs", "dls", "block_last", "block_max",
+        )
+        self._pos_segments_df = full.select(
+            "bucket", "doc_part", "term", "docs", "tfs", "dls", "positions"
+        )
+        self._cache = cache
+        self._pos_cached = False
         if cache:
             self._tstats = self._tstats.persist()
             self._segments = self._segments.persist()
+
+    def _pos_segments(self) -> DataFrame:
+        """Positional segment relation (phrase paths only); persisted on
+        first touch when caching is on — its lifecycle is separate from
+        the hot cache so non-phrase sessions never pay its memory."""
+        if self._cache and not self._pos_cached:
+            self._pos_segments_df = self._pos_segments_df.persist()
+            self._pos_cached = True
+        return self._pos_segments_df
 
     def _read_or_empty(self, path: str, schema: str):
         """Parquet read with an explicit schema so empty/absent directories
@@ -133,12 +169,17 @@ class SegmentIndex:
                 out[t] = int(d)
         return out
 
-    def warm(self) -> "SegmentIndex":
+    def warm(self, positions: bool = False) -> "SegmentIndex":
         """Materialize the cached segment + term-stats tables (one pass) so
         first queries don't pay lazy cache population — the 'warm engine'
-        precondition of the p95 metric (BASELINE.md)."""
+        precondition of the p95 metric (BASELINE.md). positions=True also
+        warms the positional sidecar cache (phrase-serving deployments);
+        the default leaves it lazy so pure-disjunction sessions never
+        touch position blobs."""
         self._segments.count()
         self._tstats.count()
+        if positions and self.stats.get("with_positions"):
+            self._pos_segments().count()
         return self
 
     def doc_store(self) -> DataFrame:
@@ -345,7 +386,7 @@ class SegmentIndex:
         buckets = sorted({term_bucket(t, n_buckets) for t in uterms})
 
         seg = (
-            self._segments
+            self._pos_segments()
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(uterms))
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
@@ -372,10 +413,10 @@ class SegmentIndex:
         )
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        out = topk.select(
+        out = _eager_topk(cand, topk.select(
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score",
-        )
+        ))
         if with_meta:
             out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
         return out
@@ -553,33 +594,51 @@ class SegmentIndex:
                     k: int) -> DataFrame:
         """ES `bool` query from the INDEX (compositional form:
         operators.bm25.bool_bm25_topk — asserted identical in tests):
-        docs must contain ALL `must` terms and NONE of `must_not`,
-        scored by the summed BM25 of must+should, rounded 6dp before the
-        (score desc, doc_id asc) top-k cut.
+        docs must satisfy EVERY `must` clause and NONE of `must_not`,
+        scored by the summed BM25 of must+should terms, rounded 6dp
+        before the (score desc, doc_id asc) top-k cut.
+
+        `must` elements are CLAUSES: a plain string is a single required
+        term; a list of terms is one ES match clause — the doc must
+        contain AT LEAST ONE of its terms (an ES match defaults to OR of
+        its tokens; requiring every token would be `operator: "and"`
+        semantics, which the reference never issues). `should` and
+        `must_not` are flat term sets (ES: any should term adds score;
+        any must_not term excludes).
 
         Plan: one score_all pass over the scoring terms' postings, the
-        must-count constraint as a left_semi against the decoded postings
-        doc sets, must_not as a left_anti — all index reads, no corpus
-        scan."""
-        must = sorted(set(must or []))
+        per-clause constraint as a countDistinct(clause) against the
+        decoded postings doc sets joined to a broadcast term->clause map,
+        must_not as a left_anti — all index reads, no corpus scan."""
+        must_clauses = [
+            sorted({c} if isinstance(c, str) else set(c))
+            for c in (must or [])
+        ]
+        must_clauses = [c for c in must_clauses if c]
+        must_terms = sorted({t for c in must_clauses for t in c})
         should = sorted(set(should or []))
         must_not = sorted(set(must_not or []))
-        if not must and not should:
+        if not must_clauses and not should:
             raise ValueError("bool query needs at least one must or should term")
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
-        if must:
-            dfs = self.term_dfs(must)
-            if any(dfs.get(t, 0) == 0 for t in must):
-                return empty  # an absent must-term matches nothing
-        scores = self.score_all(sorted(set(must) | set(should)))
-        if must:
+        if must_terms:
+            dfs = self.term_dfs(must_terms)
+            if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
+                return empty  # a clause with only absent terms matches nothing
+        scores = self.score_all(sorted(set(must_terms) | set(should)))
+        if must_clauses:
+            cmap = self.spark.createDataFrame(
+                [(t, i) for i, c in enumerate(must_clauses) for t in c],
+                "term string, clause int",
+            )
             ok = (
-                self._term_docs(must)
+                self._term_docs(must_terms)
+                .join(F.broadcast(cmap), "term")
                 .groupBy("doc_id")
-                .agg(F.countDistinct("term").alias("n_must"))
-                .filter(F.col("n_must") == len(must))
+                .agg(F.countDistinct("clause").alias("n_must"))
+                .filter(F.col("n_must") == len(must_clauses))
                 .select("doc_id")
             )
             scores = scores.join(ok, "doc_id", "left_semi")
@@ -692,7 +751,7 @@ class SegmentIndex:
         n_buckets = int(self.stats["n_buckets"])
         buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
         seg = (
-            self._segments
+            self._pos_segments()
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(scan_terms))
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
@@ -718,10 +777,10 @@ class SegmentIndex:
         )
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return topk.select(
+        return _eager_topk(cand, topk.select(
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score",
-        )
+        ))
 
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE

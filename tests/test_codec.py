@@ -140,3 +140,43 @@ def test_positions_length_mismatch_rejected():
 
     with pytest.raises(ValueError):
         encode_positions(np.array([0, 1, 2]), np.array([2]))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_positions_pack_expr_matches_numpy(spark, seed):
+    """The pre-shuffle Catalyst packer is bit-identical to
+    encode_positions: per row it must produce that row's varbyte run
+    (first position absolute, rest gaps), and the doc-order byte-join of
+    rows equals the per-term blob the segment encoder used to build
+    post-shuffle. Values straddle every varbyte width up to 2^35."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.functions.codec import (decode_positions,
+                                                        encode_positions,
+                                                        positions_pack_expr)
+
+    rng = np.random.default_rng(2000 + seed)
+    lists = [
+        np.sort(rng.choice(int(hi), size=int(rng.integers(1, 25)),
+                           replace=False)).astype(np.int64)
+        for hi in (64, 5000, 1 << 20, (1 << 35) - 1)
+        for _ in range(15)
+    ]
+    lists.append(np.array([0], dtype=np.int64))  # chr(0)/first-abs-0 edge
+    rows = [(i, x.tolist()) for i, x in enumerate(lists)]
+    df = spark.createDataFrame(rows, "row_id long, positions array<long>")
+    got = {
+        r["row_id"]: bytes(r["blob"])
+        for r in df.select(
+            "row_id",
+            positions_pack_expr(F.col("positions")).alias("blob"),
+        ).collect()
+    }
+    for i, x in enumerate(lists):
+        want = encode_positions(x, np.array([len(x)], dtype=np.int64))
+        assert got[i] == want, i
+    # concat property: joined per-row blobs == whole-list encoding
+    tfs = np.array([len(x) for x in lists], dtype=np.int64)
+    joined = b"".join(got[i] for i in range(len(lists)))
+    assert joined == encode_positions(np.concatenate(lists), tfs)
+    assert np.array_equal(decode_positions(joined, tfs), np.concatenate(lists))

@@ -537,3 +537,19 @@ def test_indexed_significant_terms_matches_compositional(spark, corpus,
                   for r in a] == \
                  [(r["term"], r["fg_df"], r["bg_df"], r["score"])
                   for r in b]
+
+
+def test_hot_cache_excludes_positions(spark, corpus, index_dir):
+    """Cache split: disjunction queries never touch the positional
+    sidecar — the hot persisted segment relation has no positions column,
+    and the positional cache only materializes on the first phrase query
+    (column pruning that reaches executor MEMORY, not just the scan)."""
+    si = SegmentIndex(spark, index_dir).warm()
+    assert "positions" not in si._segments.columns
+    assert not si._pos_cached
+    assert si.search(["node", "cursor"], 5).count() > 0
+    assert si.search_bool(must=["node"], k=5).count() >= 0
+    assert not si._pos_cached  # still lazy after non-phrase traffic
+    assert si.search_phrase(["node", "cursor"], 5).count() >= 0
+    assert si._pos_cached
+    assert "positions" in si._pos_segments().columns
