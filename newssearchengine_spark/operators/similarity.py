@@ -119,43 +119,141 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
                 F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("uv"))
         .persist()
     )
-    cents = uv_df.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("uv").alias("cvec")
+    cent_rows = _collect_cent_rows(
+        uv_df.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("uv").alias("cvec")
+        )
     )
     for _ in range(n_iters):
-        a = _argmax_cell(uv_df.select("vec_id", F.col("uv").alias("v")), cents)
-        means = (
-            uv_df.join(a, "vec_id")
-            .groupBy("cell")
+        # Assignment is a pure PROJECTION (literal centroids — they were
+        # collected last round anyway), so each Lloyd iteration is ONE
+        # job: narrow argmax map -> groupBy(cell) vector mean (n_cells
+        # groups, map-side partial). No crossJoin rows, no per-vector
+        # window sort, no self-join.
+        assigned = (
+            uv_df.withColumn("nv", norm(F.col("uv")))
+            .select(
+                F.array_max(
+                    _cent_score_array(F.col("uv"), F.col("nv"), cent_rows)
+                )["cell"].alias("cell"),
+                "uv",
+            )
+        )
+        mean_rows = (
+            assigned.groupBy("cell")
             .agg(vector_to_array(
                 Summarizer.mean(array_to_vector(F.col("uv")))
             ).alias("nv_raw"))
             .select("cell",
                     F.transform(F.col("nv_raw"),
                                 lambda x: F.round(x, 12)).alias("nv"))
+            .collect()
         )
-        nxt = cents.join(means, "cell", "left").select(
-            "cell", F.coalesce("nv", "cvec").alias("cvec")
-        )
-        rows = nxt.collect()  # n_cells x dim: tiny, re-broadcast next round
-        cents = spark.createDataFrame(
-            [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows],
-            "cell bigint, cvec array<double>",
-        )
+        means = {int(r["cell"]): [float(x) for x in r["nv"]]
+                 for r in mean_rows}
+        # empty cells keep their previous centroid (driver-side merge —
+        # the n_cells x dim state is the only driver-sized object)
+        cent_rows = [(c, means.get(c, cv)) for c, cv in cent_rows]
     uv_df.unpersist()
-    return cents
+    return spark.createDataFrame(
+        [(c, cv) for c, cv in cent_rows], "cell bigint, cvec array<double>"
+    )
 
 
-def _argmax_cell(vecs: DataFrame, cents: DataFrame,
-                 n_probe: int = 1) -> DataFrame:
+#: below this many cells, centroids are collected driver-side and the
+#: assignment runs as a literal-array projection (no join, no shuffle);
+#: above it (derive_n_cells gives ~10^6 at 10^12 vectors) the broadcast
+#: join + map-side max_by aggregation path takes over.
+LITERAL_CELL_CAP = 4096
+
+
+def _collect_cent_rows(cents: DataFrame) -> list:
+    return [(int(r["cell"]), [float(x) for x in r["cvec"]])
+            for r in cents.collect()]
+
+
+def _cent_score_array(v: Column, nv: Column, cent_rows: list) -> Column:
+    """array<struct(ccos, negc, cell)> of the vector's 9dp-rounded cosine
+    against every literal centroid. Struct field order makes array_max /
+    array_sort rank by (score desc, cell asc): ties -> lowest cell, the
+    same contract as the join path and the DuckDB oracle. The centroid
+    norms are precomputed in Python float64 with the same left-to-right
+    summation as the `norm` fold, so scores are bit-identical to
+    cosine(v, cvec). All constants enter the plan as THREE array
+    Literals (matrix, norms, ids) walked by an indexed transform — never
+    one expression node per element, which makes Catalyst analysis cost
+    O(cells x dim)."""
+    import math
+
+    norms, cells, mat = [], [], []
+    for cell, cv in cent_rows:
+        s = 0.0
+        for x in cv:
+            s += x * x
+        norms.append(math.sqrt(s))
+        cells.append(int(cell))
+        mat.append([float(x) for x in cv])
+    # constants enter through ONE parsed SQL expression each: building
+    # them with per-element F.lit costs a Py4J round-trip per value
+    # (seconds per k-means iteration at 16x64); repr() round-trips
+    # float64 exactly and Spark's `...D` literal parses it back
+    # bit-identically
+    mat_l = F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in mat
+    ) + ")")
+    norms_l = F.expr("array(" + ",".join(f"{x!r}D" for x in norms) + ")")
+    cells_l = F.expr("array(" + ",".join(f"{c}L" for c in cells) + ")")
+    return F.transform(
+        mat_l,
+        lambda cv, i: F.struct(
+            F.round(
+                dot(v, cv) / (nv * F.element_at(norms_l, i + 1)), 9
+            ).alias("ccos"),
+            (-F.element_at(cells_l, i + 1)).cast("bigint").alias("negc"),
+            F.element_at(cells_l, i + 1).cast("bigint").alias("cell"),
+        ),
+    )
+
+
+def _argmax_cell(vecs: DataFrame, cents: DataFrame | None,
+                 n_probe: int = 1, cent_rows: list | None = None) -> DataFrame:
     """(vec_id, v) x (cell, cvec) -> (vec_id, cell): the n_probe
     max-cosine cells per vector (one row each), cosine rounded 9dp so
     cross-engine float noise cannot flip the argmax, ties -> lowest
-    cell."""
+    cell.
+
+    cent_rows (driver-local centroids) selects the shuffle-free literal
+    projection; a cents DataFrame selects the broadcast-join path whose
+    argmax is a map-side-partial max_by aggregation (n_probe == 1) or a
+    per-vector window (n_probe > 1, the small-centroid regime only)."""
+    if cent_rows is not None:
+        if not cent_rows:
+            return vecs.select(
+                "vec_id", F.lit(None).cast("bigint").alias("cell")
+            ).limit(0)
+        withnv = vecs.withColumn("nv", norm(F.col("v")))
+        scored = _cent_score_array(F.col("v"), F.col("nv"), cent_rows)
+        if n_probe == 1:
+            return withnv.select(
+                "vec_id", F.array_max(scored)["cell"].alias("cell")
+            )
+        # array_sort ascends by (ccos, negc); reversed -> score desc with
+        # ties -> lowest cell first
+        picked = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        return withnv.select(
+            "vec_id",
+            F.explode(F.transform(picked, lambda s: s["cell"])).alias("cell"),
+        )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell",
         F.round(cosine(F.col("v"), F.col("cvec")), 9).alias("ccos"),
     )
+    if n_probe == 1:
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("negc"))
+            ).alias("cell")
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -188,6 +286,9 @@ def ivf_assign_topn(emb: DataFrame, n_cells: int | None, n_probe: int, *,
             )
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("v"))
+    if n_cells <= LITERAL_CELL_CAP:
+        return _argmax_cell(vecs, None, n_probe=n_probe,
+                            cent_rows=_collect_cent_rows(centroids))
     return _argmax_cell(vecs, centroids, n_probe=n_probe)
 
 
@@ -216,6 +317,9 @@ def ivf_assign(emb: DataFrame, n_cells: int | None, *,
             )
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("v"))
+    if n_cells <= LITERAL_CELL_CAP:
+        return _argmax_cell(vecs, None,
+                            cent_rows=_collect_cent_rows(centroids))
     return _argmax_cell(vecs, centroids)
 
 
