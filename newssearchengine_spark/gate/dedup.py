@@ -195,3 +195,60 @@ FROM votes GROUP BY doc_id"""
 @gate_query("dd_simhash", _simhash_sql())
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load(spark, sf_dir, "documents"))
+
+
+# --- benchmark decontamination: n-gram membership vs a benchmark set ----
+_CONTAM_N = 8
+_CONTAM_BENCH = 16  # doc_id < 16 plays the benchmark suite
+
+
+def _contamination_sql(n: int, bench: int) -> str:
+    from .fulltext import _STOP_SQL
+
+    return f"""WITH karr AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(
+             regexp_replace(regexp_replace(text,
+                 '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                 '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')),
+             '[^a-z0-9]+'),
+           t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+                AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {n} THEN
+           list_transform(range(1, len(toks) - {n} + 2),
+             i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))
+           ELSE [] END) AS gs
+  FROM karr
+),
+bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < {bench}),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+hit AS (SELECT ex.doc_id, count(*)::BIGINT AS n_contaminated
+        FROM ex JOIN bg USING (g) GROUP BY 1)
+SELECT g.doc_id, len(g.gs)::BIGINT AS n_grams,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN len(g.gs) > 0
+                  THEN coalesce(h.n_contaminated, 0) / len(g.gs)::DOUBLE
+                  ELSE 0.0 END, 6) AS contamination
+FROM grams g LEFT JOIN hit h USING (doc_id)"""
+
+
+@gate_query("dd_contamination", _contamination_sql(_CONTAM_N, _CONTAM_BENCH))
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): per-doc overlap
+    with the benchmark set's analyzed 8-grams. Docs with doc_id < 16
+    stand in for the benchmark suite — they are fully contaminated by
+    construction (they ARE the benchmark), so the gate verifies both the
+    membership join and the clean tail."""
+    from .fulltext import DOCS_ANALYZER
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _CONTAM_BENCH)
+    return D.benchmark_contamination(
+        docs, bench, n=_CONTAM_N, text_col="text", id_col="doc_id",
+        analyzer=DOCS_ANALYZER,
+    )

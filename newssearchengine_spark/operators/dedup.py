@@ -284,3 +284,74 @@ def simhash(docs: DataFrame, *, text_col: str = "text",
             ).cast("bigint").alias("simhash")
         )
     )
+
+
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame, *,
+                            n: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            analyzer=None) -> DataFrame:
+    """Benchmark decontamination: per-doc overlap with a benchmark set's
+    token n-grams (the training-data hygiene step that keeps eval
+    benchmarks out of a training corpus — n-gram membership testing, the
+    standard 8-13-gram protocol).
+
+    Returns (doc_id, n_grams, n_contaminated, contamination): the doc's
+    DISTINCT analyzed n-gram count, how many of them occur anywhere in
+    the benchmark, and the contaminated fraction (0.0 when the doc is
+    shorter than n tokens).
+
+    Scale shape: n-grams are assembled with higher-order functions inside
+    the scan (sequence -> slice -> concat_ws, all codegen) and deduped
+    per doc with array_distinct BEFORE the explode — so the only shuffle
+    is the final per-doc count, and the benchmark side collapses to a
+    distinct-gram relation that is broadcast (a benchmark suite is
+    O(10^6-10^7) grams; the corpus is the 100 TB side and is never
+    shuffled on gram).
+    """
+    from ..functions.analysis import analyze_expr
+
+    def gram_arrays(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            analyze_expr(F.col(text_col), analyzer).alias("toks"),
+        )
+        return toks.select(
+            "doc_id",
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - n + 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("grams"),
+        )
+
+    bench_grams = (
+        gram_arrays(benchmark)
+        .select(F.explode("grams").alias("g")).distinct()
+    )
+    dg = gram_arrays(docs)
+    exploded = dg.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        exploded.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    return (
+        dg.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.coalesce(F.col("n_contaminated"), F.lit(0))
+                       / F.col("n_grams"))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("contamination"),
+        )
+    )

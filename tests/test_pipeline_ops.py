@@ -322,3 +322,31 @@ def test_ivf_derived_sizing_production_path(spark, sf_tiny):
                                         nprobe=5).collect()]
     assert k_none == k_expl and len(k_none) == 10
     emb.unpersist()
+
+
+def test_benchmark_contamination_constructed(spark):
+    """A doc embedding one exact 8-token benchmark run is flagged with
+    exactly the expected gram counts; clean docs report zero; docs
+    shorter than n report (0, 0, 0.0)."""
+    from newssearchengine_spark.operators.dedup import benchmark_contamination
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, bench_text),                                    # the benchmark
+        (1, "intro words then " + bench_text + " trailing content here"),
+        (2, "totally unrelated clean document text with many other words"),
+        (3, "tiny doc"),                                    # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")
+    out = {r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination"])
+           for r in benchmark_contamination(docs, bench, n=8).collect()}
+    # benchmark doc: 9 tokens -> 2 8-grams, both (trivially) contaminated
+    assert out[0] == (2, 2, 1.0)
+    # doc 1 contains the full benchmark run -> both benchmark 8-grams,
+    # plus its own clean grams around them
+    n_grams, n_hit, frac = out[1]
+    assert n_hit == 2 and n_grams > 2 and 0 < frac < 1
+    assert frac == round(n_hit / n_grams, 6)
+    assert out[2][1] == 0 and out[2][2] == 0.0
+    assert out[3] == (0, 0, 0.0)
