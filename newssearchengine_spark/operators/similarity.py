@@ -129,16 +129,27 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
         # collected last round anyway), so each Lloyd iteration is ONE
         # job: narrow argmax map -> groupBy(cell) vector mean (n_cells
         # groups, map-side partial). No crossJoin rows, no per-vector
-        # window sort, no self-join.
-        assigned = (
-            uv_df.withColumn("nv", norm(F.col("uv")))
-            .select(
-                F.array_max(
-                    _cent_score_array(F.col("uv"), F.col("nv"), cent_rows)
-                )["cell"].alias("cell"),
-                "uv",
+        # window sort, no self-join. Past the literal-size guard
+        # (cells x dim), the broadcast-join argmax + a vec_id join takes
+        # over — same results, one extra shuffle.
+        if _literal_ok(cent_rows):
+            assigned = (
+                uv_df.withColumn("nv", norm(F.col("uv")))
+                .select(
+                    F.array_max(
+                        _cent_score_array(F.col("uv"), F.col("nv"), cent_rows)
+                    )["cell"].alias("cell"),
+                    "uv",
+                )
             )
-        )
+        else:
+            cents_df = spark.createDataFrame(
+                cent_rows, "cell bigint, cvec array<double>"
+            )
+            a = _argmax_cell(
+                uv_df.select("vec_id", F.col("uv").alias("v")), cents_df
+            )
+            assigned = uv_df.join(a, "vec_id").select("cell", "uv")
         mean_rows = (
             assigned.groupBy("cell")
             .agg(vector_to_array(
@@ -165,6 +176,16 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
 #: above it (derive_n_cells gives ~10^6 at 10^12 vectors) the broadcast
 #: join + map-side max_by aggregation path takes over.
 LITERAL_CELL_CAP = 4096
+#: total-element guard on the literal route: cells x dim beyond this
+#: would bloat the parsed expression (4096 cells at dim 768 would be a
+#: ~60 MB SQL literal) — such centroid sets route to the broadcast-join
+#: path even when the cell count alone is under the cap.
+LITERAL_ELEMS_CAP = 1 << 18
+
+
+def _literal_ok(cent_rows: list) -> bool:
+    return bool(cent_rows) and \
+        len(cent_rows) * len(cent_rows[0][1]) <= LITERAL_ELEMS_CAP
 
 
 def _collect_cent_rows(cents: DataFrame) -> list:
@@ -287,8 +308,9 @@ def ivf_assign_topn(emb: DataFrame, n_cells: int | None, n_probe: int, *,
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("v"))
     if n_cells <= LITERAL_CELL_CAP:
-        return _argmax_cell(vecs, None, n_probe=n_probe,
-                            cent_rows=_collect_cent_rows(centroids))
+        rows = _collect_cent_rows(centroids)
+        if _literal_ok(rows):
+            return _argmax_cell(vecs, None, n_probe=n_probe, cent_rows=rows)
     return _argmax_cell(vecs, centroids, n_probe=n_probe)
 
 
@@ -318,8 +340,9 @@ def ivf_assign(emb: DataFrame, n_cells: int | None, *,
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("v"))
     if n_cells <= LITERAL_CELL_CAP:
-        return _argmax_cell(vecs, None,
-                            cent_rows=_collect_cent_rows(centroids))
+        rows = _collect_cent_rows(centroids)
+        if _literal_ok(rows):
+            return _argmax_cell(vecs, None, cent_rows=rows)
     return _argmax_cell(vecs, centroids)
 
 

@@ -350,3 +350,24 @@ def test_benchmark_contamination_constructed(spark):
     assert frac == round(n_hit / n_grams, 6)
     assert out[2][1] == 0 and out[2][2] == 0.0
     assert out[3] == (0, 0, 0.0)
+
+
+def test_ivf_assign_literal_and_join_routes_agree(spark, sf_tiny, monkeypatch):
+    """The literal-projection argmax and the broadcast-join + max_by
+    fallback (taken when cells x dim exceeds LITERAL_ELEMS_CAP) must
+    produce identical assignments — single-probe and multi-probe."""
+    from newssearchengine_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet").persist()
+    lit1 = sorted(map(tuple, S.ivf_assign(emb, 16).collect()))
+    lit2 = sorted(map(tuple, S.ivf_assign_topn(emb, 16, 2).collect()))
+    monkeypatch.setattr(S, "LITERAL_ELEMS_CAP", 0)  # force the join route
+    join1 = sorted(map(tuple, S.ivf_assign(emb, 16).collect()))
+    join2 = sorted(map(tuple, S.ivf_assign_topn(emb, 16, 2).collect()))
+    assert lit1 == join1 and len(lit1) == emb.count()
+    assert lit2 == join2 and len(lit2) == 2 * emb.count()
+    km = S.kmeans_centroids(emb, 8, 2)  # join-route Lloyd iterations
+    monkeypatch.undo()
+    assert sorted(map(tuple, S.kmeans_centroids(emb, 8, 2).collect())) == \
+        sorted(map(tuple, km.collect()))
+    emb.unpersist()
