@@ -307,3 +307,60 @@ def run_incremental_index(
     q.awaitTermination()
     shutil.rmtree(work_root, ignore_errors=True)
     return dict(state)
+
+
+
+def run_stream_decontaminate(spark: SparkSession, docs_path: str,
+                             benchmark: DataFrame, out_dir: str, *,
+                             n: int = 8, text_col: str = "content",
+                             id_col: str = "doc_id",
+                             max_contamination: float = 0.0,
+                             checkpoint_dir: str | None = None) -> DataFrame:
+    """Streaming benchmark decontamination: filter an incoming document
+    stream against a STATIC benchmark set's analyzed n-grams (the
+    crawl-ingest shape — contaminated docs never reach downstream
+    stages).
+
+    foreachBatch applies the BATCH operator
+    (operators.dedup.benchmark_contamination) to each micro-batch: the
+    benchmark side is a broadcast distinct-gram relation, the per-doc
+    aggregation is scoped to the batch, and NO streaming state is kept —
+    exactly the semantics of running the batch op over everything seen,
+    because contamination is per-document. Admitted docs (contamination
+    <= max_contamination) append to `out_dir` as parquet with their
+    (n_grams, n_contaminated, contamination) profile attached.
+
+    Returns the admitted table — equal as a SET to the batch operator's
+    filter over the same corpus regardless of arrival order (asserted in
+    tests)."""
+    from ..operators.dedup import benchmark_contamination
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_path)
+    )
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="st_decon_ckpt_")
+
+    def admit(batch: DataFrame, _epoch: int) -> None:
+        prof = benchmark_contamination(
+            batch, benchmark, n=n, text_col=text_col, id_col=id_col
+        ).filter(F.col("contamination") <= max_contamination)
+        (
+            batch.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(prof, "doc_id")
+            .write.mode("append").parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -371,3 +371,36 @@ def test_ivf_assign_literal_and_join_routes_agree(spark, sf_tiny, monkeypatch):
     assert sorted(map(tuple, S.kmeans_centroids(emb, 8, 2).collect())) == \
         sorted(map(tuple, km.collect()))
     emb.unpersist()
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming decontamination (foreachBatch, stream-static broadcast)
+    admits exactly the docs the batch operator admits, regardless of
+    file-at-a-time arrival order, with identical per-doc profiles."""
+    from newssearchengine_spark.operators.dedup import benchmark_contamination
+    from newssearchengine_spark.streaming.pipeline import \
+        run_stream_decontaminate
+
+    bench_run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, f"doc {i} body filler words number{i} padding tokens "
+                + (bench_run if i % 5 == 0 else "clean tail content here"))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    bench = spark.createDataFrame([(0, bench_run)],
+                                  "doc_id long, content string")
+
+    out = run_stream_decontaminate(
+        spark, src, bench, str(tmp_path / "admitted"), n=8,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"],
+                         r["contamination"]) for r in out.collect()}
+
+    prof = benchmark_contamination(docs, bench, n=8, text_col="content")
+    want = {r["doc_id"]: (r["n_grams"], r["n_contaminated"],
+                          r["contamination"])
+            for r in prof.filter("contamination <= 0.0").collect()}
+    assert got == want
+    assert got and all(i % 5 != 0 for i in got)  # contaminated all dropped
+    assert set(got) | {i for i in range(40) if i % 5 == 0} == set(range(40))
