@@ -245,3 +245,48 @@ def tx_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.highlight(docs, _HL_TERMS, context_words=3).select(
         "doc_id", "highlighted", "fragment"
     )
+
+
+# --- Gopher-style repetition signals ------------------------------------
+_REP_SQL = """WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS share
+       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3
+),
+c3 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS share
+       FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+       GROUP BY doc_id)
+SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN 1 - len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS dup_token_frac,
+       round(coalesce(c2.share, 0.0), 6) AS top_bigram_share,
+       round(coalesce(c3.share, 0.0), 6) AS top_trigram_share
+FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)"""
+
+
+@gate_query("tx_repetition", _REP_SQL)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    top 2/3-gram occurrence share) — the boilerplate/spam filter a
+    training pipeline runs next to quality_features. Catalyst-only: the
+    max-count is the longest equal-adjacent run of the SORTED per-row
+    gram array (no explode/groupBy shuffle); the oracle re-expresses it
+    relationally (unnest -> group -> max/sum)."""
+    return T.repetition_features(load(spark, sf_dir, "documents"))

@@ -311,22 +311,18 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame, *,
     from ..functions.analysis import analyze_expr
 
     def gram_arrays(df: DataFrame) -> DataFrame:
+        # ngram_array keeps the analyzer subtree in CSE-eliminated
+        # top-level positions — a lambda-indexed assembly would re-run
+        # the analyzer regexes once per gram (see operators.text)
+        from .text import ngram_array
+
         toks = df.select(
             F.col(id_col).alias("doc_id"),
             analyze_expr(F.col(text_col), analyzer).alias("toks"),
         )
         return toks.select(
             "doc_id",
-            F.array_distinct(
-                F.when(
-                    F.size("toks") >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - n + 1),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("toks"), i, n)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("grams"),
+            F.array_distinct(ngram_array(F.col("toks"), n)).alias("grams"),
         )
 
     bench_grams = (

@@ -33,6 +33,28 @@ def ws_tokens(text: Column) -> Column:
     )
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams as an array column; empty below n
+    tokens.
+
+    Assembled as arrays_zip of n shifted slices so `toks` appears only in
+    TOP-LEVEL expression positions, where whole-stage codegen's
+    subexpression elimination evaluates it once per row. The naive
+    transform(sequence(1, L), i -> concat_ws(' ', slice(toks, i, n)))
+    form references `toks` inside a lambda body — Catalyst does NOT CSE
+    inside lambdas, so the whole token subtree (analyzer regexes
+    included) re-evaluates once per element: O(len^2) per row, measured
+    at >1 s/row on ordinary documents."""
+    L = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, L) for k in range(n)])
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def lang_scores(text: Column) -> list[Column]:
     """One hit-count column per language."""
     toks = ws_tokens(text)
@@ -222,4 +244,55 @@ def highlight(
         F.regexp_replace(F.col(text_col), tag_pat, f"{pre_tag}$1{post_tag}"),
     ).withColumn(
         "fragment", F.regexp_extract(F.col(text_col), frag_pat, 1)
+    )
+
+
+def _top_ngram_share(toks: Column, n: int) -> Column:
+    """Occurrence share of the doc's most frequent token n-gram, as a pure
+    Catalyst expression: assemble n-grams with higher-order functions,
+    SORT them, and take the longest equal-adjacent run (= max count) with
+    ONE aggregate fold — O(G log G) per row, no per-row Python and no
+    explode/groupBy shuffle. 0.0 for docs with fewer than n tokens.
+
+    The fold matters: Catalyst does not common-subexpression-eliminate
+    inside lambda bodies, so any formulation that indexes back into the
+    gram array per element (element_at(grams, i)) re-evaluates the whole
+    tokenize+assemble+sort subtree per element — O(G^2) with regex
+    constants, measured at >1 s/row. The fold references the gram array
+    only in top-level (CSE-eliminated) positions."""
+    grams = F.sort_array(ngram_array(toks, n))
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    best = F.aggregate(grams, zero, step, lambda acc: acc["best"])
+    return F.when(F.size(grams) > 0, best / F.size(grams)).otherwise(F.lit(0.0))
+
+
+def repetition_features(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals over whitespace tokens: the
+    duplicate-token fraction and the occurrence share of the most
+    frequent 2-gram / 3-gram. High values mark boilerplate/spam docs a
+    training pipeline should drop — the repetition companion to
+    quality_features."""
+    t = ws_tokens(F.col(text_col))
+    n_toks = F.size(t)
+    dup_frac = F.when(
+        n_toks > 0, 1.0 - F.size(F.array_distinct(t)) / n_toks
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(_top_ngram_share(t, 2), 6).alias("top_bigram_share"),
+        F.round(_top_ngram_share(t, 3), 6).alias("top_trigram_share"),
     )

@@ -110,6 +110,20 @@ class SegmentIndex:
             self._pos_cached = True
         return self._pos_segments_df
 
+    def close(self) -> None:
+        """Release every cache this handle pinned (hot segments, term
+        stats, the lazy positional sidecar). Long-lived sessions that
+        open many indexes (e.g. per-field DisMax over rotating indexes)
+        call this when an index is retired; the handle stays usable —
+        subsequent queries re-read parquet uncached."""
+        if self._cache:
+            self._segments.unpersist()
+            self._tstats.unpersist()
+            if self._pos_cached:
+                self._pos_segments_df.unpersist()
+                self._pos_cached = False
+        self._cache = False
+
     def _read_or_empty(self, path: str, schema: str):
         """Parquet read with an explicit schema so empty/absent directories
         (an index built from zero matching docs) behave as empty tables."""

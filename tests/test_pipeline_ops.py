@@ -404,3 +404,26 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     assert got == want
     assert got and all(i % 5 != 0 for i in got)  # contaminated all dropped
     assert set(got) | {i for i in range(40) if i % 5 == 0} == set(range(40))
+
+
+def test_repetition_features_constructed(spark):
+    """Known repetition profiles: pure spam, clean text, periodic
+    boilerplate, empty, and below-n docs."""
+    from newssearchengine_spark.operators.text import repetition_features
+
+    rows = [
+        (0, "spam spam spam spam spam"),
+        (1, "a normal sentence with distinct words only here"),
+        (2, "buy now buy now buy now limited offer"),
+        (3, ""),
+        (4, "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_token_frac"],
+                         r["top_bigram_share"], r["top_trigram_share"])
+           for r in repetition_features(df).collect()}
+    assert got[0] == (5, 0.8, 1.0, 1.0)
+    assert got[1] == (8, 0.0, round(1 / 7, 6), round(1 / 6, 6))
+    assert got[2] == (8, 0.5, round(3 / 7, 6), round(2 / 6, 6))
+    assert got[3] == (0, 0.0, 0.0, 0.0)
+    assert got[4] == (2, 0.0, 1.0, 0.0)

@@ -553,3 +553,31 @@ def test_hot_cache_excludes_positions(spark, corpus, index_dir):
     assert si.search_phrase(["node", "cursor"], 5).count() >= 0
     assert si._pos_cached
     assert "positions" in si._pos_segments().columns
+
+
+def test_close_releases_all_caches(spark, corpus, tmp_path):
+    """close() drops every cache the handle pinned (hot + term stats +
+    the lazily-persisted positional sidecar) and the handle remains
+    usable uncached. Built over its OWN index dir: the CacheManager
+    dedupes identical plans, so a shared fixture index would alias other
+    handles' cache entries and hide this handle's."""
+    index_dir = str(tmp_path / "own_idx")
+    build_index(corpus.limit(80), index_dir, CFG, resume=False)
+    def cached_ids() -> set:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(int(str(it.next())))
+        return out
+
+    # compare ID SETS, not counts: the shared session's ContextCleaner
+    # may asynchronously drop OTHER tests' dereferenced caches mid-test
+    before = cached_ids()
+    si = SegmentIndex(spark, index_dir).warm()
+    si.search_phrase(["node", "cursor"], 5).count()  # pins the pos cache
+    assert cached_ids() - before  # this handle pinned something new
+    top = si.search(["node", "cursor"], 5).collect()
+    si.close()
+    assert not (cached_ids() - before)  # everything it pinned is gone
+    again = si.search(["node", "cursor"], 5).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in top]
