@@ -229,19 +229,25 @@ def bm25_topk(
 
 def phrase_occurrences(toks: "F.Column", phrase: list[str]) -> "F.Column":
     """Count of consecutive occurrences of `phrase` in the analyzed token
-    array — pure higher-order Catalyst expressions (sequence + filter +
-    element_at), fully codegen'd, no Python. element_at is 1-based."""
+    array — pure higher-order Catalyst expressions, fully codegen'd, no
+    Python.
+
+    Shape: arrays_zip of n shifted slices, filtered against the phrase.
+    `toks` appears only in TOP-LEVEL positions (subexpression-eliminated
+    once per row); the earlier element_at(toks, i + j) formulation put
+    `toks` inside the filter lambda, where Catalyst does no CSE and
+    projection collapse inlines the upstream analyzer — re-running its
+    regexes once per start position (O(len^2) per doc on the corpus-scan
+    phrase path)."""
     from functools import reduce
     from operator import and_
 
     n = len(phrase)
-    starts = F.sequence(F.lit(1), F.size(toks) - n + 1)
-    hit = lambda i: reduce(
-        and_, [F.element_at(toks, i + j) == phrase[j] for j in range(n)]
-    )
-    return F.when(
-        F.size(toks) >= n, F.size(F.filter(starts, hit))
-    ).otherwise(F.lit(0))
+    ln = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, j + 1, ln) for j in range(n)])
+    return F.size(F.filter(
+        z, lambda s: reduce(and_, [s[str(j)] == phrase[j] for j in range(n)])
+    ))
 
 
 def phrase_bm25_topk(
