@@ -198,3 +198,34 @@ def test_ltr_rerank_persists_feature_subtree(spark):
     assert _live_parquet_scans(p) == 0, p
     assert q.count() > 0
     spark.catalog.clearCache()  # release the gate-scope cache in tests
+
+
+def test_nonphrase_scan_prunes_positions(spark, tmp_path):
+    """Column pruning reaches the parquet scan: with caching off, a
+    disjunction query's segment scan must not read the positions column
+    (ReadSchema excludes it), while a phrase query's scan includes it."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    d = str(tmp_path / "idx_pos")
+    corpus = assign_doc_ids(source_files(spark, 120, seed=31, partitions=2),
+                            num_partitions=2)
+    build_index(corpus, d, IndexConfig(n_buckets=4, doc_range=128),
+                resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+
+    def scan_schemas(df) -> list[str]:
+        p = plan(df, mode="formatted")
+        return [ln for ln in p.splitlines() if "ReadSchema" in ln]
+
+    disj = scan_schemas(si.search(["node", "cursor"], 5))
+    seg_scans = [s for s in disj if "docs" in s]
+    assert seg_scans and all("positions" not in s for s in seg_scans), disj
+    # the phrase path reads through _pos_segments (search_phrase itself
+    # returns an eagerly-materialized top-k, so inspect the relation the
+    # matcher scans) — there the sidecar IS read
+    phr = scan_schemas(
+        si._pos_segments().select("doc_part", "term", "positions"))
+    assert phr and any("positions" in s for s in phr), phr
