@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
                               meta_cols=tuple(c for c in
                                               ("repo", "path", "commit", "lang")
                                               if c in docs.columns))
+        from .sources.corpus import release_doc_ids
+
+        release_doc_ids(docs)
         print(json.dumps(metrics))
     elif a.cmd == "search":
         from .plans.search import SegmentIndex
@@ -103,12 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(merge_indexes(spark, a.index_a, a.index_b, a.out)))
     elif a.cmd == "gen":
         from .datagen import source_files
-        from .sources.corpus import assign_doc_ids
+        from .sources.corpus import assign_doc_ids, release_doc_ids
 
         spark = _spark("nse-gen")
-        assign_doc_ids(
-            source_files(spark, a.rows, seed=a.seed)
-        ).write.mode("overwrite").parquet(a.out)
+        with_ids = assign_doc_ids(source_files(spark, a.rows, seed=a.seed))
+        with_ids.write.mode("overwrite").parquet(a.out)
+        release_doc_ids(with_ids)
         print(json.dumps({"rows": a.rows, "out": a.out}))
     return 0
 

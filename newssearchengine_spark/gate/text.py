@@ -101,8 +101,14 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix regex backoff against the source text (the reference's
     denormalization, wapo/parser.py:59-72). Keywords here are the Porter
     stems of each doc's first 3 distinct words — stems like 'merg'/'valu'
-    force real backoff. Exact parity with a reference-faithful pure-Python
-    oracle is asserted in tests/test_denorm_keywords.py."""
+    force real backoff.
+
+    Deliberately rows-only (sql=None): the backoff is a per-keyword
+    regex-retry LOOP (shrink until match) — a data-dependent iteration
+    DuckDB SQL cannot express, and its no-backoff special case is already
+    hash-checked as tx_denorm_keywords_nb. Exact parity with a
+    reference-faithful pure-Python oracle is asserted in
+    tests/test_denorm_keywords.py."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -143,10 +149,20 @@ def tx_denorm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order is lexicographic (match offsets aren't SQL-reconstructible);
 # offset ordering + full backoff stay covered by the pytest-verified
 # tx_denorm_keywords gate and tests/test_denorm_keywords.py.
+#
+# Oracle-parity contract (the engine regex is re.IGNORECASE, unicode \w,
+# re.escape'd keyword; DuckDB's is case-sensitive ASCII \w, unescaped):
+# the two agree iff keywords are lowercase ASCII alnum AND the corpus
+# text is lowercase ASCII — so BOTH paths filter keywords to
+# ^[a-z0-9]+$, and tests/test_denorm_keywords.py asserts the gate corpus
+# is lowercase-ASCII (the precondition that makes case-insensitive vs
+# -sensitive first-match, and unicode vs ASCII continuation, identical).
 _DENORM_NB_SQL = """WITH kwd AS (
   SELECT doc_id, text,
-         list_transform(list_slice(string_split(text, ' '), 1, 3),
-                        w -> substring(w, 1, 4)) AS kws
+         list_filter(
+           list_transform(list_slice(string_split(text, ' '), 1, 3),
+                          w -> substring(w, 1, 4)),
+           k -> regexp_matches(k, '^[a-z0-9]+$')) AS kws
   FROM documents
 ),
 ex AS (
@@ -170,8 +186,11 @@ def tx_denorm_keywords_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text",
-        F.transform(F.slice(F.split(F.col("text"), " "), 1, 3),
-                    lambda w: F.substring(w, 1, 4)).alias("keywords"),
+        F.filter(
+            F.transform(F.slice(F.split(F.col("text"), " "), 1, 3),
+                        lambda w: F.substring(w, 1, 4)),
+            lambda k: k.rlike("^[a-z0-9]+$"),
+        ).alias("keywords"),
     )
     out = T.denormalize_keywords(docs, keywords_col="keywords",
                                  text_col="text")

@@ -31,13 +31,16 @@ def _strip_operators(query: str) -> str:
     REJECTED rather than silently treated as OR; the reference only ever
     issues OR-joined query strings (wapo/experiments/ranking.py:127)."""
     toks = query.split()
-    if any(t.upper() == "AND" for t in toks):
+    # ES's query_string parser treats only the UPPERCASE token as an
+    # operator; lowercase 'and' is an ordinary term (the analyzer's
+    # stopword list drops it downstream), so match case-sensitively.
+    if any(t == "AND" for t in toks):
         raise ValueError(
             "query_string 'AND' operator is not supported: the adapter "
             "evaluates OR-disjunctions (use a bool query with must "
             "clauses for conjunctions)"
         )
-    return " ".join(t for t in toks if t.upper() != "OR")
+    return " ".join(t for t in toks if t != "OR")
 
 
 def _field_text(spec: dict) -> tuple[str, str]:

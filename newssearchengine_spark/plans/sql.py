@@ -69,8 +69,16 @@ class SqlEngine:
         self.index.doc_store().createOrReplaceTempView(name)
 
     def _materialize(self, fn: str, qtext: str, k: int) -> str:
+        # The key must carry the INDEX identity: temp views are
+        # session-global, so two SqlEngine instances over different
+        # indexes issuing the same query text would otherwise clobber
+        # each other's _match_* view and silently cross-serve results.
+        # index_dir distinguishes persisted indexes; id(self.index)
+        # distinguishes in-memory ones (and a rebuilt SegmentIndex
+        # object over the same dir gets a fresh key).
+        ident = f"{getattr(self.index, 'index_dir', '')}#{id(self.index)}"
         key = hashlib.md5(
-            f"{fn}|{qtext}|{k}|{self.mode}".encode()
+            f"{ident}|{fn}|{qtext}|{k}|{self.mode}".encode()
         ).hexdigest()[:12]
         view = f"_match_{key}"
         if view not in self._views:

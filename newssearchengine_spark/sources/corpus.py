@@ -36,6 +36,14 @@ def assign_doc_ids(df: DataFrame, num_partitions: int = 32) -> DataFrame:
     the sampled range boundaries and of parallelism. num_partitions is fixed
     (not cores-derived) so physical layout is reproducible too. Delta-encoded
     postings want exactly this density (small gaps).
+
+    Cache lifetime: the range-partitioned relation MUST stay persisted
+    until the returned DataFrame's terminal action — range boundaries are
+    re-sampled per job, so a recompute between the count job and the id
+    job would mis-offset ids. The persisted relation is attached to the
+    result; call `release_doc_ids(out)` after the output has been
+    consumed (written/indexed) to free it — long-lived sessions leak one
+    cached corpus copy per call otherwise.
     """
     key = list(CORPUS_KEY)
     part = df.repartitionByRange(num_partitions, *key).sortWithinPartitions(*key)
@@ -66,4 +74,18 @@ def assign_doc_ids(df: DataFrame, num_partitions: int = 32) -> DataFrame:
             off += n
             yield pdf
 
-    return part.mapInPandas(add_ids, schema=out_schema)
+    out = part.mapInPandas(add_ids, schema=out_schema)
+    out._nse_persisted = part  # released by release_doc_ids()
+    return out
+
+
+def release_doc_ids(df: DataFrame) -> None:
+    """Unpersist the cached relation backing an assign_doc_ids() result.
+
+    Call AFTER the terminal action over `df` (index build, parquet
+    write): the ids in any not-yet-materialized plan would be recomputed
+    against freshly-sampled range boundaries and come out wrong."""
+    part = getattr(df, "_nse_persisted", None)
+    if part is not None:
+        part.unpersist()
+        df._nse_persisted = None

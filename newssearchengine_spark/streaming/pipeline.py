@@ -22,6 +22,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -335,6 +336,16 @@ def run_stream_decontaminate(spark: SparkSession, docs_path: str,
     tests)."""
     from ..operators.dedup import benchmark_contamination
 
+    # Append mode would silently mix results into leftovers from an
+    # earlier run — refuse a non-empty target instead.
+    if os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"out_dir {out_dir!r} already contains parquet output from a "
+            "previous run; point at an empty directory"
+        )
+
     schema = spark.read.parquet(docs_path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -363,4 +374,18 @@ def run_stream_decontaminate(spark: SparkSession, docs_path: str,
     finally:
         q.stop()
         q.awaitTermination()
+    # If every micro-batch rejected every doc, no part files exist and a
+    # bare read fails with "unable to infer schema" — return an empty
+    # DataFrame with the admitted-table schema instead.
+    if not (os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    )):
+        out_schema = T.StructType([
+            T.StructField("doc_id", schema[id_col].dataType),
+            T.StructField(text_col, schema[text_col].dataType),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("n_contaminated", T.LongType()),
+            T.StructField("contamination", T.DoubleType()),
+        ])
+        return spark.createDataFrame([], out_schema)
     return spark.read.parquet(out_dir)

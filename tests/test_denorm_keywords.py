@@ -57,6 +57,22 @@ def test_against_oracle_and_goldens(spark, text, kws, expected):
         assert got == expected
 
 
+def test_nb_gate_oracle_precondition(spark, sf_tiny):
+    """tx_denorm_keywords_nb's DuckDB oracle (case-sensitive, ASCII \\w,
+    unescaped keyword) only matches the engine regex (IGNORECASE, unicode
+    \\w, re.escape'd) when the corpus text is lowercase ASCII — assert
+    that precondition on the gate corpus, like the German stem-preimage
+    test does for ft_bm25_topk_de (see gate/text.py contract comment)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    n_bad = docs.filter(~F.col("text").rlike("^[a-z0-9 ]*$")).count()
+    assert n_bad == 0, (
+        "gate corpus text is no longer lowercase ASCII; the "
+        "tx_denorm_keywords_nb oracle contract is void"
+    )
+
+
 def test_batch_over_corpus(spark, sf_tiny):
     """Vectorized batch over the real sf0.001 corpus matches the oracle
     row-by-row (keywords = first two words stemmed by truncation)."""

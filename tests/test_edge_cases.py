@@ -118,3 +118,26 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
                  "--out", m]) == 0
     metrics = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert metrics["n_docs"] == 300
+
+
+def test_release_doc_ids_frees_cache_and_ids_stay_valid(spark, tmp_path):
+    """assign_doc_ids persists its range-partitioned relation (range
+    boundaries are re-sampled per job, so a recompute would mis-offset
+    ids); release_doc_ids must free it AFTER the terminal action, and the
+    materialized ids must be the dense global key rank."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.sources.corpus import (assign_doc_ids,
+                                                       release_doc_ids)
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    docs = assign_doc_ids(source_files(spark, 200, seed=5, partitions=4),
+                          num_partitions=4)
+    out = str(tmp_path / "ids")
+    docs.write.parquet(out)           # terminal action
+    release_doc_ids(docs)
+    release_doc_ids(docs)             # idempotent
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= before, "assign_doc_ids leaked its persisted relation"
+    ids = sorted(r["doc_id"]
+                 for r in spark.read.parquet(out).select("doc_id").collect())
+    assert ids == list(range(200))    # dense global rank survived release

@@ -152,3 +152,17 @@ def test_query_string_and_operator_rejected(two_field):
         "fields": ["text"], "query": "node AND cursor"}}}
     with pytest.raises(ValueError, match="AND"):
         es_search(idxs["text"], body, size=10)
+
+
+def test_query_string_lowercase_and_or_are_terms(two_field):
+    """ES's query_string parser only treats the UPPERCASE tokens as
+    operators; lowercase 'and'/'or' are ordinary terms (the stopword list
+    drops them) — they must not raise or change the result set (ADVICE
+    r3: any-case rejection crashed natural queries)."""
+    _, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"query_string": {
+        "fields": ["text"], "query": "node and cursor or shard"}}}
+    got = es_search(si, body, size=10).collect()
+    want = si.search("node cursor shard", 10).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -89,10 +89,18 @@ def test_incremental_stream_equals_cold_build(spark, tmp_path):
     corpus = spark.read.parquet(src)
 
     live = str(tmp_path / "live_idx")
+    cached_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     metrics = run_incremental_index(spark, src, live, cfg,
                                     text_col="content")
     assert metrics["batches"] >= 2          # really incremental
     assert metrics["n_docs"] == 240
+    # Long-session hygiene: N stream batches must not accumulate cached
+    # relations (each batch persists + unpersists its own delta).
+    cached_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert cached_after <= cached_before, (
+        f"incremental index leaked {len(cached_after - cached_before)} "
+        "persisted RDDs across stream batches"
+    )
 
     cold = str(tmp_path / "cold_idx")
     build_index(corpus, cold, cfg, text_col="content", resume=False)

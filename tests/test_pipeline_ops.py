@@ -406,6 +406,36 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     assert set(got) | {i for i in range(40) if i % 5 == 0} == set(range(40))
 
 
+def test_stream_decontaminate_all_rejected_and_dirty_outdir(spark, tmp_path):
+    """ADVICE r3 edge cases: a stream where EVERY doc is contaminated
+    must return an empty typed DataFrame (no 'unable to infer schema'
+    read failure), and a pre-populated out_dir must be refused instead
+    of silently mixing old and new results."""
+    from newssearchengine_spark.streaming.pipeline import \
+        run_stream_decontaminate
+
+    bench_run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, f"doc {i} prefix words here {bench_run}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    bench = spark.createDataFrame([(0, bench_run)],
+                                  "doc_id long, content string")
+
+    out = run_stream_decontaminate(
+        spark, src, bench, str(tmp_path / "admitted"), n=8,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "content", "n_grams",
+                           "n_contaminated", "contamination"]
+
+    dirty = str(tmp_path / "dirty")
+    docs.write.parquet(dirty)  # any pre-existing parquet output
+    with pytest.raises(ValueError, match="already contains"):
+        run_stream_decontaminate(spark, src, bench, dirty, n=8,
+                                 checkpoint_dir=str(tmp_path / "ckpt2"))
+
+
 def test_repetition_features_constructed(spark):
     """Known repetition profiles: pure spam, clean text, periodic
     boilerplate, empty, and below-n docs."""

@@ -63,3 +63,30 @@ def test_default_k_and_view_reuse(engine):
     assert {r["doc_id"] for r in rows} == inter
     eng.clear()
     assert not eng._views
+
+
+def test_two_engines_no_view_clobber(engine, spark, tmp_path):
+    """Two SqlEngine instances over DIFFERENT indexes issuing the same
+    query text must not serve each other's materialized views: the view
+    key carries the index identity (ADVICE r3 cross-index staleness)."""
+    eng1, si1 = engine
+    d2 = str(tmp_path / "idx2")
+    corpus2 = assign_doc_ids(source_files(spark, 120, seed=77, partitions=2),
+                             num_partitions=2)
+    build_index(corpus2, d2, IndexConfig(n_buckets=4, doc_range=128,
+                                         block_size=16), resume=False)
+    si2 = SegmentIndex(spark, d2)
+    eng2 = SqlEngine(spark, si2, default_k=7)
+
+    q = "SELECT rank, doc_id, score FROM bm25_match('node cursor', 10)"
+    got1_before = eng1.sql(q).collect()
+    got2 = eng2.sql(q).collect()         # same text, other index
+    got1_after = eng1.sql(q).collect()   # must NOT see eng2's view
+
+    want1 = si1.search("node cursor", 10).collect()
+    want2 = si2.search("node cursor", 10).collect()
+    assert [tuple(r) for r in got1_before] == [tuple(r) for r in want1]
+    assert [tuple(r) for r in got1_after] == [tuple(r) for r in want1]
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    assert [tuple(r) for r in got2] != [tuple(r) for r in want1]
+    eng2.clear()
