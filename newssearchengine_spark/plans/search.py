@@ -42,6 +42,58 @@ from .index_build import term_bucket
 
 TOPK_SCHEMA = "doc_id bigint, score double"
 
+# Phrase-candidate rows are bounded by the min posting df of the phrase's
+# required terms (a doc containing the phrase contains every term) — known
+# driver-locally from the term dictionary BEFORE any job. Under this cap
+# the candidates are gathered to the driver in ONE job and scored over a
+# local relation; above it (a hot phrase at 100x scale) the candidate
+# relation stays distributed. 2^17 rows of (3 x int64) ~ 3 MB.
+PHRASE_DRIVER_CAP = 1 << 17
+
+# Bool-query candidate cap: the result set is bounded by the most
+# selective must clause's doc coverage (sum of its terms' dfs — known
+# from the term dictionary before any job); under this cap candidates
+# are intersected per part and only they are scored. Above it (every
+# must clause hot at 100x scale) the distributed semi-join plan runs.
+BOOL_DRIVER_CAP = 1 << 17
+
+# search_many driver-merge cap on the PROVEN per-part top-k output bound
+# (n_parts * n_queries * k rows): under it the batch finishes with one
+# distributed stage + a driver merge; above it the per-query window runs.
+MANY_DRIVER_CAP = 1 << 21
+
+
+def _make_clause_intersector(must_clauses: list[list[str]],
+                             must_not: list[str]):
+    """Per-doc_part bool-candidate emitter for applyInPandas: decode the
+    scanned terms' postings once, emit docs containing >= 1 term of EVERY
+    must clause and none of must_not. A doc's postings all live in one
+    doc_part, so clause satisfaction is per-part decidable (the same
+    locality the phrase matcher uses) — candidates flow out, postings
+    never shuffle."""
+
+    def intersect_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        docsets: dict[str, np.ndarray] = {}
+        for row in pdf.itertuples(index=False):
+            ids, _, _ = decode_postings(row.docs, row.tfs, row.dls)
+            docsets[row.term] = ids
+        cur = None
+        for clause in must_clauses:
+            arrs = [docsets[t] for t in clause if t in docsets]
+            if not arrs:
+                return empty  # no clause term in this range -> no matches
+            cd = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cur = cd if cur is None else cur[np.isin(cur, cd)]
+            if cur.size == 0:
+                return empty
+        for t in must_not:
+            if t in docsets and cur.size:
+                cur = cur[~np.isin(cur, docsets[t])]
+        return pd.DataFrame({"doc_id": cur})
+
+    return intersect_group
+
 
 def _eager_topk(rel: DataFrame, out: DataFrame,
                 schema: str = "rank bigint, doc_id bigint, score double"
@@ -406,15 +458,50 @@ class SegmentIndex:
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
         )
         matcher = _make_phrase_matcher(list(terms))
-        # persisted: the count action below and the returned top-k plan
-        # share one materialization of the (tiny) candidate relation
-        cand = seg.groupBy("doc_part").applyInPandas(
+        cand_plan = seg.groupBy("doc_part").applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
-        ).persist()
-        dfp = float(cand.count())
-        if dfp == 0:
-            cand.unpersist()
-            return empty
+        )
+        out = self._phrase_topk(cand_plan, min(dfs[t] for t in uterms),
+                                n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k)
+        if with_meta:
+            out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
+        return out
+
+    def _phrase_topk(self, cand_plan: DataFrame, bound: int, *,
+                     n_docs: float, avgdl: float, k1: float, b: float,
+                     k: int) -> DataFrame:
+        """Score + top-k a phrase-candidate relation (doc_id, occ, dl).
+
+        Two regimes on the PROVEN candidate bound:
+        - bound <= PHRASE_DRIVER_CAP: gather the candidates with ONE
+          Spark job (Arrow toPandas) and run the scoring over a LOCAL
+          relation — the Catalyst expression tree is the same either
+          way, so scores and 6dp rounding are bit-identical; no persist,
+          no second distributed job (the r3 phrase-latency fix: the old
+          persist + count + distributed-top-k tail cost ~3 job latencies
+          for a <=k-row answer).
+        - above the cap: persist the candidate relation, count for the
+          phrase df, score distributed; eager top-k releases the cache.
+        """
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        release = None
+        if bound <= PHRASE_DRIVER_CAP:
+            pdf = cand_plan.toPandas()
+            dfp = float(len(pdf))
+            if dfp == 0:
+                return empty
+            cand = self.spark.createDataFrame(
+                pdf, "doc_id bigint, occ bigint, dl bigint"
+            )
+        else:
+            cand = cand_plan.persist()
+            dfp = float(cand.count())
+            if dfp == 0:
+                cand.unpersist()
+                return empty
+            release = cand
         idf = float(np.log1p((n_docs - dfp + 0.5) / (dfp + 0.5)))
         scored = cand.select(
             "doc_id",
@@ -427,12 +514,12 @@ class SegmentIndex:
         )
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        out = _eager_topk(cand, topk.select(
+        out = topk.select(
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score",
-        ))
-        if with_meta:
-            out = out.join(self.doc_store(), "doc_id", "left").orderBy("rank")
+        )
+        if release is not None:
+            out = _eager_topk(release, out)
         return out
 
     def score_all(self, query) -> DataFrame:
@@ -463,6 +550,49 @@ class SegmentIndex:
         scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=None,
                               mode="taat")
         return seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+
+    def _scores_for_docs(self, terms: list[str],
+                         doc_ids: "np.ndarray") -> pd.DataFrame:
+        """Exact OR-disjunction scores restricted to the given docs,
+        gathered to the driver: (doc_id, score) pandas frame.
+
+        The rank-safe-pruning primitive (indexed DisMax/bool): the scan is
+        pruned to the candidate docs' doc_part partitions (a doc's every
+        posting lives in one part) and the scorer drops non-candidate ids
+        before accumulation — a hot term contributes only its candidate-
+        part blocks, never its full posting relation. One Spark job.
+        """
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms or doc_ids.size == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        doc_range = int(self.stats["doc_range"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t]))) for t in terms}
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        only = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        parts = sorted({int(d) // doc_range for d in only})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        # an isin literal over millions of parts would bloat the plan;
+        # above the cap the term filter alone prunes and the scorer's
+        # candidate mask does the rest
+        if len(parts) <= 4096:
+            seg = seg.filter(F.col("doc_part").isin(parts))
+        seg = seg.select("doc_part", "term", "docs", "tfs", "dls",
+                         "block_last", "block_max")
+        scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=None,
+                              mode="taat", only_docs=only)
+        return seg.groupBy("doc_part").applyInPandas(
+            scorer, TOPK_SCHEMA).toPandas()
 
     def term_vectors(self, doc_ids: list[int]) -> DataFrame:
         """Per-doc term vectors (doc_id, term, tf, dl) for the requested
@@ -641,6 +771,17 @@ class SegmentIndex:
             dfs = self.term_dfs(must_terms)
             if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
                 return empty  # a clause with only absent terms matches nothing
+            # Rank-safe pruned regime: the result set is bounded by the
+            # most selective clause's doc coverage (sum of its terms'
+            # dfs) — when that PROVEN bound fits on the driver, candidates
+            # are intersected per doc_part (one job, no posting shuffle),
+            # then ONLY they are scored (scan pruned to their parts, hot
+            # should-terms never materialize full score relations).
+            bound_ok = min(sum(dfs.get(t, 0) for t in c)
+                           for c in must_clauses)
+            if bound_ok <= BOOL_DRIVER_CAP:
+                return self._bool_pruned(must_clauses, should, must_not,
+                                         k=k, empty=empty)
         scores = self.score_all(sorted(set(must_terms) | set(should)))
         if must_clauses:
             cmap = self.spark.createDataFrame(
@@ -659,6 +800,42 @@ class SegmentIndex:
         if must_not:
             ex = self._term_docs(must_not).select("doc_id").distinct()
             scores = scores.join(ex, "doc_id", "left_anti")
+        rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
+    def _bool_pruned(self, must_clauses, should, must_not, *, k,
+                     empty) -> DataFrame:
+        """Capped-bound bool evaluation: per-part clause intersection ->
+        driver candidate set -> candidate-restricted scoring -> local
+        top-k. Scores and rounding go through the SAME Catalyst
+        expressions as the distributed tail, so results are identical
+        (asserted in tests against the unpruned path)."""
+        must_terms = sorted({t for c in must_clauses for t in c})
+        mn_dfs = self.term_dfs(must_not) if must_not else {}
+        live_mn = [t for t in must_not if mn_dfs.get(t, 0) > 0]
+        scan_terms = sorted(set(must_terms) | set(live_mn))
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(scan_terms))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+        intersector = _make_clause_intersector(must_clauses, live_mn)
+        ok_pdf = seg.groupBy("doc_part").applyInPandas(
+            intersector, "doc_id bigint").toPandas()
+        if not len(ok_pdf):
+            return empty
+        ok = np.sort(ok_pdf["doc_id"].to_numpy(np.int64))
+        scores_pdf = self._scores_for_docs(
+            sorted(set(must_terms) | set(should)), ok)
+        scores = self.spark.createDataFrame(scores_pdf, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -772,29 +949,19 @@ class SegmentIndex:
         )
         matcher = _make_phrase_matcher(list(fixed) + [last],
                                        last_alts=list(alts))
-        cand = seg.groupBy("doc_part").applyInPandas(
+        cand_plan = seg.groupBy("doc_part").applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
-        ).persist()
-        dfp = float(cand.count())
-        if dfp == 0:
-            cand.unpersist()
-            return empty
-        idf = float(np.log1p((n_docs - dfp + 0.5) / (dfp + 0.5)))
-        scored = cand.select(
-            "doc_id",
-            F.round(
-                F.lit(idf) * (F.col("occ") * (k1 + 1.0))
-                / (F.col("occ")
-                   + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
-                6,
-            ).alias("score"),
         )
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return _eager_topk(cand, topk.select(
-            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
-            "doc_id", "score",
-        ))
+        # candidate bound: docs matching fixed-then-alt contain every
+        # fixed term (min df); a pure-prefix phrase is bounded by the
+        # union of the expansions' postings (sum of dfs)
+        if fixed:
+            bound = min(dfs[t] for t in set(fixed))
+        else:
+            alt_dfs = self.term_dfs(sorted(set(alts)))
+            bound = sum(alt_dfs.values())
+        return self._phrase_topk(cand_plan, bound, n_docs=n_docs,
+                                 avgdl=avgdl, k1=k1, b=b, k=k)
 
     def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
@@ -847,6 +1014,28 @@ class SegmentIndex:
         per_part = seg.groupBy("doc_part").applyInPandas(
             scorer, "query_id string, doc_id bigint, score double"
         )
+        # Per-part output is already top-k per query, so the global answer
+        # is a merge of <= n_parts * n_queries * k rows — a PROVEN bound
+        # known before any job. Under the cap, merge on the driver: the
+        # whole batch costs ONE distributed stage (scan -> shuffle ->
+        # score), skipping the per-query window exchange whose ~n_queries
+        # distinct keys skew and cap reduce-side parallelism (the r3
+        # batch-scaling bottleneck). Above the cap (10^12-doc part
+        # counts), the distributed window runs.
+        doc_range = int(self.stats["doc_range"])
+        n_parts = -(-int(self.stats["n_docs"]) // max(1, doc_range))
+        if max(1, n_parts) * len(qlive) * k <= MANY_DRIVER_CAP:
+            pdf = per_part.toPandas()
+            if not len(pdf):
+                return self.spark.createDataFrame([], out_schema)
+            pdf = pdf.sort_values(["query_id", "score", "doc_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            pdf["rank"] = pdf.groupby("query_id").cumcount()
+            top = pdf[pdf["rank"] < k]
+            return self.spark.createDataFrame(
+                top[["query_id", "rank", "doc_id", "score"]], out_schema
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -859,7 +1048,7 @@ class SegmentIndex:
 
 
 def search_dismax(field_indexes: dict, query, k: int, *,
-                  tie_breaker: float = 0.0) -> DataFrame:
+                  tie_breaker: float = 0.0, prune: bool = True) -> DataFrame:
     """Multi-field best_fields retrieval over PER-FIELD segment indexes —
     the indexed form of the reference's query shape (query_string over
     [title, text], /root/reference/wapo/experiments/ranking.py:128-139).
@@ -870,15 +1059,31 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     operators.bm25.dismax_bm25_topk (asserted in tests) without
     re-tokenizing any corpus.
 
+    prune=True (default) runs a Fagin-style threshold algorithm first:
+    per-field top-k' selects candidates, only they are fetched across
+    fields (scans pruned to candidate parts), and a threshold row proves
+    no excluded doc can reach the top k. The pruned result is returned
+    only when that proof holds (rounded k-th score strictly above the
+    rounded threshold, or every field exhausted); otherwise — and for
+    tie_breaker outside [0, 1], where the combine isn't monotone — the
+    exact full-relation join runs. A hot term's complete posting relation
+    therefore never feeds the full_outer join in the common case.
+
     field_indexes: {field_name: SegmentIndex} — one index per field.
     """
-    scored = None
-    cols = []
-    for name, si in field_indexes.items():
-        s = si.score_all(query).withColumnRenamed("score", f"s_{name}")
-        cols.append(f"s_{name}")
-        scored = s if scored is None else scored.join(s, "doc_id", "full_outer")
-    filled = scored.na.fill(0.0, cols)
+    if prune and 0.0 <= float(tie_breaker) <= 1.0:
+        out = _dismax_pruned(field_indexes, query, k,
+                             tie_breaker=float(tie_breaker))
+        if out is not None:
+            return out
+    return _dismax_full(field_indexes, query, k,
+                        tie_breaker=float(tie_breaker))
+
+
+def _combine_dismax(filled: DataFrame, cols: list[str],
+                    tie_breaker: float, k: int) -> DataFrame:
+    """Shared DisMax combine + top-k tail (both regimes run these exact
+    expressions, so scores and 6dp rounding are bit-identical)."""
     best = (F.col(cols[0]) if len(cols) == 1
             else F.greatest(*[F.col(c) for c in cols]))
     total = None
@@ -893,6 +1098,98 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     return topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
         "doc_id", "score",
+    )
+
+
+def _dismax_full(field_indexes: dict, query, k: int, *,
+                 tie_breaker: float) -> DataFrame:
+    """Exact full-relation DisMax: complete per-field score relations
+    joined full_outer (the fallback regime; correct for any tie_breaker)."""
+    scored = None
+    cols = []
+    for name, si in field_indexes.items():
+        s = si.score_all(query).withColumnRenamed("score", f"s_{name}")
+        cols.append(f"s_{name}")
+        scored = s if scored is None else scored.join(s, "doc_id", "full_outer")
+    filled = scored.na.fill(0.0, cols)
+    return _combine_dismax(filled, cols, tie_breaker, k)
+
+
+# per-field candidate pool: large enough that the threshold proof rarely
+# fails at realistic score spreads, small enough to stay a driver-side set
+DISMAX_KPRIME_FLOOR = 64
+
+
+def _dismax_pruned(field_indexes: dict, query, k: int, *,
+                   tie_breaker: float) -> "DataFrame | None":
+    """Threshold-algorithm DisMax (rank-safe pruning, VERDICT r3 #3).
+
+    1. Per field: top-k' by that field's own BM25 (k' = max(2k, 64)).
+       tau_f = the k'-th score (0 when the field exhausted under k').
+    2. Candidates C = union of the per-field pools. Any excluded doc d
+       has s_f(d) <= tau_f for every f, and max + tb*(sum-max) is
+       monotone in each coordinate for tb in [0,1], so
+       combined(d) <= T = max(tau) + tb*(sum(tau) - max(tau)).
+    3. Fetch every candidate's exact score in EVERY field (scan pruned
+       to candidate doc_parts; hot terms contribute only those blocks),
+       combine through the shared Catalyst tail with a virtual row
+       doc_id=-1 carrying the tau vector — its output IS round6(T).
+    4. Proof: >= k real candidates strictly above round6(T) (or every
+       field exhausted, i.e. C is the complete match set) -> the pruned
+       top-k equals the exact top-k. Otherwise return None (fallback).
+    """
+    names = list(field_indexes)
+    pools: dict[str, list] = {}
+    taus: dict[str, float] = {}
+    exhausted = True
+    kprime = max(2 * k, DISMAX_KPRIME_FLOOR)
+    cand: set[int] = set()
+    for name in names:
+        rows = field_indexes[name].search(query, kprime).collect()
+        pools[name] = rows
+        if len(rows) == kprime:
+            taus[name] = float(rows[-1]["score"])
+            exhausted = False
+        else:
+            taus[name] = 0.0  # field exhausted: every match is in C
+        cand.update(r["doc_id"] for r in rows)
+    spark = next(iter(field_indexes.values())).spark
+    if not cand:
+        return spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+    ids = np.sort(np.fromiter(cand, dtype=np.int64))
+    merged = pd.DataFrame({"doc_id": ids})
+    cols = []
+    for name in names:
+        si = field_indexes[name]
+        terms = (si.analyze_query(query) if isinstance(query, str)
+                 else list(query))
+        spdf = si._scores_for_docs(terms, ids)
+        col = f"s_{name}"
+        cols.append(col)
+        merged = merged.merge(spdf.rename(columns={"score": col}),
+                              on="doc_id", how="left")
+    merged[cols] = merged[cols].fillna(0.0)
+    thresh = pd.DataFrame([{"doc_id": -1,
+                            **{f"s_{n}": taus[n] for n in names}}])
+    local = spark.createDataFrame(
+        pd.concat([merged, thresh], ignore_index=True),
+        "doc_id bigint, " + ", ".join(f"{c} double" for c in cols),
+    )
+    # rank over candidates + virtual row, then read both off one job
+    full = _combine_dismax(local, cols, tie_breaker, k=len(cand) + 1)
+    rows = full.collect()
+    rounded_t = next(r["score"] for r in rows if r["doc_id"] == -1)
+    real = sorted((r for r in rows if r["doc_id"] != -1),
+                  key=lambda r: (-r["score"], r["doc_id"]))
+    if not exhausted:
+        n_above = sum(1 for r in real if r["score"] > rounded_t)
+        if n_above < k:
+            return None  # threshold proof failed -> exact fallback
+    out = [(i, r["doc_id"], r["score"]) for i, r in enumerate(real[:k])]
+    return spark.createDataFrame(
+        out, "rank bigint, doc_id bigint, score double"
     )
 
 
@@ -980,15 +1277,21 @@ def _make_phrase_matcher(phrase: list[str], last_alts: list[str] | None = None):
 
 
 def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
-                 avgdl: float, k: int, mode: str):
-    """Per-doc_part scorer closure for applyInPandas."""
+                 avgdl: float, k: int, mode: str,
+                 only_docs: "np.ndarray | None" = None):
+    """Per-doc_part scorer closure for applyInPandas. only_docs (sorted
+    int64 array) restricts scoring to a candidate doc set — the decoded
+    posting rows outside it are dropped before accumulation (the
+    rank-safe-pruning fetch; accumulation order is unchanged, so the
+    surviving docs' scores are bit-identical to the unrestricted path)."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("term", kind="mergesort")  # fixed term order
         if mode == "wand":
             ids, scores = _wand_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
         else:
-            ids, scores = _taat_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
+            ids, scores = _taat_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl,
+                                     k=k, only_docs=only_docs)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_group
@@ -1053,12 +1356,19 @@ def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
     return score_group
 
 
-def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k):
+def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k,
+               only_docs=None):
     """Exact vectorized term-at-a-time: decode all matched postings in the
-    range, accumulate idf*tf_norm per doc (term-sorted order), top-k."""
+    range, accumulate idf*tf_norm per doc (term-sorted order), top-k.
+    only_docs (sorted int64) drops non-candidate postings pre-accumulation."""
     all_ids, all_scores = [], []
     for row in pdf.itertuples(index=False):
         ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+        if only_docs is not None:
+            keep = np.isin(ids, only_docs)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if ids.size == 0:
+                continue
         contrib = idf_map[row.term] * tf_norm(
             tfs.astype(np.float64), dls.astype(np.float64),
             k1=k1, b=b, avgdl=avgdl,

@@ -106,8 +106,11 @@ def test_phrase_plan_is_jvm_side(spark, sf_tiny):
     assert "lambdafunction" in p and "TakeOrderedAndProject" in p
 
 
-def test_multi_query_batch_prunes_buckets(spark, tmp_path):
-    """search_many scans only the union of the queries' term buckets."""
+def test_multi_query_batch_prunes_buckets(spark, tmp_path, monkeypatch):
+    """search_many scans only the union of the queries' term buckets
+    (inspected on the distributed-window regime — the driver-merge
+    regime executes eagerly and returns a local relation)."""
+    import newssearchengine_spark.plans.search as S
     from newssearchengine_spark.datagen import source_files
     from newssearchengine_spark.plans.index_build import build_index, term_bucket
     from newssearchengine_spark.plans.search import SegmentIndex
@@ -118,6 +121,7 @@ def test_multi_query_batch_prunes_buckets(spark, tmp_path):
     d = str(tmp_path / "idx_many")
     build_index(corpus, d, IndexConfig(n_buckets=8, doc_range=128))
     si = SegmentIndex(spark, d, cache=False)
+    monkeypatch.setattr(S, "MANY_DRIVER_CAP", -1)
     q = si.search_many({"a": ["cache"], "b": ["index"]}, 10)
     p = plan(q)
     assert "PartitionFilters" in p and "bucket" in p
