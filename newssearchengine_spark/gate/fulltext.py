@@ -186,32 +186,12 @@ def ft_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(cand, TOP_K)
 
 
-@gate_query("ft_bm25_topk_news", None)  # Porter isn't SQL-expressible: rows-only
-def ft_bm25_topk_news(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k under the reference's WAPO english analyzer (standard
-    tokenize -> possessive strip -> lowercase -> NLTK stop -> Porter stem,
-    wapo/index_es.py:65-91). DuckDB has no stemmer (no fts extension
-    offline), so the driver records a rows-only check here; exact parity vs
-    the pure-Python oracle is asserted in tests/test_news_analyzer.py."""
-    from ..config import news_analyzer
-    from ..functions.analysis import doc_term_freqs
-    from ..operators.bm25 import bm25_scores
-
-    docs = load(spark, sf_dir, "documents")
-    tf = doc_term_freqs(docs, text_col="text", id_col="doc_id",
-                        cfg=news_analyzer())
-    # raw query "tables merges sparking windows", analyzed by the same chain
-    from ..oracle import pure
-
-    terms = pure.analyze("tables merges sparking windows", news_analyzer())
-    scores = bm25_scores(tf, terms)
-    scored = scores.select("doc_id", F.round("score", 6).alias("score"))
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
-        "doc_id", "score",
-    )
+# Raw query for the full news-analyzer path: possessive strip ("hash's"
+# -> hash) and Porter on inflected query forms (joins/scans/sparking/
+# windows) land EXACTLY on the singleton-preimage fixed-point stems of
+# _NEWS_STEM_TERMS below — so the stem-space oracle is exact for the raw
+# query too (tests/test_news_analyzer.py pins the analysis).
+_NEWS_RAW_QUERY = "hash's joins scans sparking windows"
 
 
 # -- news-analyzer gate with a REAL hash-checked oracle -----------------
@@ -280,6 +260,29 @@ def ft_bm25_topk_news_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = doc_term_freqs(docs, text_col="text", id_col="doc_id",
                         cfg=news_analyzer())
     scores = bm25_scores(tf, _NEWS_STEM_TERMS)
+    cand = scores.select("doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)
+
+
+@gate_query("ft_bm25_topk_news", _news_stem_sql(_NEWS_STEM_TERMS, TOP_K))
+def ft_bm25_topk_news(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k from a RAW query through the reference's full WAPO
+    english analyzer (standard tokenize -> possessive strip -> lowercase
+    -> NLTK stop -> Porter stem, wapo/index_es.py:65-91). Hash-checked
+    since r4: the raw query's analyzed stems are exactly the singleton-
+    preimage fixed points of ft_bm25_topk_news_stem (asserted in
+    tests/test_news_analyzer.py), so the same stemmer-free oracle is
+    exact while the Spark side exercises query-side possessive strip +
+    Porter on inflected surface forms."""
+    from ..config import news_analyzer
+    from ..functions.analysis import doc_term_freqs
+    from ..oracle import pure
+
+    docs = load(spark, sf_dir, "documents")
+    tf = doc_term_freqs(docs, text_col="text", id_col="doc_id",
+                        cfg=news_analyzer())
+    terms = pure.analyze(_NEWS_RAW_QUERY, news_analyzer())
+    scores = bm25_scores(tf, terms)
     cand = scores.select("doc_id", F.round("score", 6).alias("score"))
     return _rounded_topk(cand, TOP_K)
 

@@ -128,3 +128,17 @@ def test_stem_invariant_gate_terms(spark, sf_tiny):
     for t in _NEWS_STEM_TERMS:
         assert stem(t) == t, t
         assert pre.get(t, set()) <= {t}, (t, pre.get(t))
+
+
+def test_news_raw_query_analyzes_to_stem_gate_terms():
+    """ft_bm25_topk_news hash-checks a RAW query against the stem-space
+    oracle; that is only exact because the query analyzes (possessive
+    strip + Porter on inflected forms) to EXACTLY the singleton-preimage
+    fixed points — pin it."""
+    from newssearchengine_spark.config import news_analyzer
+    from newssearchengine_spark.gate.fulltext import (_NEWS_RAW_QUERY,
+                                                      _NEWS_STEM_TERMS)
+    from newssearchengine_spark.oracle import pure
+
+    got = pure.analyze(_NEWS_RAW_QUERY, news_analyzer())
+    assert sorted(got) == sorted(_NEWS_STEM_TERMS)
