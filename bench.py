@@ -52,12 +52,23 @@ def main() -> None:
     from newssearchengine_spark.plans.search import SegmentIndex
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    spread: dict[str, float] = {}
+    extra["spread_sec"] = spread
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, n=3):
+        """min-of-n timing: single samples whipsaw 2-4x with sandbox host
+        load (BENCH_r03 vs builder runs), so each entry reports its best
+        of n runs with the max-min spread in extra.spread_sec — the
+        alternating-run insight from the scaling harness applied here."""
+        samples = []
+        out = None
+        for _ in range(n):
+            t0 = time.time()
+            out = fn()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
         return out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
@@ -86,14 +97,16 @@ def main() -> None:
         build_index(docs.limit(50), warm_dir, cfg, text_col="text",
                     id_col="doc_id", resume=False)
         shutil.rmtree(warm_dir, ignore_errors=True)
-        timed("index_build",
-              lambda: build_index(docs, idx_dir, cfg, text_col="text",
-                                  id_col="doc_id", resume=False))
+
+        def rebuild(d, c):
+            shutil.rmtree(d, ignore_errors=True)
+            return build_index(docs, d, c, text_col="text",
+                               id_col="doc_id", resume=False)
+
+        timed("index_build", lambda: rebuild(idx_dir, cfg), n=2)
         extra["build_files_per_sec"] = round(n_docs / timings["index_build"], 2)
         cfg_np = dataclasses.replace(cfg, with_positions=False)
-        timed("index_build_nopos",
-              lambda: build_index(docs, nopos_dir, cfg_np, text_col="text",
-                                  id_col="doc_id", resume=False))
+        timed("index_build_nopos", lambda: rebuild(nopos_dir, cfg_np), n=2)
         extra["build_files_per_sec_nopos"] = round(
             n_docs / timings["index_build_nopos"], 2)
 
@@ -115,11 +128,10 @@ def main() -> None:
         # throughput shape at scale — per-query job overhead amortized)
         many = {f"q{i}": terms
                 for i, terms in enumerate(BM25_QUERY_TERMS * 8)}
-        t0 = time.time()
-        si.search_many(many, 100, mode="taat").collect()
-        batch_sec = time.time() - t0
-        timings["bm25_search_many_40q"] = round(batch_sec, 3)
-        extra["bm25_batch_qps"] = round(len(many) / batch_sec, 2)
+        timed("bm25_search_many_40q",
+              lambda: si.search_many(many, 100, mode="taat").collect())
+        extra["bm25_batch_qps"] = round(
+            len(many) / timings["bm25_search_many_40q"], 2)
 
         # indexed phrase query: positional-postings path, no corpus scan
         timed("phrase_indexed_query",
@@ -135,6 +147,27 @@ def main() -> None:
                  "rel_sessionize", "dd_exact"):
         fn = REGISTRY[name].fn
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # 4) IVF at DERIVED scale (the ~sqrt(N) sizing the gate's toy
+    # n_cells=16 doesn't exercise): n_cells=None -> derive_n_cells(N),
+    # nprobe ~10% of cells, k-means centroids; recall@10 vs brute force.
+    from newssearchengine_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    n_cells = S.derive_n_cells(n_vec)
+    nprobe = max(2, round(n_cells * 0.2))
+    ivf_rows = timed(
+        "sim_ivf_knn_derived",
+        lambda: S.ivf_knn(emb, 0, 10, n_cells=None, nprobe=nprobe,
+                          kmeans_iters=3).collect())
+    brute = {r["vec_id"]
+             for r in S.brute_force_knn(emb, 0, 10).collect()}
+    got = {r["vec_id"] for r in ivf_rows}
+    extra["ivf_derived"] = {
+        "n_vectors": n_vec, "n_cells": n_cells, "nprobe": nprobe,
+        "recall_at_10": round(len(got & brute) / max(1, len(brute)), 3),
+    }
 
     docs.unpersist()
     total = round(sum(timings.values()), 3)
