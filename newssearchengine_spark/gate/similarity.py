@@ -127,3 +127,25 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_knn(load(spark, sf_dir, "embeddings"), QUERY_ID, K,
                      n_cells=N_CELLS, nprobe=NPROBE,
                      kmeans_iters=KMEANS_ITERS)
+
+
+@gate_query(
+    "sim_ivf_adaptive",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qvec), 6) AS cos
+  FROM embeddings, q WHERE vec_id <> {QUERY_ID}
+)
+SELECT (row_number() OVER (ORDER BY cos DESC, vec_id ASC) - 1)::BIGINT AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {K}""",
+)
+def sim_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive EXACT IVF (triangle-inequality cell pruning, stop proof
+    per ivf_knn_adaptive): probes cells best-bound-first and stops once
+    no unprobed cell can reach the top k — so the oracle is plain brute
+    force, and the hash check proves exactness THROUGH the pruned path
+    (the engine's recall-1.0 answer to hnswlib's ef tradeoff)."""
+    return S.ivf_knn_adaptive(load(spark, sf_dir, "embeddings"), QUERY_ID,
+                              K, n_cells=N_CELLS,
+                              kmeans_iters=KMEANS_ITERS)

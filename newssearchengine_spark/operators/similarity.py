@@ -457,3 +457,118 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int | None = 16,
     return topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"), "vec_id", "cos"
     )
+
+
+def ivf_knn_adaptive(emb: DataFrame, query_id: int, k: int, *,
+                     n_cells: int | None = None, kmeans_iters: int = 3,
+                     centroids: DataFrame | None = None,
+                     batch_cells: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     stats_out: dict | None = None) -> DataFrame:
+    """EXACT IVF top-k with triangle-inequality cell pruning — the
+    engine's answer to the reference's hnswlib recall/ef tradeoff
+    (pyw_hnswlib.py:61-69): instead of a fixed nprobe with recall < 1,
+    probe cells adaptively in bound order and STOP with a proof.
+
+    Per cell c store its angular radius r_c = max angle between a member
+    and the centroid (from one aggregation over the assignment). For a
+    query q at angle t_qc from centroid c, every member x of c satisfies
+    angle(q, x) >= t_qc - r_c, hence cos(q, x) <= cos(max(0, t_qc - r_c))
+    — a sound upper bound. Cells are probed best-bound-first,
+    batch_cells per Spark job (exact 6dp-rounded cosine inside, the same
+    expression as brute_force_knn); probing stops once the next unprobed
+    cell's bound falls 1e-6 below the current k-th rounded score, which
+    proves no excluded vector can reach or tie into the top k. Result is
+    therefore identical to brute force (hash-checked in the gate), at a
+    fraction of the scanned cells when the data clusters. The bound is
+    data-dependent and fail-SAFE: on near-isotropic vectors (cell radii
+    ~90 deg, e.g. random embeddings) it degenerates to a full scan —
+    never to lost recall.
+
+    Scale shape: the per-cell radii and bounds are O(n_cells) driver
+    state (~sqrt(N)); each probe batch is a cell-pruned scan (partition-
+    pruned when the assignment is written partitionBy(cell), see
+    ivf_save). stats_out (optional dict) receives cells_probed/n_cells.
+    """
+    import math
+
+    import numpy as np
+
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    cents = centroids
+    if cents is None:
+        if kmeans_iters > 0:
+            cents = kmeans_centroids(emb, n_cells, kmeans_iters,
+                                     id_col=id_col, vec_col=vec_col)
+        else:
+            cents = emb.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell"),
+                as_double(F.col(vec_col)).alias("cvec"),
+            )
+    spark = emb.sparkSession
+    assign = ivf_assign(emb, n_cells, centroids=cents,
+                        id_col=id_col, vec_col=vec_col)
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   as_double(F.col(vec_col)).alias("v"))
+        .join(assign, "vec_id")
+        .persist()
+    )
+    try:
+        # per-cell angular radius from ONE aggregation (min member cosine)
+        radii_rows = (
+            assigned.join(F.broadcast(cents), "cell")
+            .select("cell", cosine(F.col("v"), F.col("cvec")).alias("c"))
+            .groupBy("cell").agg(F.min("c").alias("min_c"))
+            .collect()
+        )
+        radius = {int(r["cell"]):
+                  math.acos(max(-1.0, min(1.0, float(r["min_c"]))))
+                  for r in radii_rows}
+        qv = np.array(
+            emb.filter(F.col(id_col) == query_id).select(vec_col)
+            .collect()[0][0], dtype=np.float64)
+        qn = float(np.sqrt((qv * qv).sum()))
+        bounds = []
+        for r in cents.collect():
+            cv = np.array(r["cvec"], dtype=np.float64)
+            cn = float(np.sqrt((cv * cv).sum()))
+            cq = max(-1.0, min(1.0, float(qv @ cv) / (qn * cn)))
+            t_qc = math.acos(cq)
+            rc = radius.get(int(r["cell"]))
+            if rc is None:
+                continue  # empty cell: nothing to probe
+            bounds.append(
+                (math.cos(max(0.0, t_qc - rc - 1e-9)), int(r["cell"])))
+        bounds.sort(key=lambda t: (-t[0], t[1]))
+        best: list = []  # (cos rounded 6dp, vec_id)
+        probed = 0
+        i = 0
+        qlit = F.lit([float(x) for x in qv]).cast("array<double>")
+        while i < len(bounds):
+            kth = best[k - 1][0] if len(best) >= k else None
+            if kth is not None and bounds[i][0] <= kth - 1e-6:
+                break  # proof: no unprobed cell can reach or tie top-k
+            batch = [c for _, c in bounds[i:i + batch_cells]]
+            i += len(batch)
+            probed += len(batch)
+            rows = (
+                assigned.filter(F.col("cell").isin(batch))
+                .filter(F.col("vec_id") != query_id)
+                .select("vec_id",
+                        F.round(cosine(F.col("v"), qlit), 6).alias("cos"))
+                .collect()
+            )
+            best.extend((float(r["cos"]), int(r["vec_id"])) for r in rows)
+            best.sort(key=lambda t: (-t[0], t[1]))
+            del best[max(k, 1) * 4:]  # keep a small sorted pool
+        out = [(rank, vid, c) for rank, (c, vid) in enumerate(best[:k])]
+        if stats_out is not None:
+            stats_out["cells_probed"] = probed
+            stats_out["n_cells"] = len(bounds)
+        return spark.createDataFrame(
+            out, "rank bigint, vec_id bigint, cos double"
+        )
+    finally:
+        assigned.unpersist()

@@ -89,6 +89,41 @@ def test_ivf_results_are_exact_within_probed_cells(emb):
     assert len(top10 & {r["vec_id"] for r in got}) >= 3
 
 
+def test_ivf_adaptive_exact_and_prunes(spark, emb):
+    """ivf_knn_adaptive must equal brute force EXACTLY (rounded cosines,
+    (cos desc, vec_id asc) order — its stop rule is a proof, not a
+    heuristic). Exactness is checked on the real corpus; the PRUNING is
+    checked on a clustered fixture, because the synthetic embeddings are
+    near-isotropic (cell radii ~90 deg), where the triangle bound
+    correctly degenerates to a full scan rather than losing recall."""
+    for qid in (0, 7, 123):
+        stats: dict = {}
+        got = S.ivf_knn_adaptive(emb, qid, 10, n_cells=16, kmeans_iters=3,
+                                 stats_out=stats).collect()
+        want = S.brute_force_knn(emb, qid, 10).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], qid
+        assert stats["cells_probed"] <= stats["n_cells"]
+
+    # clustered fixture: 4 tight clusters around orthogonal axes -> small
+    # radii -> the stop rule must fire after the first batch of cells
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(4):
+        axis = np.zeros(16)
+        axis[c] = 1.0
+        for i in range(40):
+            v = axis + 0.01 * rng.standard_normal(16)
+            rows.append((c * 40 + i, [float(x) for x in v]))
+    clustered = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    stats2: dict = {}
+    got = S.ivf_knn_adaptive(clustered, 0, 5, n_cells=4, kmeans_iters=2,
+                             batch_cells=1, stats_out=stats2).collect()
+    want = S.brute_force_knn(clustered, 0, 5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert stats2["cells_probed"] < stats2["n_cells"], stats2
+
+
 def test_lang_id_heuristic(docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
     assert pred[1] == "en"
