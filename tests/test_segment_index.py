@@ -221,6 +221,33 @@ def test_search_many_empty_and_missing_queries(spark, index_dir):
     assert out == []
 
 
+def test_search_many_dedupes_repeated_queries(spark, index_dir,
+                                              monkeypatch):
+    """A batch with the same query under many ids (eval-sweep shape) is
+    scored once per DISTINCT term list and fanned back out — every alias
+    id gets the full per-query result, in both regimes."""
+    import newssearchengine_spark.plans.search as S
+
+    si = SegmentIndex(spark, index_dir)
+    base = {f"q{i}": q for i, (q, _) in enumerate(QUERIES[:2])}
+    batch = {f"{qid}_rep{r}": q for qid, q in base.items() for r in range(4)}
+    for cap in (None, -1):
+        if cap is not None:
+            monkeypatch.setattr(S, "MANY_DRIVER_CAP", cap)
+        got = si.search_many(batch, 15).collect()
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == set(batch)
+        for qid, q in batch.items():
+            rows = sorted(by_q[qid], key=lambda r: r["rank"])
+            want = si.search(q, 15).collect()
+            assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+            for g, e in zip(rows, want):
+                assert g["score"] == pytest.approx(e["score"], abs=1e-9)
+    monkeypatch.undo()
+
+
 def test_search_many_driver_merge_equals_window(spark, index_dir,
                                                 monkeypatch):
     """search_many's two regimes (driver merge under MANY_DRIVER_CAP,
