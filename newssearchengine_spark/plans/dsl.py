@@ -9,8 +9,10 @@ bodies onto the engine so the queries run UNCHANGED:
   /root/reference/netzpolitik/experiments/keyword_match_recall.py:30-43)
 - term on a keyword field (the url lookup,
   /root/reference/netzpolitik/index_vs.py:47-58)
-- match / match_phrase / match_phrase_prefix / bool / prefix / fuzzy /
-  wildcard (the surrounding ES surface the engine implements)
+- match / match_phrase / match_phrase_prefix / bool (incl.
+  minimum_should_match) / prefix / fuzzy / wildcard, plus `field^boost`
+  factors in query_string/multi_match fields lists (the surrounding ES
+  surface the engine implements)
 
 The analyzer key inside a body is ignored on purpose: write/read
 analyzer unity comes from the target index's own stats.json (the engine
@@ -50,6 +52,20 @@ def _field_text(spec: dict) -> tuple[str, str]:
     return field, str(val)
 
 
+def _parse_boosts(fields: list[str]) -> tuple[list[str], dict[str, float]]:
+    """Split ES field boosts ('title^3') off a fields list. Returns the
+    bare field names (order kept) and {field: boost} for boosted ones."""
+    names, boosts = [], {}
+    for f in fields:
+        if "^" in f:
+            name, _, b = f.partition("^")
+            names.append(name)
+            boosts[name] = float(b)
+        else:
+            names.append(f)
+    return names, boosts
+
+
 def es_search(indexes, body: dict, size: int = 10, *,
               tie_breaker: float = 0.0, mode: str = "taat") -> DataFrame:
     """Evaluate an es.search body against the engine.
@@ -76,12 +92,20 @@ def es_search(indexes, body: dict, size: int = 10, *,
             raise ValueError("only operator:'or' multi_match is supported "
                              "(the only form the reference issues)")
         text = _strip_operators(str(spec["query"]))
-        fields = spec.get("fields")
-        if multi is None or not fields or len(fields) == 1:
-            si = one(fields[0] if fields else None)
-            return si.search(text, size, mode=mode)
-        return search_dismax({f: multi[f] for f in fields}, text, size,
-                             tie_breaker=tie_breaker)
+        names, boosts = _parse_boosts(list(spec.get("fields") or []))
+        if multi is None or not names or len(names) == 1:
+            si = one(names[0] if names else None)
+            out = si.search(text, size, mode=mode)
+            if names and boosts.get(names[0], 1.0) != 1.0:
+                # single boosted field: scores scale by the boost
+                out = out.select(
+                    "rank", "doc_id",
+                    (F.col("score") * F.lit(boosts[names[0]]))
+                    .alias("score"))
+            return out
+        return search_dismax({f: multi[f] for f in names}, text, size,
+                             tie_breaker=tie_breaker,
+                             boosts=boosts or None)
 
     if kind == "match":
         field, text = _field_text(spec)
@@ -119,6 +143,7 @@ def es_search(indexes, body: dict, size: int = 10, *,
             should=flat(spec.get("should", [])),
             must_not=flat(spec.get("must_not", [])),
             k=size,
+            minimum_should_match=int(spec.get("minimum_should_match", 0)),
         )
 
     if kind == "prefix":

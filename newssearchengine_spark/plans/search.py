@@ -64,13 +64,15 @@ MANY_DRIVER_CAP = 1 << 21
 
 
 def _make_clause_intersector(must_clauses: list[list[str]],
-                             must_not: list[str]):
+                             must_not: list[str],
+                             should: list[str] | None = None,
+                             msm: int = 0):
     """Per-doc_part bool-candidate emitter for applyInPandas: decode the
     scanned terms' postings once, emit docs containing >= 1 term of EVERY
-    must clause and none of must_not. A doc's postings all live in one
-    doc_part, so clause satisfaction is per-part decidable (the same
-    locality the phrase matcher uses) — candidates flow out, postings
-    never shuffle."""
+    must clause, >= msm distinct `should` terms (when msm > 0), and none
+    of must_not. A doc's postings all live in one doc_part, so every
+    constraint is per-part decidable (the same locality the phrase
+    matcher uses) — candidates flow out, postings never shuffle."""
 
     def intersect_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
@@ -85,6 +87,17 @@ def _make_clause_intersector(must_clauses: list[list[str]],
                 return empty  # no clause term in this range -> no matches
             cd = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
             cur = cd if cur is None else cur[np.isin(cur, cd)]
+            if cur.size == 0:
+                return empty
+        if msm > 0:
+            # posting doc-ids are unique per term, so concat counts ==
+            # distinct-should-term matches per doc
+            arrs = [docsets[t] for t in (should or []) if t in docsets]
+            if len(arrs) < msm:
+                return empty
+            uniq, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+            qual = uniq[cnt >= msm]
+            cur = qual if cur is None else cur[np.isin(cur, qual)]
             if cur.size == 0:
                 return empty
         for t in must_not:
@@ -735,7 +748,7 @@ class SegmentIndex:
         )
 
     def search_bool(self, *, must=None, should=None, must_not=None,
-                    k: int) -> DataFrame:
+                    k: int, minimum_should_match: int = 0) -> DataFrame:
         """ES `bool` query from the INDEX (compositional form:
         operators.bm25.bool_bm25_topk — asserted identical in tests):
         docs must satisfy EVERY `must` clause and NONE of `must_not`,
@@ -750,6 +763,12 @@ class SegmentIndex:
         `must_not` are flat term sets (ES: any should term adds score;
         any must_not term excludes).
 
+        minimum_should_match > 0 additionally requires that many DISTINCT
+        should terms per doc (the ES knob; with must present ES defaults
+        it to 0, and to 1 otherwise — matching at least one should term
+        is already this method's behavior when should is the only
+        scoring set).
+
         Plan: one score_all pass over the scoring terms' postings, the
         per-clause constraint as a countDistinct(clause) against the
         decoded postings doc sets joined to a broadcast term->clause map,
@@ -762,26 +781,38 @@ class SegmentIndex:
         must_terms = sorted({t for c in must_clauses for t in c})
         should = sorted(set(should or []))
         must_not = sorted(set(must_not or []))
+        msm = int(minimum_should_match)
         if not must_clauses and not should:
             raise ValueError("bool query needs at least one must or should term")
+        if msm > len(should):
+            raise ValueError(
+                f"minimum_should_match={msm} exceeds the {len(should)} "
+                "distinct should terms"
+            )
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
+        # Rank-safe pruned regime: the result set is bounded by the most
+        # selective must clause's doc coverage (sum of its terms' dfs), or
+        # — for a pure-should query with msm >= 2 — by sum(should dfs)/msm
+        # (every result consumes >= msm posting memberships). When the
+        # PROVEN bound fits on the driver, candidates are intersected per
+        # doc_part (one job, no posting shuffle), then ONLY they are
+        # scored (scan pruned to their parts, hot should-terms never
+        # materialize full score relations).
+        bound_ok = None
         if must_terms:
             dfs = self.term_dfs(must_terms)
             if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
                 return empty  # a clause with only absent terms matches nothing
-            # Rank-safe pruned regime: the result set is bounded by the
-            # most selective clause's doc coverage (sum of its terms'
-            # dfs) — when that PROVEN bound fits on the driver, candidates
-            # are intersected per doc_part (one job, no posting shuffle),
-            # then ONLY they are scored (scan pruned to their parts, hot
-            # should-terms never materialize full score relations).
             bound_ok = min(sum(dfs.get(t, 0) for t in c)
                            for c in must_clauses)
-            if bound_ok <= BOOL_DRIVER_CAP:
-                return self._bool_pruned(must_clauses, should, must_not,
-                                         k=k, empty=empty)
+        elif msm >= 2:
+            sdfs = self.term_dfs(should)
+            bound_ok = sum(sdfs.values()) // msm
+        if bound_ok is not None and bound_ok <= BOOL_DRIVER_CAP:
+            return self._bool_pruned(must_clauses, should, must_not,
+                                     k=k, empty=empty, msm=msm)
         scores = self.score_all(sorted(set(must_terms) | set(should)))
         if must_clauses:
             cmap = self.spark.createDataFrame(
@@ -797,6 +828,15 @@ class SegmentIndex:
                 .select("doc_id")
             )
             scores = scores.join(ok, "doc_id", "left_semi")
+        if msm > 0 and should:
+            ok_s = (
+                self._term_docs(should)
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("n_should"))
+                .filter(F.col("n_should") >= msm)
+                .select("doc_id")
+            )
+            scores = scores.join(ok_s, "doc_id", "left_semi")
         if must_not:
             ex = self._term_docs(must_not).select("doc_id").distinct()
             scores = scores.join(ex, "doc_id", "left_anti")
@@ -809,7 +849,7 @@ class SegmentIndex:
         )
 
     def _bool_pruned(self, must_clauses, should, must_not, *, k,
-                     empty) -> DataFrame:
+                     empty, msm: int = 0) -> DataFrame:
         """Capped-bound bool evaluation: per-part clause intersection ->
         driver candidate set -> candidate-restricted scoring -> local
         top-k. Scores and rounding go through the SAME Catalyst
@@ -818,7 +858,8 @@ class SegmentIndex:
         must_terms = sorted({t for c in must_clauses for t in c})
         mn_dfs = self.term_dfs(must_not) if must_not else {}
         live_mn = [t for t in must_not if mn_dfs.get(t, 0) > 0]
-        scan_terms = sorted(set(must_terms) | set(live_mn))
+        scan_terms = sorted(set(must_terms) | set(live_mn)
+                            | (set(should) if msm > 0 else set()))
         n_buckets = int(self.stats["n_buckets"])
         buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
         seg = (
@@ -827,7 +868,8 @@ class SegmentIndex:
             .filter(F.col("term").isin(scan_terms))
             .select("doc_part", "term", "docs", "tfs", "dls")
         )
-        intersector = _make_clause_intersector(must_clauses, live_mn)
+        intersector = _make_clause_intersector(must_clauses, live_mn,
+                                               should=should, msm=msm)
         ok_pdf = seg.groupBy("doc_part").applyInPandas(
             intersector, "doc_id bigint").toPandas()
         if not len(ok_pdf):
@@ -1092,7 +1134,8 @@ class SegmentIndex:
 
 
 def search_dismax(field_indexes: dict, query, k: int, *,
-                  tie_breaker: float = 0.0, prune: bool = True) -> DataFrame:
+                  tie_breaker: float = 0.0, prune: bool = True,
+                  boosts: dict | None = None) -> DataFrame:
     """Multi-field best_fields retrieval over PER-FIELD segment indexes —
     the indexed form of the reference's query shape (query_string over
     [title, text], /root/reference/wapo/experiments/ranking.py:128-139).
@@ -1114,14 +1157,20 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     therefore never feeds the full_outer join in the common case.
 
     field_indexes: {field_name: SegmentIndex} — one index per field.
+    boosts: optional {field_name: factor >= 0} — ES field boosts
+    (`title^3`): the field's BM25 scores are multiplied by the factor
+    before the DisMax combine (missing fields default 1.0).
     """
+    b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
+    if any(v < 0 for v in b.values()):
+        raise ValueError("field boosts must be >= 0")
     if prune and 0.0 <= float(tie_breaker) <= 1.0:
         out = _dismax_pruned(field_indexes, query, k,
-                             tie_breaker=float(tie_breaker))
+                             tie_breaker=float(tie_breaker), boosts=b)
         if out is not None:
             return out
     return _dismax_full(field_indexes, query, k,
-                        tie_breaker=float(tie_breaker))
+                        tie_breaker=float(tie_breaker), boosts=b)
 
 
 def _combine_dismax(filled: DataFrame, cols: list[str],
@@ -1146,13 +1195,19 @@ def _combine_dismax(filled: DataFrame, cols: list[str],
 
 
 def _dismax_full(field_indexes: dict, query, k: int, *,
-                 tie_breaker: float) -> DataFrame:
+                 tie_breaker: float,
+                 boosts: dict | None = None) -> DataFrame:
     """Exact full-relation DisMax: complete per-field score relations
     joined full_outer (the fallback regime; correct for any tie_breaker)."""
     scored = None
     cols = []
     for name, si in field_indexes.items():
-        s = si.score_all(query).withColumnRenamed("score", f"s_{name}")
+        bf = float((boosts or {}).get(name, 1.0))
+        s = si.score_all(query).select(
+            "doc_id",
+            (F.col("score") * F.lit(bf)).alias(f"s_{name}")
+            if bf != 1.0 else F.col("score").alias(f"s_{name}"),
+        )
         cols.append(f"s_{name}")
         scored = s if scored is None else scored.join(s, "doc_id", "full_outer")
     filled = scored.na.fill(0.0, cols)
@@ -1165,7 +1220,8 @@ DISMAX_KPRIME_FLOOR = 64
 
 
 def _dismax_pruned(field_indexes: dict, query, k: int, *,
-                   tie_breaker: float) -> "DataFrame | None":
+                   tie_breaker: float,
+                   boosts: dict | None = None) -> "DataFrame | None":
     """Threshold-algorithm DisMax (rank-safe pruning, VERDICT r3 #3).
 
     1. Per field: top-k' by that field's own BM25 (k' = max(2k, 64)).
@@ -1189,10 +1245,13 @@ def _dismax_pruned(field_indexes: dict, query, k: int, *,
     kprime = max(2 * k, DISMAX_KPRIME_FLOOR)
     cand: set[int] = set()
     for name in names:
+        bf = float((boosts or {}).get(name, 1.0))
         rows = field_indexes[name].search(query, kprime).collect()
         pools[name] = rows
         if len(rows) == kprime:
-            taus[name] = float(rows[-1]["score"])
+            # boost > 0 preserves the per-field order, so the pool is
+            # still the field's true top-k'; tau moves into boosted space
+            taus[name] = float(rows[-1]["score"]) * bf
             exhausted = False
         else:
             taus[name] = 0.0  # field exhausted: every match is in C
@@ -1207,9 +1266,14 @@ def _dismax_pruned(field_indexes: dict, query, k: int, *,
     cols = []
     for name in names:
         si = field_indexes[name]
+        bf = float((boosts or {}).get(name, 1.0))
         terms = (si.analyze_query(query) if isinstance(query, str)
                  else list(query))
         spdf = si._scores_for_docs(terms, ids)
+        if bf != 1.0:
+            # float64 multiply, the same IEEE op the full path's
+            # Catalyst `score * lit(bf)` performs — bit-identical
+            spdf["score"] = spdf["score"].to_numpy(np.float64) * bf
         col = f"s_{name}"
         cols.append(col)
         merged = merged.merge(spdf.rename(columns={"score": col}),

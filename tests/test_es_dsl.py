@@ -154,6 +154,35 @@ def test_query_string_and_operator_rejected(two_field):
         es_search(idxs["text"], body, size=10)
 
 
+def test_field_boosts_and_minimum_should_match(two_field):
+    """ES surface edges r3 flagged as unsupported: 'title^3' field boosts
+    in query_string/multi_match, and bool minimum_should_match — both now
+    run through the adapter and equal the direct engine calls."""
+    _, idxs = two_field
+    body = {"query": {"query_string": {
+        "fields": ["title^3", "text^0.5"],
+        "query": "nodeCursor shardGroup streamSort"}}}
+    got = es_search(idxs, body, size=15).collect()
+    want = search_dismax(idxs, "nodeCursor shardGroup streamSort", 15,
+                         boosts={"title": 3.0, "text": 0.5}).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+    plain = search_dismax(idxs, "nodeCursor shardGroup streamSort",
+                          15).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] != \
+        [(r["doc_id"], r["score"]) for r in plain]
+
+    si = idxs["text"]
+    body2 = {"query": {"bool": {
+        "should": [{"match": {"text": "node"}},
+                   {"match": {"text": "cursor"}},
+                   {"match": {"text": "shard"}}],
+        "minimum_should_match": 2}}}
+    got2 = es_search(si, body2, size=25).collect()
+    want2 = si.search_bool(should=["node", "cursor", "shard"], k=25,
+                           minimum_should_match=2).collect()
+    assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+
 def test_query_string_lowercase_and_or_are_terms(two_field):
     """ES's query_string parser only treats the UPPERCASE tokens as
     operators; lowercase 'and'/'or' are ordinary terms (the stopword list

@@ -527,6 +527,118 @@ def test_dismax_pruned_equals_full_and_prunes(spark, corpus, tmp_path,
     assert fetched and max(fetched) < hot_df
 
 
+def test_bool_minimum_should_match(spark, index_dir, oracle, monkeypatch):
+    """minimum_should_match: docs must match >= m DISTINCT should terms.
+    Checked against the pure-oracle posting sets, and the capped pruned
+    path against the distributed semi-join plan."""
+    import newssearchengine_spark.plans.search as S
+
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    should = ["node", "cursor", "shard", "stream"]
+    res = {m: si.search_bool(should=should, k=N_DOCS + 1,
+                             minimum_should_match=m).collect()
+           for m in (0, 2, 3)}
+    match_counts = {}
+    for t in should:
+        for d in oidx.postings.get(t, {}):
+            match_counts[d] = match_counts.get(d, 0) + 1
+    for m in (2, 3):
+        want_ids = {d for d, c in match_counts.items() if c >= m}
+        assert {r["doc_id"] for r in res[m]} == want_ids, m
+        # scores are the plain should-sum, unchanged by the constraint
+        base = {r["doc_id"]: r["score"] for r in res[0]}
+        for r in res[m]:
+            assert r["score"] == base[r["doc_id"]]
+    assert len(res[0]) > len(res[2]) > len(res[3])  # constraint bites
+    monkeypatch.setattr(S, "BOOL_DRIVER_CAP", -1)
+    dist = si.search_bool(should=should, k=N_DOCS + 1,
+                          minimum_should_match=2).collect()
+    monkeypatch.undo()
+    assert sorted(map(tuple, dist)) == sorted(map(tuple, res[2]))
+    # msm composes with must + must_not through both regimes
+    a = si.search_bool(must=["node"], should=should, must_not=["proto"],
+                       k=50, minimum_should_match=2).collect()
+    monkeypatch.setattr(S, "BOOL_DRIVER_CAP", -1)
+    b = si.search_bool(must=["node"], should=should, must_not=["proto"],
+                       k=50, minimum_should_match=2).collect()
+    monkeypatch.undo()
+    assert a and sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        si.search_bool(should=["node"], k=5, minimum_should_match=2)
+
+
+def test_dismax_field_boosts(spark, corpus, tmp_path):
+    """ES field boosts (title^3): per-field scores scale by the boost
+    before the combine; pruned == full; a dominant boost reorders toward
+    that field's own ranking."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.plans.search import search_dismax
+
+    two = corpus.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        .alias("title"),
+        F.col("content").alias("body"),
+    ).persist()
+    idxs = {}
+    for fld in ("title", "body"):
+        d = str(tmp_path / f"boost_{fld}")
+        build_index(two, d, CFG, text_col=fld, resume=False)
+        idxs[fld] = SegmentIndex(spark, d)
+    terms = ["node", "cursor", "shard"]
+    boosts = {"title": 3.0, "body": 0.5}
+    got = search_dismax(idxs, terms, 20, tie_breaker=0.2,
+                        boosts=boosts).collect()
+    full = search_dismax(idxs, terms, 20, tie_breaker=0.2, boosts=boosts,
+                         prune=False).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in full]
+    plain = search_dismax(idxs, terms, 20, tie_breaker=0.2).collect()
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in plain] or \
+        [r["score"] for r in got] != [r["score"] for r in plain]
+    with pytest.raises(ValueError, match=">= 0"):
+        search_dismax(idxs, terms, 5, boosts={"title": -1.0})
+    two.unpersist()
+
+
+def test_dismax_threshold_proof_failure_falls_back(spark, tmp_path,
+                                                   monkeypatch):
+    """When the per-field pools cannot prove exclusion, _dismax_pruned
+    must return None and the exact full-join fallback must serve the
+    query — results identical to prune=False."""
+    import newssearchengine_spark.plans.search as S
+
+    # 60 IDENTICAL docs: every match scores the same, so with more
+    # matches than k' the k-th candidate can never sit STRICTLY above the
+    # threshold row — the proof must fail deterministically
+    same = spark.createDataFrame(
+        [(i, "node cursor alpha beta") for i in range(60)],
+        "doc_id bigint, body string",
+    )
+    idxs = {}
+    for fld in ("body",):
+        d = str(tmp_path / f"fb_{fld}")
+        build_index(same, d, CFG, text_col=fld, resume=False)
+        idxs[fld] = SegmentIndex(spark, d)
+    calls = []
+    orig = S._dismax_pruned
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        calls.append(out is None)
+        return out
+
+    monkeypatch.setattr(S, "_dismax_pruned", spy)
+    monkeypatch.setattr(S, "DISMAX_KPRIME_FLOOR", 1)
+    got = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3).collect()
+    want = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3,
+                           prune=False).collect()
+    monkeypatch.undo()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert calls == [True], "expected the threshold proof to fail"
+
+
 def test_bool_pruned_equals_distributed(spark, index_dir, monkeypatch):
     """The capped bool path (per-part clause intersection + candidate
     scoring) equals the distributed semi-join plan exactly."""
