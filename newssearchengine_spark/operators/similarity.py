@@ -80,6 +80,93 @@ def derive_n_cells(n_vectors: int) -> int:
     return max(1, int(round(math.sqrt(max(0, n_vectors)))))
 
 
+#: below this many vectors the iterative paths (k-means, IVF query) run
+#: on the driver in numpy: in local/driver terms a Lloyd iteration costs
+#: one vectorized pass instead of a Spark job, and 2^16 x dim float64 is
+#: a few tens of MB. The numerical contract is preserved exactly — dot
+#: products and norms are sequential-order folds (bit-identical to the
+#: Catalyst `aggregate` fold), rounding is decimal HALF_UP like F.round
+#: — so both routes produce identical rows (pytest + the hash-checked
+#: gates verify). Above the cap the distributed plans run unchanged.
+DRIVER_VECS_CAP = 1 << 16
+
+
+def _round_half_up(arr, nd: int):
+    """Elementwise decimal HALF_UP rounding, matching Spark's
+    F.round(col, nd) on doubles (BigDecimal of the shortest repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal(1).scaleb(-nd)
+    flat = arr.ravel().tolist()
+    out = np.empty(len(flat))
+    for i, x in enumerate(flat):
+        out[i] = float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+    return out.reshape(arr.shape)
+
+
+def _fold_dot(A, B):
+    """(N,d) x (M,d) -> (N,M) dot products accumulated dim-by-dim in
+    sequential order — bit-identical per element to the Catalyst
+    `aggregate(zip_with(a,b,*), 0.0, +)` left fold."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc += A[:, d:d + 1] * B[None, :, d]
+    return acc
+
+
+def _fold_norm(A):
+    """Row norms via the same sequential fold as `norm` (squares first,
+    then left-fold adds, then sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return np.sqrt(acc)
+
+
+def _assign_local(U, C, cells):
+    """Rounded-9dp argmax-cosine assignment, ties -> lowest cell (cells
+    ascending). Mirrors _cent_score_array: denominator is
+    norm(row) * python-fold centroid norm, grouped before the divide."""
+    nv = _fold_norm(U)
+    cn = _fold_norm(C)
+    R = _round_half_up(_fold_dot(U, C) / (nv[:, None] * cn[None, :]), 9)
+    return cells[R.argmax(axis=1)]  # first max = lowest cell
+
+
+def _kmeans_centroids_local(ids, V, n_cells: int, n_iters: int):
+    """Driver-side seeded spherical k-means, iteration-identical to the
+    distributed path: unit vectors by the same fold+divide, 9dp argmax
+    assignment, per-cell member mean rounded 12dp (the cross-engine
+    state contract — summation order differs between engines by design
+    and the 12dp rounding absorbs it), empty cells keep their previous
+    centroid. ids must be ascending."""
+    import numpy as np
+
+    nrm = _fold_norm(V)
+    U = V / nrm[:, None]
+    seed = ids < n_cells
+    cells = ids[seed]
+    C = U[seed].copy()
+    for _ in range(n_iters):
+        assign = _assign_local(U, C, cells)
+        newC = C.copy()
+        for j, c in enumerate(cells):
+            members = U[assign == c]
+            if len(members):
+                acc = np.zeros(U.shape[1])
+                for m in members:       # sequential member fold
+                    acc = acc + m
+                newC[j] = _round_half_up(acc / len(members), 12)
+        C = newC
+    return cells, C
+
+
 def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
                      *, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -111,6 +198,19 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
     from pyspark.ml.stat import Summarizer
 
     spark = emb.sparkSession
+    if emb.count() <= DRIVER_VECS_CAP:
+        import numpy as np
+
+        pdf = emb.select(F.col(id_col).alias("vec_id"),
+                         as_double(F.col(vec_col)).alias("v")).toPandas()
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        cells, C = _kmeans_centroids_local(ids[order], V, n_cells, n_iters)
+        return spark.createDataFrame(
+            [(int(c), [float(x) for x in cv]) for c, cv in zip(cells, C)],
+            "cell bigint, cvec array<double>",
+        )
     uv_df = (
         emb.select(F.col(id_col).alias("vec_id"),
                    as_double(F.col(vec_col)).alias("v"))
@@ -414,9 +514,20 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int | None = 16,
     query, exact cosine within them. Returns (rank, vec_id, cos) —
     approximate overall (recall < 1 vs brute force), exact within cells.
     kmeans_iters > 0 uses seeded-k-means centroids (the real quality
-    path); 0 keeps the degenerate low-id seed centroids."""
+    path); 0 keeps the degenerate low-id seed centroids.
+
+    Under DRIVER_VECS_CAP vectors the whole query (centroids, assignment,
+    probe, scoring) runs driver-side in numpy with the same sequential
+    folds and HALF_UP rounding — identical rows (pytest + hash gates),
+    one gather job instead of one per stage."""
+    n_vec = emb.count()
     if n_cells is None:
-        n_cells = derive_n_cells(emb.count())
+        n_cells = derive_n_cells(n_vec)
+    if n_vec <= DRIVER_VECS_CAP:
+        return _ivf_knn_local(emb, query_id, k, n_cells=n_cells,
+                              nprobe=nprobe, kmeans_iters=kmeans_iters,
+                              centroids=centroids, id_col=id_col,
+                              vec_col=vec_col)
     cents = centroids
     if cents is None:
         if kmeans_iters > 0:
@@ -456,6 +567,58 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int | None = 16,
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"), "vec_id", "cos"
+    )
+
+
+def _ivf_knn_local(emb: DataFrame, query_id: int, k: int, *, n_cells: int,
+                   nprobe: int, kmeans_iters: int,
+                   centroids: DataFrame | None,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Driver regime of ivf_knn (vectors <= DRIVER_VECS_CAP): one gather,
+    then numpy with the exact numerical contract of the distributed plan
+    — sequential-fold dots/norms, HALF_UP rounding (9dp probe/assign,
+    6dp scores), ties lowest cell / lowest vec_id."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame([], "rank bigint, vec_id bigint, cos double")
+    pdf = emb.select(F.col(id_col).alias("vec_id"),
+                     as_double(F.col(vec_col)).alias("v")).toPandas()
+    if not len(pdf):
+        return empty
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+    if centroids is not None:
+        rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                      for r in centroids.collect())
+        cells = np.array([c for c, _ in rows], dtype=np.int64)
+        C = np.array([cv for _, cv in rows], dtype=np.float64)
+    elif kmeans_iters > 0:
+        cells, C = _kmeans_centroids_local(ids, V, n_cells, kmeans_iters)
+    else:
+        seed = ids < n_cells
+        cells, C = ids[seed], V[seed]
+    qsel = np.flatnonzero(ids == query_id)
+    if not qsel.size or not len(C):
+        return empty
+    q = V[qsel[0]][None, :]
+    qn = _fold_norm(q)[0]
+    assign = _assign_local(V, C, cells)
+    pc = _round_half_up(
+        _fold_dot(C, q)[:, 0] / (_fold_norm(C) * qn), 9)
+    probe = set(cells[np.lexsort((cells, -pc))[:nprobe]].tolist())
+    mask = np.isin(assign, list(probe)) & (ids != query_id)
+    if not mask.any():
+        return empty
+    cand_ids, cand_V = ids[mask], V[mask]
+    cos = _round_half_up(
+        _fold_dot(cand_V, q)[:, 0] / (_fold_norm(cand_V) * qn), 6)
+    top = np.lexsort((cand_ids, -cos))[:k]
+    return spark.createDataFrame(
+        [(r, int(cand_ids[i]), float(cos[i])) for r, i in enumerate(top)],
+        "rank bigint, vec_id bigint, cos double",
     )
 
 

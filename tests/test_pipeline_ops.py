@@ -89,6 +89,27 @@ def test_ivf_results_are_exact_within_probed_cells(emb):
     assert len(top10 & {r["vec_id"] for r in got}) >= 3
 
 
+def test_kmeans_ivf_driver_route_equals_distributed(emb, monkeypatch):
+    """The small-N driver regime (numpy sequential folds + HALF_UP
+    rounding) must produce IDENTICAL rows to the distributed Lloyd/probe
+    plans — centroids, and full ivf_knn results."""
+    local_c = S.kmeans_centroids(emb, 8, 2).collect()
+    local_knn = S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=3,
+                          kmeans_iters=3).collect()
+    local_seed = S.ivf_knn(emb, 3, 10, n_cells=16, nprobe=2).collect()
+    monkeypatch.setattr(S, "DRIVER_VECS_CAP", -1)
+    dist_c = S.kmeans_centroids(emb, 8, 2).collect()
+    dist_knn = S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=3,
+                         kmeans_iters=3).collect()
+    dist_seed = S.ivf_knn(emb, 3, 10, n_cells=16, nprobe=2).collect()
+    monkeypatch.undo()
+    assert sorted(map(tuple, local_c)) == sorted(map(tuple, dist_c))
+    assert local_knn and \
+        [tuple(r) for r in local_knn] == [tuple(r) for r in dist_knn]
+    assert local_seed and \
+        [tuple(r) for r in local_seed] == [tuple(r) for r in dist_seed]
+
+
 def test_ivf_adaptive_exact_and_prunes(spark, emb):
     """ivf_knn_adaptive must equal brute force EXACTLY (rounded cosines,
     (cos desc, vec_id asc) order — its stop rule is a proof, not a
