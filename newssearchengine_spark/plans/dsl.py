@@ -4,7 +4,8 @@ A user of the reference issues ES query dicts; this module maps those
 bodies onto the engine so the queries run UNCHANGED:
 
 - query_string over fields (the WAPO retrieval shape,
-  /root/reference/wapo/experiments/ranking.py:128-139)
+  /root/reference/wapo/experiments/ranking.py:128-139); pure-AND
+  conjunctions run as bool-must (mixed AND/OR precedence is rejected)
 - multi_match with operator:"or" (the netzpolitik shape,
   /root/reference/netzpolitik/experiments/keyword_match_recall.py:30-43)
 - term on a keyword field (the url lookup,
@@ -26,23 +27,42 @@ from pyspark.sql import functions as F
 
 from .search import SegmentIndex, search_dismax
 
-def _strip_operators(query: str) -> str:
-    """ES query_string disjunctions arrive as 'a OR b OR c' — the engine
-    analyzes the raw text, so drop the OR tokens. An explicit 'AND'
-    operator would change the result set (conjunction), so it is
-    REJECTED rather than silently treated as OR; the reference only ever
-    issues OR-joined query strings (wapo/experiments/ranking.py:127)."""
+def _parse_query_string(query: str) -> tuple[str, list[str]]:
+    """Parse the query_string operator grammar the adapter supports.
+
+    ES's parser treats only the UPPERCASE tokens as operators; lowercase
+    'and'/'or' are ordinary terms (the analyzer's stopword list drops
+    them downstream), so matching is case-sensitive.
+
+    Returns ("or", [text]) for a pure disjunction (OR tokens dropped —
+    the engine analyzes the remaining text), or ("and", operands) for a
+    pure conjunction 'a AND b AND c' (each operand is required; an
+    operand analyzing to several tokens keeps ES match semantics — any
+    of its tokens satisfies it). Mixed AND/OR grammars (with ES's
+    AND-binds-tighter precedence) are rejected rather than silently
+    mis-evaluated; the reference only ever issues OR-joined strings
+    (wapo/experiments/ranking.py:127)."""
     toks = query.split()
-    # ES's query_string parser treats only the UPPERCASE token as an
-    # operator; lowercase 'and' is an ordinary term (the analyzer's
-    # stopword list drops it downstream), so match case-sensitively.
-    if any(t == "AND" for t in toks):
+    has_and = any(t == "AND" for t in toks)
+    has_or = any(t == "OR" for t in toks)
+    if has_and and has_or:
         raise ValueError(
-            "query_string 'AND' operator is not supported: the adapter "
-            "evaluates OR-disjunctions (use a bool query with must "
-            "clauses for conjunctions)"
+            "query_string mixing AND and OR is not supported (use a bool "
+            "query to express the precedence explicitly)"
         )
-    return " ".join(t for t in toks if t != "OR")
+    if has_and:
+        operands, cur = [], []
+        for t in toks:
+            if t == "AND":
+                if cur:
+                    operands.append(" ".join(cur))
+                    cur = []
+            else:
+                cur.append(t)
+        if cur:
+            operands.append(" ".join(cur))
+        return "and", operands
+    return "or", [" ".join(t for t in toks if t != "OR")]
 
 
 def _field_text(spec: dict) -> tuple[str, str]:
@@ -91,8 +111,26 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
             raise ValueError("only operator:'or' multi_match is supported "
                              "(the only form the reference issues)")
-        text = _strip_operators(str(spec["query"]))
+        op, parts = _parse_query_string(str(spec["query"]))
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
+        if op == "and":
+            # pure conjunction: every AND operand is a required clause
+            # (an operand's analyzed tokens keep ES match OR-semantics);
+            # scoring = summed BM25 of all terms = bool must
+            if multi is not None and names and len(names) > 1:
+                raise ValueError(
+                    "query_string AND over multiple fields is not "
+                    "supported (per-field DisMax of conjunctions)"
+                )
+            si = one(names[0] if names else None)
+            clauses = [si.analyze_query(p) for p in parts]
+            clauses = [c for c in clauses if c]
+            if not clauses:
+                return si.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double"
+                )
+            return si.search_bool(must=clauses, k=size)
+        text = parts[0]
         if multi is None or not names or len(names) == 1:
             si = one(names[0] if names else None)
             out = si.search(text, size, mode=mode)

@@ -146,12 +146,32 @@ def test_bool_must_clause_is_or_of_tokens(spark, two_field):
     assert want_all < want_any  # the distinction is actually exercised
 
 
-def test_query_string_and_operator_rejected(two_field):
+def test_query_string_and_conjunction(two_field):
+    """A pure-AND query_string executes as a bool-must conjunction
+    (every operand required, summed BM25); mixed AND/OR precedence and
+    multi-field AND stay rejected rather than silently mis-evaluated."""
     _, idxs = two_field
+    si = idxs["text"]
     body = {"query": {"query_string": {
         "fields": ["text"], "query": "node AND cursor"}}}
-    with pytest.raises(ValueError, match="AND"):
-        es_search(idxs["text"], body, size=10)
+    got = es_search(si, body, size=10).collect()
+    want = si.search_bool(must=[["node"], ["cursor"]], k=10).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+    # a multi-token operand keeps ES match semantics (OR of its tokens)
+    body2 = {"query": {"query_string": {
+        "fields": ["text"], "query": "nodeCursor AND shard"}}}
+    got2 = es_search(si, body2, size=10).collect()
+    want2 = si.search_bool(must=[si.analyze_query("nodeCursor"),
+                                 ["shard"]], k=10).collect()
+    assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    with pytest.raises(ValueError, match="mixing AND and OR"):
+        es_search(si, {"query": {"query_string": {
+            "fields": ["text"], "query": "node OR cursor AND shard"}}},
+            size=10)
+    with pytest.raises(ValueError, match="multiple fields"):
+        es_search(idxs, {"query": {"query_string": {
+            "fields": ["title", "text"], "query": "node AND cursor"}}},
+            size=10)
 
 
 def test_field_boosts_and_minimum_should_match(two_field):
