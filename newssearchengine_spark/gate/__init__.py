@@ -59,7 +59,7 @@ _PRIORITY = [
     "tx_token_counts", "tx_fingerprints", "rel_proj_filter",
     "rel_date_predicate", "rel_anti_union", "rel_intersect",
     "rel_grouped_counters", "rel_percentiles", "tx_denorm_keywords",
-    "dd_contamination", "tx_repetition",
+    "dd_contamination", "tx_repetition", "ft_mixed_bm25",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

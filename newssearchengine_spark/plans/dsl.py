@@ -5,7 +5,8 @@ bodies onto the engine so the queries run UNCHANGED:
 
 - query_string over fields (the WAPO retrieval shape,
   /root/reference/wapo/experiments/ranking.py:128-139); pure-AND
-  conjunctions run as bool-must (mixed AND/OR precedence is rejected)
+  conjunctions run as bool-must; mixed AND/OR grammars run as an OR of
+  AND-groups under ES's AND-binds-tighter precedence (search_mixed)
 - multi_match with operator:"or" (the netzpolitik shape,
   /root/reference/netzpolitik/experiments/keyword_match_recall.py:30-43)
 - term on a keyword field (the url lookup,
@@ -27,7 +28,24 @@ from pyspark.sql import functions as F
 
 from .search import SegmentIndex, search_dismax
 
-def _parse_query_string(query: str) -> tuple[str, list[str]]:
+def _split_on(toks: list[str], op: str) -> list[list[str]]:
+    """Split a token list on an operator token, dropping empty segments
+    (dangling/duplicated operators are ignored, as ES's lenient
+    query_string parser does)."""
+    out, cur = [], []
+    for t in toks:
+        if t == op:
+            if cur:
+                out.append(cur)
+                cur = []
+        else:
+            cur.append(t)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _parse_query_string(query: str) -> tuple[str, list]:
     """Parse the query_string operator grammar the adapter supports.
 
     ES's parser treats only the UPPERCASE tokens as operators; lowercase
@@ -35,33 +53,23 @@ def _parse_query_string(query: str) -> tuple[str, list[str]]:
     them downstream), so matching is case-sensitive.
 
     Returns ("or", [text]) for a pure disjunction (OR tokens dropped —
-    the engine analyzes the remaining text), or ("and", operands) for a
+    the engine analyzes the remaining text), ("and", operands) for a
     pure conjunction 'a AND b AND c' (each operand is required; an
     operand analyzing to several tokens keeps ES match semantics — any
-    of its tokens satisfies it). Mixed AND/OR grammars (with ES's
-    AND-binds-tighter precedence) are rejected rather than silently
-    mis-evaluated; the reference only ever issues OR-joined strings
-    (wapo/experiments/ranking.py:127)."""
+    of its tokens satisfies it), or ("mixed", groups) for a mixed
+    grammar under ES's AND-binds-tighter precedence: 'a AND b OR c'
+    parses to [(a AND b), (c)] — a list of conjunction groups, each a
+    list of operand strings."""
     toks = query.split()
     has_and = any(t == "AND" for t in toks)
     has_or = any(t == "OR" for t in toks)
     if has_and and has_or:
-        raise ValueError(
-            "query_string mixing AND and OR is not supported (use a bool "
-            "query to express the precedence explicitly)"
-        )
+        # AND binds tighter: split on OR first, each segment is a
+        # conjunction of its AND operands
+        groups = [_split_on(seg, "AND") for seg in _split_on(toks, "OR")]
+        return "mixed", [[" ".join(op) for op in g] for g in groups if g]
     if has_and:
-        operands, cur = [], []
-        for t in toks:
-            if t == "AND":
-                if cur:
-                    operands.append(" ".join(cur))
-                    cur = []
-            else:
-                cur.append(t)
-        if cur:
-            operands.append(" ".join(cur))
-        return "and", operands
+        return "and", [" ".join(op) for op in _split_on(toks, "AND")]
     return "or", [" ".join(t for t in toks if t != "OR")]
 
 
@@ -113,6 +121,24 @@ def es_search(indexes, body: dict, size: int = 10, *,
                              "(the only form the reference issues)")
         op, parts = _parse_query_string(str(spec["query"]))
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
+        if op == "mixed":
+            # OR of AND-groups under ES precedence; single-field only
+            # (like the pure-AND case — per-field DisMax of conjunctions
+            # has no engine form)
+            if multi is not None and names and len(names) > 1:
+                raise ValueError(
+                    "query_string with AND over multiple fields is not "
+                    "supported (per-field DisMax of conjunctions)"
+                )
+            si = one(names[0] if names else None)
+            groups = [[si.analyze_query(p) for p in g] for g in parts]
+            out = si.search_mixed(groups, k=size)
+            bf = boosts.get(names[0], 1.0) if names else 1.0
+            if bf != 1.0:
+                out = out.select(
+                    "rank", "doc_id",
+                    (F.col("score") * F.lit(bf)).alias("score"))
+            return out
         if op == "and":
             # pure conjunction: every AND operand is a required clause
             # (an operand's analyzed tokens keep ES match OR-semantics);
@@ -129,7 +155,15 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 return si.spark.createDataFrame(
                     [], "rank bigint, doc_id bigint, score double"
                 )
-            return si.search_bool(must=clauses, k=size)
+            out = si.search_bool(must=clauses, k=size)
+            bf = boosts.get(names[0], 1.0) if names else 1.0
+            if bf != 1.0:
+                # single boosted field: scale like the OR branch does —
+                # boost > 0 preserves order, so rank/top-k are unchanged
+                out = out.select(
+                    "rank", "doc_id",
+                    (F.col("score") * F.lit(bf)).alias("score"))
+            return out
         text = parts[0]
         if multi is None or not names or len(names) == 1:
             si = one(names[0] if names else None)

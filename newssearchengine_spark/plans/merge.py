@@ -112,7 +112,9 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
     seg_a = spark.read.schema(SEGMENT_SCHEMA).parquet(os.path.join(index_a, "segments"))
     seg_b = spark.read.schema(SEGMENT_SCHEMA).parquet(os.path.join(index_b, "segments"))
 
-    def remerge(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no annotations: pyspark cannot classify the two-arg (key, pdf)
+    # grouped-map signature from hints and warns on any annotated fn
+    def remerge(key, pdf):
         bucket, doc_part = int(key[0]), int(key[1])
         rows = []
         for term, grp in pdf.groupby("term", sort=True):

@@ -108,6 +108,155 @@ def _make_clause_intersector(must_clauses: list[list[str]],
     return intersect_group
 
 
+def _make_bool_taat(must_clauses: list[list[str]], must_not: list[str],
+                    should: list[str], msm: int, scoring_terms: list[str],
+                    idf_map: dict[str, float], *, k1: float, b: float,
+                    avgdl: float, k: int | None):
+    """Combined constraint-intersection + candidate-restricted scoring for
+    the ABOVE-CAP bool regime (VERDICT r4 #1): one applyInPandas pass per
+    doc_part that (a) decodes every scanned term's postings ONCE, (b)
+    intersects the bool constraints into a candidate doc set, (c)
+    accumulates BM25 over the scoring terms restricted to candidates — in
+    sorted-term order, so surviving docs' float64 sums are bit-identical
+    to score_all / _scores_for_docs — and (d) cuts to a margin-safe
+    per-part top-k: every kept doc has unrounded score >= (k-th score -
+    1e-6). 6dp HALF_UP rounding moves a value by < 5e-7 and is monotone,
+    so a dropped doc rounds strictly below at least k kept docs and can
+    never reach the rounded top-k (tie-break included). A hot should-term
+    therefore contributes only candidate postings to the accumulator and
+    at most ~k rows per part to the shuffle — never its full posting
+    relation (the ES WAND-across-the-combined-scorer contract, SURVEY
+    §2.4, expressed as intersection-first pruning)."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        decoded: dict[str, tuple] = {}
+        for row in pdf.itertuples(index=False):
+            decoded[row.term] = decode_postings(row.docs, row.tfs, row.dls)
+        cur = None
+        for clause in must_clauses:
+            arrs = [decoded[t][0] for t in clause if t in decoded]
+            if not arrs:
+                return empty  # no clause term in this range -> no matches
+            cd = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cur = cd if cur is None else cur[np.isin(cur, cd)]
+            if cur.size == 0:
+                return empty
+        if not must_clauses:
+            # pure-should: candidates = docs matching >= 1 should term
+            arrs = [decoded[t][0] for t in should if t in decoded]
+            if not arrs:
+                return empty
+            cur = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        if msm > 0:
+            arrs = [decoded[t][0] for t in should if t in decoded]
+            if len(arrs) < msm:
+                return empty
+            uniq, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+            cur = cur[np.isin(cur, uniq[cnt >= msm])]
+            if cur.size == 0:
+                return empty
+        for t in must_not:
+            if t in decoded and cur.size:
+                cur = cur[~np.isin(cur, decoded[t][0])]
+        if cur.size == 0:
+            return empty
+        all_ids, all_scores = [], []
+        for t in scoring_terms:  # pre-sorted: deterministic accumulation
+            if t not in decoded:
+                continue
+            ids, tfs, dls = decoded[t]
+            keep = np.isin(ids, cur)
+            if not keep.any():
+                continue
+            contrib = idf_map[t] * tf_norm(
+                tfs[keep].astype(np.float64), dls[keep].astype(np.float64),
+                k1=k1, b=b, avgdl=avgdl,
+            )
+            all_ids.append(ids[keep])
+            all_scores.append(contrib)
+        if not all_ids:
+            return empty
+        ids = np.concatenate(all_ids)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, np.concatenate(all_scores))
+        if k is not None and uniq.size > k:
+            kth = np.partition(acc, uniq.size - k)[uniq.size - k]
+            keep = acc >= kth - 1e-6
+            uniq, acc = uniq[keep], acc[keep]
+        return pd.DataFrame({"doc_id": uniq, "score": acc})
+
+    return score_group
+
+
+def _make_groups_taat(groups: list[list[list[str]]],
+                      idf_map: dict[str, float], *, k1: float, b: float,
+                      avgdl: float, k: int | None):
+    """Per-doc_part scorer for an OR of AND-groups (ES mixed AND/OR
+    query_string, AND binds tighter): for each group, intersect its
+    clauses into a candidate set, accumulate BM25 over the group's
+    tokens restricted to those candidates, then sum the group partials
+    per doc — Lucene BooleanQuery-of-conjunctions semantics, where a
+    token occurring in several matched groups contributes once PER
+    GROUP. Postings decode once per term; accumulation order is (group
+    order, sorted tokens within group) — deterministic. The same
+    margin-safe per-part top-k cut as _make_bool_taat bounds the
+    emitted relation (proof there)."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        decoded: dict[str, tuple] = {}
+        for row in pdf.itertuples(index=False):
+            decoded[row.term] = decode_postings(row.docs, row.tfs, row.dls)
+        all_ids, all_scores = [], []
+        for clauses in groups:
+            cur = None
+            dead = False
+            for clause in clauses:
+                arrs = [decoded[t][0] for t in clause if t in decoded]
+                if not arrs:
+                    dead = True  # a required clause absent from this range
+                    break
+                cd = (arrs[0] if len(arrs) == 1
+                      else np.unique(np.concatenate(arrs)))
+                cur = cd if cur is None else cur[np.isin(cur, cd)]
+                if cur.size == 0:
+                    dead = True
+                    break
+            if dead or cur is None or cur.size == 0:
+                continue
+            for t in sorted({t for c in clauses for t in c}):
+                if t not in decoded:
+                    continue
+                ids, tfs, dls = decoded[t]
+                keep = np.isin(ids, cur)
+                if not keep.any():
+                    continue
+                contrib = idf_map[t] * tf_norm(
+                    tfs[keep].astype(np.float64),
+                    dls[keep].astype(np.float64),
+                    k1=k1, b=b, avgdl=avgdl,
+                )
+                all_ids.append(ids[keep])
+                all_scores.append(contrib)
+        if not all_ids:
+            return empty
+        ids = np.concatenate(all_ids)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, np.concatenate(all_scores))
+        if k is not None and uniq.size > k:
+            kth = np.partition(acc, uniq.size - k)[uniq.size - k]
+            keep = acc >= kth - 1e-6
+            uniq, acc = uniq[keep], acc[keep]
+        return pd.DataFrame({"doc_id": uniq, "score": acc})
+
+    return score_group
+
+
 def _eager_topk(rel: DataFrame, out: DataFrame,
                 schema: str = "rank bigint, doc_id bigint, score double"
                 ) -> DataFrame:
@@ -784,14 +933,14 @@ class SegmentIndex:
         msm = int(minimum_should_match)
         if not must_clauses and not should:
             raise ValueError("bool query needs at least one must or should term")
-        if msm > len(should):
-            raise ValueError(
-                f"minimum_should_match={msm} exceeds the {len(should)} "
-                "distinct should terms"
-            )
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
+        if msm > len(should):
+            # ES returns an empty hit set when minimum_should_match
+            # exceeds the distinct should terms — adapter-submitted
+            # bodies must not crash (ADVICE r4)
+            return empty
         # Rank-safe pruned regime: the result set is bounded by the most
         # selective must clause's doc coverage (sum of its terms' dfs), or
         # — for a pure-should query with msm >= 2 — by sum(should dfs)/msm
@@ -813,33 +962,51 @@ class SegmentIndex:
         if bound_ok is not None and bound_ok <= BOOL_DRIVER_CAP:
             return self._bool_pruned(must_clauses, should, must_not,
                                      k=k, empty=empty, msm=msm)
-        scores = self.score_all(sorted(set(must_terms) | set(should)))
-        if must_clauses:
-            cmap = self.spark.createDataFrame(
-                [(t, i) for i, c in enumerate(must_clauses) for t in c],
-                "term string, clause int",
-            )
-            ok = (
-                self._term_docs(must_terms)
-                .join(F.broadcast(cmap), "term")
-                .groupBy("doc_id")
-                .agg(F.countDistinct("clause").alias("n_must"))
-                .filter(F.col("n_must") == len(must_clauses))
-                .select("doc_id")
-            )
-            scores = scores.join(ok, "doc_id", "left_semi")
-        if msm > 0 and should:
-            ok_s = (
-                self._term_docs(should)
-                .groupBy("doc_id")
-                .agg(F.countDistinct("term").alias("n_should"))
-                .filter(F.col("n_should") >= msm)
-                .select("doc_id")
-            )
-            scores = scores.join(ok_s, "doc_id", "left_semi")
-        if must_not:
-            ex = self._term_docs(must_not).select("doc_id").distinct()
-            scores = scores.join(ex, "doc_id", "left_anti")
+        return self._bool_distributed(must_clauses, should, must_not,
+                                      k=k, empty=empty, msm=msm)
+
+    def _bool_distributed(self, must_clauses, should, must_not, *, k,
+                          empty, msm: int = 0) -> DataFrame:
+        """Above-cap bool regime (every must clause hot at 100x scale):
+        ONE combined applyInPandas pass intersects the constraints and
+        scores ONLY the surviving candidates per doc_part, with a
+        margin-safe per-part top-k cut (_make_bool_taat) — replacing the
+        r4 plan (full score_all relation + per-constraint _term_docs
+        semi-joins), which decoded hot postings up to three times and
+        shuffled every matching doc's score. Per-doc ranges are disjoint,
+        so per-part candidate sets and scores are complete; the shared
+        Catalyst round + top-k tail keeps rows bit-identical to the
+        driver-pruned regime (pytest-pinned)."""
+        must_terms = sorted({t for c in must_clauses for t in c})
+        scoring = sorted(set(must_terms) | set(should))
+        dfs = self.term_dfs(scoring)
+        if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
+            return empty  # a clause with only absent terms matches nothing
+        live_scoring = [t for t in scoring if dfs.get(t, 0) > 0]
+        if not live_scoring:
+            return empty
+        mn_dfs = self.term_dfs(must_not) if must_not else {}
+        live_mn = [t for t in must_not if mn_dfs.get(t, 0) > 0]
+        scan_terms = sorted(set(live_scoring) | set(live_mn))
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t])))
+                   for t in live_scoring}
+        buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(scan_terms))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+        scorer = _make_bool_taat(
+            [sorted(set(c) & set(live_scoring)) for c in must_clauses],
+            live_mn, [t for t in should if t in idf_map], msm,
+            live_scoring, idf_map, k1=k1, b=b, avgdl=avgdl, k=k,
+        )
+        scores = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -878,6 +1045,72 @@ class SegmentIndex:
         scores_pdf = self._scores_for_docs(
             sorted(set(must_terms) | set(should)), ok)
         scores = self.spark.createDataFrame(scores_pdf, TOPK_SCHEMA)
+        rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
+    def search_mixed(self, groups, k: int) -> DataFrame:
+        """OR of AND-groups — the ES mixed AND/OR query_string shape
+        ('a AND b OR c' = (a AND b) OR c, AND binds tighter). `groups` is
+        a list of groups; each group a list of clauses; each clause a
+        term list with ES match semantics (any of its tokens satisfies
+        it). A doc matches if it satisfies EVERY clause of AT LEAST ONE
+        group; its score is the sum over its matched groups of the
+        summed BM25 of the group's tokens (a token in several matched
+        groups counts per group — Lucene sums sub-clause scores with no
+        dedup across should clauses). Rounded 6dp before the (score
+        desc, doc_id asc) top-k cut.
+
+        Plan: one pruned segment scan over every live token ->
+        per-doc_part group-intersection + candidate-restricted
+        accumulation with a margin-safe per-part top-k cut
+        (_make_groups_taat; per-doc ranges are disjoint so per-part
+        results are complete) -> shared Catalyst round + top-k tail.
+        A single group degenerates to search_bool(must=...); singleton
+        groups degenerate to search() — both pytest-pinned."""
+        gs = []
+        for g in groups:
+            clauses = [sorted({c} if isinstance(c, str) else set(c))
+                       for c in g]
+            clauses = [c for c in clauses if c]
+            if clauses:
+                gs.append(clauses)
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        if not gs:
+            return empty
+        all_terms = sorted({t for g in gs for c in g for t in c})
+        dfs = self.term_dfs(all_terms)
+        live_gs = []
+        for g in gs:
+            # a group with a clause of only-absent terms can never match
+            if any(all(dfs.get(t, 0) == 0 for t in c) for c in g):
+                continue
+            live_gs.append([[t for t in c if dfs.get(t, 0) > 0] for c in g])
+        if not live_gs:
+            return empty
+        scoring = sorted({t for g in live_gs for c in g for t in c})
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t])))
+                   for t in scoring}
+        buckets = sorted({term_bucket(t, n_buckets) for t in scoring})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(scoring))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+        scorer = _make_groups_taat(live_gs, idf_map, k1=k1, b=b,
+                                   avgdl=avgdl, k=k)
+        scores = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1064,7 +1297,8 @@ class SegmentIndex:
                     "block_last", "block_max")
         )
         scorer = _make_multi_scorer(qlive, idf_map, k1=k1, b=b,
-                                    avgdl=avgdl, k=k, mode=mode)
+                                    avgdl=avgdl, k=k, mode=mode,
+                                    doc_range=int(self.stats["doc_range"]))
         per_part = seg.groupBy("doc_part").applyInPandas(
             scorer, "query_id string, doc_id bigint, score double"
         )
@@ -1165,10 +1399,22 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     if any(v < 0 for v in b.values()):
         raise ValueError("field boosts must be >= 0")
     if prune and 0.0 <= float(tie_breaker) <= 1.0:
-        out = _dismax_pruned(field_indexes, query, k,
-                             tie_breaker=float(tie_breaker), boosts=b)
-        if out is not None:
-            return out
+        # escalation ladder (VERDICT r4 #1): when the threshold proof
+        # fails at k', retry with a wider per-field pool before paying
+        # the exact full-relation join — each rung costs bounded
+        # per-field top-k' probes, so the full fallback survives only
+        # for tie_breaker outside [0, 1] or a rounded-score plateau
+        # wider than DISMAX_KPRIME_CAP docs in every field
+        kprime = max(2 * k, DISMAX_KPRIME_FLOOR)
+        while True:
+            out = _dismax_pruned(field_indexes, query, k,
+                                 tie_breaker=float(tie_breaker), boosts=b,
+                                 kprime=kprime)
+            if out is not None:
+                return out
+            if kprime >= DISMAX_KPRIME_CAP:
+                break
+            kprime = min(kprime * 8, DISMAX_KPRIME_CAP)
     return _dismax_full(field_indexes, query, k,
                         tie_breaker=float(tie_breaker), boosts=b)
 
@@ -1217,11 +1463,15 @@ def _dismax_full(field_indexes: dict, query, k: int, *,
 # per-field candidate pool: large enough that the threshold proof rarely
 # fails at realistic score spreads, small enough to stay a driver-side set
 DISMAX_KPRIME_FLOOR = 64
+# escalation ceiling: a proof still failing with 2^14-deep per-field pools
+# means a rounded-score plateau wider than 16k docs — fall back to exact
+DISMAX_KPRIME_CAP = 1 << 14
 
 
 def _dismax_pruned(field_indexes: dict, query, k: int, *,
                    tie_breaker: float,
-                   boosts: dict | None = None) -> "DataFrame | None":
+                   boosts: dict | None = None,
+                   kprime: int | None = None) -> "DataFrame | None":
     """Threshold-algorithm DisMax (rank-safe pruning, VERDICT r3 #3).
 
     1. Per field: top-k' by that field's own BM25 (k' = max(2k, 64)).
@@ -1242,7 +1492,8 @@ def _dismax_pruned(field_indexes: dict, query, k: int, *,
     pools: dict[str, list] = {}
     taus: dict[str, float] = {}
     exhausted = True
-    kprime = max(2 * k, DISMAX_KPRIME_FLOOR)
+    if kprime is None:
+        kprime = max(2 * k, DISMAX_KPRIME_FLOOR)
     cand: set[int] = set()
     for name in names:
         bf = float((boosts or {}).get(name, 1.0))
@@ -1405,14 +1656,30 @@ def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
     return score_group
 
 
+#: dense-accumulator guard for the batched scorer: a per-part score
+#: buffer of doc_range float64 + an int32 epoch array (12 bytes/slot;
+#: 2^22 slots = 48 MB per Python worker). Above the cap (an index built
+#: with a huge doc_range) the sparse unique-sort path runs instead.
+DENSE_RANGE_CAP = 1 << 22
+
+
 def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
                        *, k1: float, b: float, avgdl: float, k: int,
-                       mode: str):
+                       mode: str, doc_range: int | None = None):
     """Per-doc_part scorer for search_many: decode each matched term's
     postings ONCE, reuse the per-term contribution vector (idf * tf_norm
     depends only on the term, never the query) across every query that
     contains the term, then per-query top-k. Term accumulation order stays
-    sorted (qterms lists are pre-sorted) — determinism contract holds."""
+    sorted (qterms lists are pre-sorted) — determinism contract holds.
+
+    When doc_range is known (and <= DENSE_RANGE_CAP), accumulation uses a
+    DENSE per-part buffer indexed by doc_id - part_base instead of a
+    per-query np.unique sort: postings localize once per term, each query
+    pays O(postings) adds + epoch-stamped touched tracking + one
+    argpartition, eliminating the O(P log P) sort that dominated the
+    batch200 stage (VERDICT r4 #3). Per-doc adds still happen in sorted
+    term order (one add.at pass per term), so float64 sums are
+    bit-identical to the sparse path and to search() — pytest-pinned."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("term", kind="mergesort")
@@ -1426,10 +1693,18 @@ def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
             )
             decoded[row.term] = (ids, contrib)
             rows_by_term[row.term] = row
+        dense = (mode != "wand" and decoded and doc_range is not None
+                 and 0 < doc_range <= DENSE_RANGE_CAP)
+        if dense:
+            base = int(pdf["doc_part"].iloc[0]) * doc_range
+            loc = {t: (ids - base).astype(np.int64)
+                   for t, (ids, _) in decoded.items()}
+            acc_buf = np.zeros(doc_range)
+            stamp = np.full(doc_range, -1, dtype=np.int32)
         out_q: list[np.ndarray] = []
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
-        for qid in sorted(qterms):
+        for qi, qid in enumerate(sorted(qterms)):
             terms = [t for t in qterms[qid] if t in decoded]
             if not terms:
                 continue
@@ -1437,6 +1712,27 @@ def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
                 sub = pd.DataFrame([rows_by_term[t] for t in terms])
                 ids, scores = _wand_topk(sub, idf_map, k1=k1, b=b,
                                          avgdl=avgdl, k=k)
+            elif dense:
+                newly = []
+                for t in terms:  # sorted order: per-doc adds term-ordered
+                    lt = loc[t]
+                    # posting doc-ids are unique per term, so fancy-index
+                    # += is exact here (and much faster than np.add.at)
+                    acc_buf[lt] += decoded[t][1]
+                    fresh = lt[stamp[lt] != qi]
+                    stamp[fresh] = qi
+                    newly.append(fresh)
+                u = np.concatenate(newly)
+                sc = acc_buf[u]
+                acc_buf[u] = 0.0  # reset touched slots for the next query
+                if u.size > k:
+                    # exact rank-safe pre-cut: keep everything at or above
+                    # the k-th score, let lexsort resolve doc_id ties
+                    kth = np.partition(sc, sc.size - k)[sc.size - k]
+                    m2 = sc >= kth
+                    u, sc = u[m2], sc[m2]
+                order = np.lexsort((u, -sc))[:k]
+                ids, scores = u[order] + base, sc[order]
             else:
                 ids = np.concatenate([decoded[t][0] for t in terms])
                 scores = np.concatenate([decoded[t][1] for t in terms])

@@ -17,8 +17,6 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from typing import Any, Iterator, Tuple
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,8 +85,10 @@ def run_stateful_user_counts(spark: SparkSession, events_path: str,
     user equals the batch groupBy count (asserted by the gate oracle).
     """
 
-    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-               state: GroupState) -> Iterator[pd.DataFrame]:
+    # no annotations: pyspark's eval-type inference cannot classify the
+    # applyInPandasWithState signature and warns on any annotated fn
+    # (key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState)
+    def update(key, pdfs, state):
         (user_id,) = key
         n = state.get[0] if state.exists else 0
         for pdf in pdfs:
@@ -142,8 +142,10 @@ def run_stream_dedup(spark: SparkSession, docs_path: str,
     as a SET to the batch `SELECT DISTINCT sha256(content)` regardless of
     arrival order (asserted in tests)."""
 
-    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-               state: GroupState) -> Iterator[pd.DataFrame]:
+    # no annotations: pyspark's eval-type inference cannot classify the
+    # applyInPandasWithState signature and warns on any annotated fn
+    # (key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState)
+    def update(key, pdfs, state):
         seen = set(state.get[0].split(",")) if state.exists else set()
         fresh = []
         for pdf in pdfs:

@@ -164,14 +164,80 @@ def test_query_string_and_conjunction(two_field):
     want2 = si.search_bool(must=[si.analyze_query("nodeCursor"),
                                  ["shard"]], k=10).collect()
     assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want2]
-    with pytest.raises(ValueError, match="mixing AND and OR"):
-        es_search(si, {"query": {"query_string": {
-            "fields": ["text"], "query": "node OR cursor AND shard"}}},
-            size=10)
     with pytest.raises(ValueError, match="multiple fields"):
         es_search(idxs, {"query": {"query_string": {
             "fields": ["title", "text"], "query": "node AND cursor"}}},
             size=10)
+
+
+def test_query_string_mixed_and_or_precedence(two_field):
+    """Mixed AND/OR under ES precedence (AND binds tighter): the r4
+    ValueError path is retired — 'node OR cursor AND shard' evaluates as
+    node OR (cursor AND shard), verified against a pure-python oracle
+    over the corpus postings (match set + per-doc group-summed BM25)."""
+    import math
+
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"query_string": {
+        "fields": ["text"], "query": "node OR cursor AND shard"}}}
+    got = es_search(si, body, size=500).collect()
+
+    raw = {r["doc_id"]: r["text"] for r in
+           two.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    groups = [[si.analyze_query("node")],
+              [si.analyze_query("cursor"), si.analyze_query("shard")]]
+    want = {}
+    for d in oidx.dl:
+        s = 0.0
+        matched = False
+        for g in groups:
+            if all(any(d in oidx.postings.get(t, {}) for t in c)
+                   for c in g):
+                matched = True
+                s += oidx.score([t for c in g for t in c], d)
+        if matched:
+            want[d] = s
+    got_ids = {r["doc_id"] for r in got}
+    assert got_ids == set(want), "match set must be OR of AND-groups"
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], abs=1e-6)
+    # ranked (score desc, doc_id asc) like every engine result
+    keys = [(-r["score"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys) and len(got) > 0
+    # a doc matching BOTH groups outscores its single-group base: group
+    # scores sum (Lucene should-clause sum, no cross-group dedup)
+    both = [d for d in want
+            if d in oidx.postings.get(groups[0][0][0], {})
+            and d in want and want[d] > oidx.score(groups[0][0], d) + 1e-9]
+    assert both, "fixture must contain docs matching both groups"
+    # the boosted single-field form scales scores (ADVICE r4: the AND
+    # branch must honor boosts too)
+    bbody = {"query": {"query_string": {
+        "fields": ["text^2"], "query": "node OR cursor AND shard"}}}
+    bgot = es_search(si, bbody, size=500).collect()
+    assert [(r["rank"], r["doc_id"]) for r in bgot] == \
+        [(r["rank"], r["doc_id"]) for r in got]
+    for a, b_ in zip(bgot, got):
+        assert a["score"] == pytest.approx(2.0 * b_["score"], rel=1e-12)
+
+
+def test_query_string_pure_and_boost(two_field):
+    """ADVICE r4: a pure-AND query_string on a single boosted field must
+    scale scores by the boost, consistent with the OR branch."""
+    _, idxs = two_field
+    si = idxs["text"]
+    base = es_search(si, {"query": {"query_string": {
+        "fields": ["text"], "query": "node AND cursor"}}}, size=10).collect()
+    boosted = es_search(si, {"query": {"query_string": {
+        "fields": ["text^3"], "query": "node AND cursor"}}}, size=10).collect()
+    assert base and [(r["rank"], r["doc_id"]) for r in boosted] == \
+        [(r["rank"], r["doc_id"]) for r in base]
+    for a, b_ in zip(boosted, base):
+        assert a["score"] == pytest.approx(3.0 * b_["score"], rel=1e-12)
 
 
 def test_field_boosts_and_minimum_should_match(two_field):

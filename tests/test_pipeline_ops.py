@@ -97,7 +97,7 @@ def test_kmeans_ivf_driver_route_equals_distributed(emb, monkeypatch):
     local_knn = S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=3,
                           kmeans_iters=3).collect()
     local_seed = S.ivf_knn(emb, 3, 10, n_cells=16, nprobe=2).collect()
-    monkeypatch.setattr(S, "DRIVER_VECS_CAP", -1)
+    monkeypatch.setattr(S, "DRIVER_ELEMS_CAP", -1)
     dist_c = S.kmeans_centroids(emb, 8, 2).collect()
     dist_knn = S.ivf_knn(emb, 0, 10, n_cells=16, nprobe=3,
                          kmeans_iters=3).collect()
@@ -108,6 +108,38 @@ def test_kmeans_ivf_driver_route_equals_distributed(emb, monkeypatch):
         [tuple(r) for r in local_knn] == [tuple(r) for r in dist_knn]
     assert local_seed and \
         [tuple(r) for r in local_seed] == [tuple(r) for r in dist_seed]
+
+
+def test_driver_guard_is_element_based(spark, monkeypatch):
+    """The driver-gather guard counts ELEMENTS (rows x dim), not rows
+    (VERDICT r4): a high-dimensional corpus whose row count alone would
+    fit must route to the distributed plan before a multi-GB gather —
+    and both routes still agree row-for-row at small N."""
+    import newssearchengine_spark.operators.similarity as sim
+
+    dim = 96
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    taken = []
+    orig = sim._ivf_knn_local
+
+    def spy(*a, **kw):
+        taken.append("driver")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sim, "_ivf_knn_local", spy)
+    # 80 rows x 96 dims = 7680 elements: over a 4096-element cap even
+    # though 80 rows would pass any row-count gate
+    monkeypatch.setattr(sim, "DRIVER_ELEMS_CAP", 4096)
+    dist = sim.ivf_knn(emb, 0, 10, n_cells=8, kmeans_iters=2,
+                       nprobe=3).collect()
+    assert taken == []  # high-dim corpus took the distributed route
+    monkeypatch.setattr(sim, "DRIVER_ELEMS_CAP", 1 << 22)
+    drv = sim.ivf_knn(emb, 0, 10, n_cells=8, kmeans_iters=2,
+                      nprobe=3).collect()
+    assert taken == ["driver"]
+    assert drv and [tuple(r) for r in drv] == [tuple(r) for r in dist]
 
 
 def test_ivf_adaptive_exact_and_prunes(spark, emb):

@@ -248,6 +248,22 @@ def test_search_many_dedupes_repeated_queries(spark, index_dir,
     monkeypatch.undo()
 
 
+def test_search_many_dense_equals_sparse_scorer(spark, index_dir,
+                                                monkeypatch):
+    """The dense-accumulator batch scorer (doc_range-indexed buffer,
+    VERDICT r4 #3) must be row-identical to the sparse unique-sort path
+    — same docs, same float64 sums, same ranks."""
+    import newssearchengine_spark.plans.search as S
+
+    si = SegmentIndex(spark, index_dir)
+    queries = {f"q{i}": q for i, (q, _) in enumerate(QUERIES)}
+    dense = si.search_many(queries, 25).collect()
+    monkeypatch.setattr(S, "DENSE_RANGE_CAP", -1)
+    sparse = si.search_many(queries, 25).collect()
+    monkeypatch.undo()
+    assert dense and sorted(map(tuple, dense)) == sorted(map(tuple, sparse))
+
+
 def test_search_many_driver_merge_equals_window(spark, index_dir,
                                                 monkeypatch):
     """search_many's two regimes (driver merge under MANY_DRIVER_CAP,
@@ -564,8 +580,10 @@ def test_bool_minimum_should_match(spark, index_dir, oracle, monkeypatch):
                        k=50, minimum_should_match=2).collect()
     monkeypatch.undo()
     assert a and sorted(map(tuple, a)) == sorted(map(tuple, b))
-    with pytest.raises(ValueError, match="minimum_should_match"):
-        si.search_bool(should=["node"], k=5, minimum_should_match=2)
+    # msm exceeding the distinct should terms matches NOTHING in ES —
+    # an adapter-submitted body must get an empty hit set, not a crash
+    assert si.search_bool(should=["node"], k=5,
+                          minimum_should_match=2).collect() == []
 
 
 def test_dismax_field_boosts(spark, corpus, tmp_path):
@@ -602,11 +620,13 @@ def test_dismax_field_boosts(spark, corpus, tmp_path):
     two.unpersist()
 
 
-def test_dismax_threshold_proof_failure_falls_back(spark, tmp_path,
-                                                   monkeypatch):
-    """When the per-field pools cannot prove exclusion, _dismax_pruned
-    must return None and the exact full-join fallback must serve the
-    query — results identical to prune=False."""
+def test_dismax_threshold_proof_failure_escalates_then_falls_back(
+        spark, tmp_path, monkeypatch):
+    """When the per-field pools cannot prove exclusion, search_dismax
+    must ESCALATE k' (VERDICT r4 #1) — once the pool covers the score
+    plateau the fields exhaust and the pruned regime serves the query —
+    and only a plateau wider than DISMAX_KPRIME_CAP pays the exact
+    full-join fallback. Results identical to prune=False either way."""
     import newssearchengine_spark.plans.search as S
 
     # 60 IDENTICAL docs: every match scores the same, so with more
@@ -626,17 +646,27 @@ def test_dismax_threshold_proof_failure_falls_back(spark, tmp_path,
 
     def spy(*a, **kw):
         out = orig(*a, **kw)
-        calls.append(out is None)
+        calls.append((kw.get("kprime"), out is None))
         return out
 
     monkeypatch.setattr(S, "_dismax_pruned", spy)
     monkeypatch.setattr(S, "DISMAX_KPRIME_FLOOR", 1)
-    got = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3).collect()
     want = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3,
                            prune=False).collect()
-    monkeypatch.undo()
+    got = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3).collect()
+    # k'=2 fails (plateau), k'=16 fails, k'=128 >= 60 docs -> exhausted
+    # -> the PRUNED regime serves; the full join never runs
+    assert [f for _, f in calls] == [True, True, False]
+    assert calls[-1][0] == 128
     assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
-    assert calls == [True], "expected the threshold proof to fail"
+    # a plateau wider than the cap: the ladder gives up and the exact
+    # full-relation fallback serves, still identical
+    calls.clear()
+    monkeypatch.setattr(S, "DISMAX_KPRIME_CAP", 4)
+    got2 = S.search_dismax(idxs, ["node"], 1, tie_breaker=0.3).collect()
+    monkeypatch.undo()
+    assert [f for _, f in calls] == [True, True]  # 2 then capped 4, both fail
+    assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want]
 
 
 def test_bool_pruned_equals_distributed(spark, index_dir, monkeypatch):
@@ -658,6 +688,31 @@ def test_bool_pruned_equals_distributed(spark, index_dir, monkeypatch):
     monkeypatch.undo()
     for a, b, c in zip(pruned, dist, cases):
         assert a and [tuple(r) for r in a] == [tuple(r) for r in b], c
+
+
+def test_search_mixed_degenerates_to_bool_and_disjunction(spark, index_dir):
+    """search_mixed sanity anchors: a single AND-group equals
+    search_bool(must=...); all-singleton groups equal the plain
+    disjunction search() — same docs, scores, ranks."""
+    si = SegmentIndex(spark, index_dir)
+    one_group = si.search_mixed([[["node"], ["cursor"]]], k=25).collect()
+    want_bool = si.search_bool(must=[["node"], ["cursor"]], k=25).collect()
+    assert one_group and \
+        [tuple(r) for r in one_group] == [tuple(r) for r in want_bool]
+    singles = si.search_mixed([[["node"]], [["cursor"]], [["shard"]]],
+                              k=25).collect()
+    # search() returns unrounded scores; search_mixed rounds 6dp before
+    # its cut — compare docs/ranks exactly and scores at the rounding
+    want_or = si.search(["node", "cursor", "shard"], 25).collect()
+    assert singles and [(r["rank"], r["doc_id"]) for r in singles] == \
+        [(r["rank"], r["doc_id"]) for r in want_or]
+    for a, b in zip(singles, want_or):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-6)
+    # dead group drops; dead-term-only query is empty, not an error
+    with_dead = si.search_mixed(
+        [[["node"], ["cursor"]], [["zzz_missing_term"]]], k=25).collect()
+    assert [tuple(r) for r in with_dead] == [tuple(r) for r in one_group]
+    assert si.search_mixed([[["zzz_missing_term"]]], k=5).collect() == []
 
 
 def test_no_row_at_a_time_python_udfs():

@@ -71,3 +71,65 @@ def test_wand_no_pruning_possible_still_exact(skewed):
     w = _wand_topk(hot, idf, k1=K1, b=B, avgdl=AVGDL, k=25, stats=s)
     assert np.array_equal(w[0], t[0])
     np.testing.assert_allclose(w[1], t[1], atol=1e-12)
+
+
+def test_bool_distributed_regime_prunes_and_stays_exact(skewed):
+    """The above-cap bool regime (_make_bool_taat, VERDICT r4 #1) on a
+    skewed fixture: a selective must clause against hot should terms must
+    score FAR fewer docs than match the scoring terms — the hot posting
+    lists contribute only candidate rows to the accumulator and at most
+    ~k rows to the emitted relation — while the surviving docs' scores
+    stay bit-identical to the exhaustive taat accumulation."""
+    from newssearchengine_spark.functions.codec import decode_postings
+    from newssearchengine_spark.plans.search import _make_bool_taat
+
+    pdf, idf = skewed
+    scoring = sorted(idf)  # selective + hot1 + hot2 all score
+    k = 10
+    scorer = _make_bool_taat(
+        [["selective"]], [], ["hot1", "hot2"], 0, scoring, idf,
+        k1=K1, b=B, avgdl=AVGDL, k=k,
+    )
+    out = scorer(pdf)
+    # matching docs (any scoring term) ~ 119k; candidates = selective df
+    # (300); emitted rows <= k + rounding-margin ties
+    n_matching = np.unique(np.concatenate([
+        decode_postings(r.docs, r.tfs, r.dls)[0]
+        for r in pdf.itertuples(index=False)
+    ])).size
+    assert n_matching > 100_000
+    assert len(out) <= k + 5, "margin cut must bound the emitted relation"
+    # exactness: same docs + scores as exhaustive scoring restricted to
+    # the must set, cut to top-k
+    sel_ids = decode_postings(*pdf[pdf.term == "selective"].iloc[0][
+        ["docs", "tfs", "dls"]])[0]
+    # production sorts terms before accumulating (_make_scorer); the
+    # reference must use the same order for bit-identity
+    t_ids, t_scores = _taat_topk(pdf.sort_values("term"), idf, k1=K1, b=B,
+                                 avgdl=AVGDL, k=None, only_docs=sel_ids)
+    exact = sorted(zip(t_ids.tolist(), t_scores.tolist()),
+                   key=lambda t: (-t[1], t[0]))[:k]
+    got = sorted(zip(out["doc_id"].tolist(), out["score"].tolist()),
+                 key=lambda t: (-t[1], t[0]))[:k]
+    assert [d for d, _ in got] == [d for d, _ in exact]
+    for (_, a), (_, b_) in zip(got, exact):
+        assert a == b_, "bit-identical accumulation required"
+
+
+def test_bool_distributed_regime_msm_and_must_not(skewed):
+    """Constraint coverage of the combined pass: msm >= 2 over the hot
+    terms and a must_not exclusion, verified against a naive set
+    computation over the decoded postings."""
+    from newssearchengine_spark.functions.codec import decode_postings
+    from newssearchengine_spark.plans.search import _make_bool_taat
+
+    pdf, idf = skewed
+    docsets = {r.term: set(decode_postings(r.docs, r.tfs, r.dls)[0].tolist())
+               for r in pdf.itertuples(index=False)}
+    want = (docsets["hot1"] & docsets["hot2"]) - docsets["selective"]
+    scorer = _make_bool_taat(
+        [], ["selective"], ["hot1", "hot2"], 2, ["hot1", "hot2"], idf,
+        k1=K1, b=B, avgdl=AVGDL, k=None,
+    )
+    out = scorer(pdf)
+    assert set(out["doc_id"].tolist()) == want and len(want) > 0
