@@ -150,7 +150,11 @@ def main() -> None:
                  "tx_quality", "rel_topk_per_group",
                  "rel_sessionize", "dd_exact"):
         fn = REGISTRY[name].fn
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect(), warmup=1)
+        # ex_ltr_rerank's multi-job plan (feature persist + fit + rerank)
+        # whipsaws with host load: 5 samples where 3 left spread > value
+        n = 5 if name == "ex_ltr_rerank" else 3
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect(),
+              n=n, warmup=1)
 
     # 4) IVF at DERIVED scale (the ~sqrt(N) sizing the gate's toy
     # n_cells=16 doesn't exercise): n_cells=None -> derive_n_cells(N),

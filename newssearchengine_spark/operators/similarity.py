@@ -644,6 +644,100 @@ def _ivf_knn_local(emb: DataFrame, query_id: int, k: int, *, n_cells: int,
     )
 
 
+def _ivf_knn_adaptive_local(emb: DataFrame, query_id: int, k: int, *,
+                            n_cells: int, kmeans_iters: int,
+                            centroids: DataFrame | None, batch_cells: int,
+                            id_col: str, vec_col: str,
+                            stats_out: dict | None) -> DataFrame:
+    """Driver regime of ivf_knn_adaptive (rows x dim <= DRIVER_ELEMS_CAP):
+    the SAME algorithm — per-cell angular radii, best-bound-first probing
+    in batch_cells steps, 1e-6-margin stop proof — run in numpy with the
+    distributed plan's exact numerical contract (sequential-fold dots and
+    norms, HALF_UP 6dp probe scores, identical bound formula and pool
+    truncation), so rows AND stats_out.cells_probed are identical
+    (pytest-pinned); one gather job instead of one per probe batch."""
+    import math
+
+    import numpy as np
+
+    spark = emb.sparkSession
+    empty = spark.createDataFrame([], "rank bigint, vec_id bigint, cos double")
+    pdf = emb.select(F.col(id_col).alias("vec_id"),
+                     as_double(F.col(vec_col)).alias("v")).toPandas()
+    if not len(pdf):
+        return empty
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+    if centroids is not None:
+        rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                      for r in centroids.collect())
+        cells = np.array([c for c, _ in rows], dtype=np.int64)
+        C = np.array([cv for _, cv in rows], dtype=np.float64)
+    elif kmeans_iters > 0:
+        cells, C = _kmeans_centroids_local(ids, V, n_cells, kmeans_iters)
+    else:
+        seed = ids < n_cells
+        cells, C = ids[seed], V[seed]
+    qsel = np.flatnonzero(ids == query_id)
+    if not qsel.size or not len(C):
+        return empty
+    assign = _assign_local(V, C, cells)
+    # per-cell angular radius: min member cosine (unrounded, fold math —
+    # the distributed F.min(cosine(v, cvec)) per cell), acos clipped
+    cn_fold = _fold_norm(C)
+    v_fold = _fold_norm(V)
+    radius: dict[int, float] = {}
+    for ci, cell in enumerate(cells.tolist()):
+        m = assign == cell
+        if not m.any():
+            continue  # empty cell: nothing to probe
+        cosm = (_fold_dot(V[m], C[ci:ci + 1])[:, 0]
+                / (v_fold[m] * cn_fold[ci]))
+        radius[int(cell)] = math.acos(max(-1.0, min(1.0, float(cosm.min()))))
+    qv = V[qsel[0]]
+    qn = float(np.sqrt((qv * qv).sum()))
+    bounds = []
+    for ci, cell in enumerate(cells.tolist()):
+        rc = radius.get(int(cell))
+        if rc is None:
+            continue
+        cv = C[ci]
+        cnn = float(np.sqrt((cv * cv).sum()))
+        cq = max(-1.0, min(1.0, float(qv @ cv) / (qn * cnn)))
+        t_qc = math.acos(cq)
+        bounds.append((math.cos(max(0.0, t_qc - rc - 1e-9)), int(cell)))
+    bounds.sort(key=lambda t: (-t[0], t[1]))
+    qf = qv[None, :]
+    qn_fold = _fold_norm(qf)[0]
+    best: list = []
+    probed = 0
+    i = 0
+    while i < len(bounds):
+        kth = best[k - 1][0] if len(best) >= k else None
+        if kth is not None and bounds[i][0] <= kth - 1e-6:
+            break  # proof: no unprobed cell can reach or tie top-k
+        batch = [c for _, c in bounds[i:i + batch_cells]]
+        i += len(batch)
+        probed += len(batch)
+        m = np.isin(assign, batch) & (ids != query_id)
+        if m.any():
+            cosb = _round_half_up(
+                _fold_dot(V[m], qf)[:, 0] / (v_fold[m] * qn_fold), 6)
+            best.extend(zip(cosb.tolist(), ids[m].tolist()))
+        best.sort(key=lambda t: (-t[0], t[1]))
+        del best[max(k, 1) * 4:]  # same pool truncation as distributed
+    out = [(rank, int(vid), float(c))
+           for rank, (c, vid) in enumerate(best[:k])]
+    if stats_out is not None:
+        stats_out["cells_probed"] = probed
+        stats_out["n_cells"] = len(bounds)
+    return spark.createDataFrame(
+        out, "rank bigint, vec_id bigint, cos double"
+    )
+
+
 def ivf_knn_adaptive(emb: DataFrame, query_id: int, k: int, *,
                      n_cells: int | None = None, kmeans_iters: int = 3,
                      centroids: DataFrame | None = None,
@@ -679,8 +773,14 @@ def ivf_knn_adaptive(emb: DataFrame, query_id: int, k: int, *,
 
     import numpy as np
 
+    n_vec, dim = _n_and_dim(emb, vec_col)
     if n_cells is None:
-        n_cells = derive_n_cells(emb.count())
+        n_cells = derive_n_cells(n_vec)
+    if n_vec * max(1, dim) <= DRIVER_ELEMS_CAP:
+        return _ivf_knn_adaptive_local(
+            emb, query_id, k, n_cells=n_cells, kmeans_iters=kmeans_iters,
+            centroids=centroids, batch_cells=batch_cells, id_col=id_col,
+            vec_col=vec_col, stats_out=stats_out)
     cents = centroids
     if cents is None:
         if kmeans_iters > 0:

@@ -177,6 +177,25 @@ def test_ivf_adaptive_exact_and_prunes(spark, emb):
     assert stats2["cells_probed"] < stats2["n_cells"], stats2
 
 
+def test_ivf_adaptive_driver_route_equals_distributed(spark, emb,
+                                                      monkeypatch):
+    """The adaptive driver regime (numpy mirror of the probe loop) must
+    match the distributed plan row-for-row AND in its probe accounting
+    (same bounds + same rounded scores => same stop decision)."""
+    ls: dict = {}
+    local = S.ivf_knn_adaptive(emb, 7, 10, n_cells=16, kmeans_iters=3,
+                               stats_out=ls).collect()
+    monkeypatch.setattr(S, "DRIVER_ELEMS_CAP", -1)
+    ds: dict = {}
+    dist = S.ivf_knn_adaptive(emb, 7, 10, n_cells=16, kmeans_iters=3,
+                              stats_out=ds).collect()
+    monkeypatch.undo()
+    assert local and [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert ls == ds  # cells_probed / n_cells identical
+    # absent query id: typed empty on BOTH routes (ADVICE r4)
+    assert S.ivf_knn_adaptive(emb, 10**9, 5, n_cells=8).collect() == []
+
+
 def test_lang_id_heuristic(docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
     assert pred[1] == "en"
