@@ -73,8 +73,11 @@ def _gate_index(spark: SparkSession, sf_dir: str):
         cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
                           analyzer=DOCS_ANALYZER)
         idx_dir = tempfile.mkdtemp(prefix="gate_idx_")
+        # meta_cols land in the doc_store (the ES _source shape) — the
+        # filter-context gates predicate on them with parquet pushdown
         build_index(load(spark, sf_dir, "documents"), idx_dir, cfg,
-                    text_col="text", id_col="doc_id", resume=False)
+                    text_col="text", id_col="doc_id", resume=False,
+                    meta_cols=("lang", "source", "n_chars"))
         si = SegmentIndex(spark, idx_dir)
         _GATE_INDEX[sf_dir] = si
     return si
@@ -815,6 +818,133 @@ def ft_mixed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     si = _gate_index(spark, sf_dir)
     groups = [[[t] for t in g] for g in _MIXED_GROUPS]
     return si.search_mixed(groups, TOP_K).select("rank", "doc_id", "score")
+
+
+# ES bool FILTER CONTEXT (the reference's publish-date/metadata cut
+# shape, e.g. wapo/experiments/filter_by_time.py as an ES range filter):
+# filters constrain hits but contribute NO score.
+_BF_MUST = ["table"]
+_BF_SHOULD = ["spark", "window"]
+_BF_NOT = ["customer"]
+_BF_FTERMS = ["join", "merge"]          # term filter clause (any-of)
+_BF_LANG = "en"
+_BF_NCHARS = (150, 500)                 # gte, lt
+
+
+def _bool_filter_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    sc_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(_BF_MUST) | set(_BF_SHOULD)))
+    must_terms = ", ".join(f"'{t}'" for t in sorted(set(_BF_MUST)))
+    not_terms = ", ".join(f"'{t}'" for t in sorted(set(_BF_NOT)))
+    f_terms = ", ".join(f"'{t}'" for t in sorted(set(_BF_FTERMS)))
+    lo, hi = _BF_NCHARS
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{sc_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc0 AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id),
+mok AS (
+  SELECT doc_id FROM tf WHERE term IN ({must_terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_BF_MUST))}
+),
+fterm AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({f_terms})),
+meta AS (SELECT doc_id FROM documents
+         WHERE lang = '{_BF_LANG}' AND n_chars >= {lo} AND n_chars < {hi}),
+sc AS (
+  SELECT s.doc_id, s.score FROM sc0 s
+  JOIN mok USING (doc_id)
+  JOIN fterm USING (doc_id)
+  JOIN meta USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({not_terms}))
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bool_filter_bm25", _bool_filter_sql(TOP_K))
+def ft_bool_filter_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool with FILTER CONTEXT through the REAL engine: must +
+    should score as usual; a term filter clause (any-of, non-scoring)
+    and two metadata filters (term on lang, range on n_chars — parquet-
+    pushed doc_store predicates) constrain the hits BEFORE the top-k
+    cut. Exercises plans.search.search_bool's pruned regime with the
+    candidate->metadata broadcast semi-join refine."""
+    si = _gate_index(spark, sf_dir)
+    out = si.search_bool(
+        must=[[t] for t in _BF_MUST], should=_BF_SHOULD,
+        must_not=_BF_NOT, k=TOP_K,
+        filter=[
+            _BF_FTERMS,
+            {"term": {"lang": _BF_LANG}},
+            {"range": {"n_chars": {"gte": _BF_NCHARS[0],
+                                   "lt": _BF_NCHARS[1]}}},
+        ],
+    )
+    return out.select("rank", "doc_id", "score")
+
+
+_ZS_SHOULD = ["spark"]
+_ZS_LANG = "fr"
+_ZS_NCHARS_LT = 200
+
+
+def _zero_score_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    sc_terms = ", ".join(f"'{t}'" for t in sorted(set(_ZS_SHOULD)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{sc_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc0 AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id),
+meta AS (SELECT doc_id FROM documents
+         WHERE lang = '{_ZS_LANG}' AND n_chars < {_ZS_NCHARS_LT}),
+hits AS (
+  SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+  FROM meta m LEFT JOIN sc0 s USING (doc_id)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM hits ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_filter_zero_score", _zero_score_sql(TOP_K))
+def ft_filter_zero_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filter-context ZERO-SCORE semantics through the REAL engine:
+    bool with should but NO must and a metadata filter — with a filter
+    present ES defaults minimum_should_match to 0, so filter-admitted
+    docs matching no should term are hits at score 0.0, ranked after
+    every scored doc (doc_id asc tie-break). No term constraints ->
+    no proven driver bound -> exercises the DISTRIBUTED regime's
+    doc_part-cogrouped admitted-id stream end to end at gate time."""
+    si = _gate_index(spark, sf_dir)
+    out = si.search_bool(
+        should=_ZS_SHOULD, k=TOP_K,
+        filter=[{"term": {"lang": _ZS_LANG}},
+                {"range": {"n_chars": {"lt": _ZS_NCHARS_LT}}}],
+    )
+    return out.select("rank", "doc_id", "score")
 
 
 _SIG_TOP_N = 15

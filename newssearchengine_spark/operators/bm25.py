@@ -352,6 +352,8 @@ def bool_bm25_topk(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
+    filter_terms: list | None = None,
+    filter_pred=None,
     k: int,
     text_col: str = "content",
     id_col: str = "doc_id",
@@ -365,17 +367,35 @@ def bool_bm25_topk(
     semantics: should-clauses add score; with a non-empty must they do
     not constrain the match).
 
+    ES FILTER CONTEXT: `filter_terms` is a list of non-scoring term
+    clauses (a str, or a list meaning any-of — ES match OR-default);
+    `filter_pred` is a Catalyst Column over `docs`' metadata columns
+    (pushes down to the scan). Hits must satisfy every filter but gain
+    no score from it; with no `must` and a filter present, ES's
+    minimum_should_match defaults to 0, so filter-admitted docs matching
+    no should term are hits at score 0.0 (after every scored doc,
+    doc_id asc) — a filter-only bool returns matches at 0.0.
+
     Plan shape, all Catalyst built-ins: one tf-table scan; the must
     constraint is a per-doc count of distinct matched must-terms compared
     to len(must) (a semi-join-free aggregate); must_not is a left_anti
     join against the matching docs; scoring reuses bm25_scores' shape.
-    Returns (rank, doc_id, score).
+    Filters are left_semi joins (term clauses against the tf table,
+    the predicate against the pruned docs scan). Returns
+    (rank, doc_id, score).
     """
     must = sorted(set(must or []))
     should = sorted(set(should or []))
     must_not = sorted(set(must_not or []))
-    if not must and not should:
-        raise ValueError("bool query needs at least one must or should term")
+    filt_clauses = [
+        sorted({c} if isinstance(c, str) else set(c))
+        for c in (filter_terms or [])
+    ]
+    filt_clauses = [c for c in filt_clauses if c]
+    has_filter = bool(filt_clauses) or filter_pred is not None
+    if not must and not should and not has_filter:
+        raise ValueError(
+            "bool query needs at least one must/should/filter clause")
     bm25 = bm25 or BM25Config()
     spark = docs.sparkSession
 
@@ -388,22 +408,40 @@ def bool_bm25_topk(
     k1, b = bm25.k1, bm25.b
 
     scoring_terms = sorted(set(must) | set(should))
-    qdf = spark.createDataFrame([(t,) for t in scoring_terms], "term string")
-    matched = tf.join(F.broadcast(qdf), "term")
-    tstats = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    parts = (
-        matched.join(F.broadcast(tstats), "term")
-        .withColumn(
-            "part",
-            idf * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+    scores = None
+    if scoring_terms:
+        qdf = spark.createDataFrame([(t,) for t in scoring_terms],
+                                    "term string")
+        matched = tf.join(F.broadcast(qdf), "term")
+        tstats = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        parts = (
+            matched.join(F.broadcast(tstats), "term")
+            .withColumn(
+                "part",
+                idf * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf")
+                   + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+            )
         )
-    )
-    # Rounded 6dp before the top-k cut (same determinism contract as
-    # multi_query_scores / the gate wrappers: rank on the rounded score).
-    scores = parts.groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score"))
+        # Rounded 6dp before the top-k cut (same determinism contract as
+        # multi_query_scores / the gate wrappers: rank on the rounded
+        # score).
+        scores = parts.groupBy("doc_id").agg(
+            F.round(F.sum("part"), 6).alias("score"))
+
+    # Filter-context admitted sets: the predicate reads only its columns
+    # from the docs scan (pushdown); each term clause is a distinct doc
+    # set from the shared tf table.
+    filt_sets = []
+    if filter_pred is not None:
+        filt_sets.append(
+            docs.filter(filter_pred).select(F.col(id_col).alias("doc_id")))
+    for clause in filt_clauses:
+        cdf = spark.createDataFrame([(t,) for t in clause], "term string")
+        filt_sets.append(
+            tf.join(F.broadcast(cdf), "term").select("doc_id").distinct())
 
     if must:
         mdf = spark.createDataFrame([(t,) for t in must], "term string")
@@ -414,13 +452,30 @@ def bool_bm25_topk(
             .filter(F.col("n_must") == len(must))
             .select("doc_id")
         )
-        scores = scores.join(n_matched, "doc_id", "left_semi")
+        hits = scores.join(n_matched, "doc_id", "left_semi")
+        for s in filt_sets:  # every must-hit has a score row already
+            hits = hits.join(s, "doc_id", "left_semi")
+    elif has_filter:
+        allowed = filt_sets[0]
+        for s in filt_sets[1:]:
+            allowed = allowed.join(s, "doc_id", "left_semi")
+        if scores is not None:
+            # zero-score hits: filter-admitted docs matching no should
+            # term (ES: msm defaults to 0 with a filter present; filter
+            # context never scores)
+            hits = allowed.join(scores, "doc_id", "left").select(
+                "doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        else:
+            hits = allowed.select(
+                "doc_id", F.lit(0.0).alias("score"))
+    else:
+        hits = scores  # pure-should: hits = docs matching >= 1 should term
     if must_not:
         ndf = spark.createDataFrame([(t,) for t in must_not], "term string")
         excluded = tf.join(F.broadcast(ndf), "term").select("doc_id").distinct()
-        scores = scores.join(excluded, "doc_id", "left_anti")
+        hits = hits.join(excluded, "doc_id", "left_anti")
 
-    topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    topk = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return _eager_topk(tf, topk.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),

@@ -12,9 +12,12 @@ bodies onto the engine so the queries run UNCHANGED:
 - term on a keyword field (the url lookup,
   /root/reference/netzpolitik/index_vs.py:47-58)
 - match / match_phrase / match_phrase_prefix / bool (incl.
-  minimum_should_match) / prefix / fuzzy / wildcard, plus `field^boost`
-  factors in query_string/multi_match fields lists (the surrounding ES
-  surface the engine implements)
+  minimum_should_match and FILTER CONTEXT: non-scoring match / term /
+  terms / range clauses — the reference's publish-date cut shape,
+  */experiments/filter_by_time.py, as an ES range filter) / prefix /
+  fuzzy / wildcard, plus `field^boost` factors in
+  query_string/multi_match fields lists (the surrounding ES surface
+  the engine implements)
 
 The analyzer key inside a body is ignored on purpose: write/read
 analyzer unity comes from the target index's own stats.json (the engine
@@ -210,12 +213,22 @@ def es_search(indexes, body: dict, size: int = 10, *,
             return out
 
         flat = lambda cl: [t for c in clauses_of(cl) for t in c]
+        # ES filter context: a single clause dict or a list of them.
+        # match -> analyzed term clause; term/terms/range -> metadata
+        # predicate over doc-store columns (the ES-typical keyword/date
+        # filter shape, e.g. the reference's publish-date feasibility
+        # cuts in */experiments/filter_by_time.py) — parsed inside
+        # search_bool._parse_filters.
+        filt = spec.get("filter", [])
+        if isinstance(filt, dict):
+            filt = [filt]
         return si.search_bool(
             must=clauses_of(spec.get("must", [])),
             should=flat(spec.get("should", [])),
             must_not=flat(spec.get("must_not", [])),
             k=size,
             minimum_should_match=int(spec.get("minimum_should_match", 0)),
+            filter=filt,
         )
 
     if kind == "prefix":

@@ -108,10 +108,38 @@ def _make_clause_intersector(must_clauses: list[list[str]],
     return intersect_group
 
 
+def _meta_filter_pred(meta_clauses: list[tuple]):
+    """Catalyst predicate for ES filter-context metadata clauses
+    (term / terms / range over doc-store columns). Returned Column is
+    applied directly to the doc_store scan, so it pushes down to parquet
+    (row-group stats prune; `.explain` shows PushedFilters)."""
+    conds = []
+    for kind, col, spec in meta_clauses:
+        c = F.col(col)
+        if kind == "term":
+            conds.append(c == spec)
+        elif kind == "terms":
+            conds.append(c.isin(list(spec)))
+        elif kind == "range":
+            ops = {"gte": c.__ge__, "gt": c.__gt__,
+                   "lte": c.__le__, "lt": c.__lt__}
+            for op, v in spec.items():
+                if op not in ops:
+                    raise ValueError(f"unsupported range op: {op}")
+                conds.append(ops[op](v))
+        else:
+            raise ValueError(f"unsupported metadata filter kind: {kind}")
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def _make_bool_taat(must_clauses: list[list[str]], must_not: list[str],
                     should: list[str], msm: int, scoring_terms: list[str],
                     idf_map: dict[str, float], *, k1: float, b: float,
-                    avgdl: float, k: int | None):
+                    avgdl: float, k: int | None, cogrouped: bool = False,
+                    zero_fill: bool = False):
     """Combined constraint-intersection + candidate-restricted scoring for
     the ABOVE-CAP bool regime (VERDICT r4 #1): one applyInPandas pass per
     doc_part that (a) decodes every scanned term's postings ONCE, (b)
@@ -126,9 +154,25 @@ def _make_bool_taat(must_clauses: list[list[str]], must_not: list[str],
     therefore contributes only candidate postings to the accumulator and
     at most ~k rows per part to the shuffle — never its full posting
     relation (the ES WAND-across-the-combined-scorer contract, SURVEY
-    §2.4, expressed as intersection-first pruning)."""
+    §2.4, expressed as intersection-first pruning).
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    `cogrouped=True` returns a two-frame fn for
+    `seg.cogroup(allowed)`-style applyInPandas: the right frame carries
+    the doc_ids admitted by a metadata filter (ES filter context) for
+    this doc_part; candidates intersect it (or START from it when there
+    are no term constraint clauses — an ES bool whose only constraints
+    are filters matches every admitted doc).
+
+    `zero_fill=True` (set when the TRUE must set is empty but filter
+    clauses exist) emits candidates matching no scoring term with score
+    0.0 — ES filter-context hits score 0 and with a filter present
+    minimum_should_match defaults to 0, so filter-admitted docs that
+    match no should term are still hits. BM25 partials are strictly
+    positive (lucene idf > 0, tf_norm > 0), so zero-score docs rank
+    below every scored doc and tie among themselves on doc_id asc:
+    emitting only the k smallest zero-score doc_ids per part is exact."""
+
+    def _score(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                               "score": pd.Series([], dtype=np.float64)})
         decoded: dict[str, tuple] = {}
@@ -143,7 +187,14 @@ def _make_bool_taat(must_clauses: list[list[str]], must_not: list[str],
             cur = cd if cur is None else cur[np.isin(cur, cd)]
             if cur.size == 0:
                 return empty
-        if not must_clauses:
+        if allowed is not None:
+            # metadata-filter admitted set for this part (sorted): the
+            # candidate BASE when no term constraints exist, an
+            # intersection otherwise
+            cur = allowed if cur is None else cur[np.isin(cur, allowed)]
+            if cur.size == 0:
+                return empty
+        if cur is None:
             # pure-should: candidates = docs matching >= 1 should term
             arrs = [decoded[t][0] for t in should if t in decoded]
             if not arrs:
@@ -177,16 +228,47 @@ def _make_bool_taat(must_clauses: list[list[str]], must_not: list[str],
             all_ids.append(ids[keep])
             all_scores.append(contrib)
         if not all_ids:
+            if not zero_fill:
+                return empty
+            uniq = np.empty(0, dtype=np.int64)
+            acc = np.empty(0, dtype=np.float64)
+        else:
+            ids = np.concatenate(all_ids)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros(uniq.size)
+            np.add.at(acc, inv, np.concatenate(all_scores))
+        if zero_fill:
+            # cur is ascending (posting decode order / np.unique /
+            # order-preserving masks), so cur-minus-scored's first k
+            # entries ARE the k smallest zero-score doc_ids
+            missing = cur[~np.isin(cur, uniq)]
+            if missing.size:
+                take = missing[:k] if k is not None else missing
+                uniq = np.concatenate([uniq, take])
+                acc = np.concatenate([acc, np.zeros(take.size)])
+        if uniq.size == 0:
             return empty
-        ids = np.concatenate(all_ids)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(uniq.size)
-        np.add.at(acc, inv, np.concatenate(all_scores))
         if k is not None and uniq.size > k:
             kth = np.partition(acc, uniq.size - k)[uniq.size - k]
             keep = acc >= kth - 1e-6
             uniq, acc = uniq[keep], acc[keep]
         return pd.DataFrame({"doc_id": uniq, "score": acc})
+
+    if cogrouped:
+        def score_cogroup(left: pd.DataFrame,
+                          right: pd.DataFrame) -> pd.DataFrame:
+            if not len(right):  # no doc in this part passes the filter
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                })
+            return _score(
+                left, np.sort(right["doc_id"].to_numpy(np.int64)))
+
+        return score_cogroup
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(pdf, None)
 
     return score_group
 
@@ -418,6 +500,30 @@ class SegmentIndex:
         an isin filter over the doc store — parquet row-group stats prune."""
         return self.doc_store().filter(F.col("doc_id").isin(list(doc_ids)))
 
+    def _by_part(self, df: DataFrame):
+        """Group a pruned per-part relation by doc_part with an EXPLICIT
+        shuffle width. Few, similar-sized doc_part groups hashed into the
+        session's shuffle.partitions straggle: 25 groups into 8
+        partitions leaves some tasks carrying 4-5 groups, so the stage
+        runs at ~2x the mean task time (measured 60.6 -> 105.9 qps on
+        the 200-query batch at local[8] just by widening). Width =
+        max(session shuffle partitions, min(4*n_parts, 8*cores)): ~4
+        buckets per group keeps the expected max load at 1-2 groups per
+        task; the core-count cap keeps huge-corpus widths deferring to
+        the session conf (a tuned cluster sets shuffle.partitions
+        itself). An explicit repartition(N, key) satisfies the groupBy's
+        ClusteredDistribution, so NO second exchange is added
+        (plan-asserted in tests), and AQE never coalesces a
+        user-specified width."""
+        n_parts = max(1, -(-int(self.stats["n_docs"])
+                           // int(self.stats["doc_range"])))
+        dp = self.spark.sparkContext.defaultParallelism
+        conf = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        width = max(conf, min(4 * n_parts, 8 * dp))
+        if width <= conf:
+            return df.groupBy("doc_part")
+        return df.repartition(width, "doc_part").groupBy("doc_part")
+
     # -- retrieval ---------------------------------------------------------
     def search(self, query, k: int, mode: str = "taat",
                with_meta: bool = False) -> DataFrame:
@@ -453,7 +559,7 @@ class SegmentIndex:
                     "block_last", "block_max")
         )
         scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=k, mode=mode)
-        per_part = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+        per_part = self._by_part(seg).applyInPandas(scorer, TOPK_SCHEMA)
         topk = per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = topk.select(
@@ -620,7 +726,7 @@ class SegmentIndex:
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
         )
         matcher = _make_phrase_matcher(list(terms))
-        cand_plan = seg.groupBy("doc_part").applyInPandas(
+        cand_plan = self._by_part(seg).applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
         )
         out = self._phrase_topk(cand_plan, min(dfs[t] for t in uterms),
@@ -711,7 +817,7 @@ class SegmentIndex:
         )
         scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=None,
                               mode="taat")
-        return seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+        return self._by_part(seg).applyInPandas(scorer, TOPK_SCHEMA)
 
     def _scores_for_docs(self, terms: list[str],
                          doc_ids: "np.ndarray") -> pd.DataFrame:
@@ -753,7 +859,7 @@ class SegmentIndex:
                          "block_last", "block_max")
         scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=None,
                               mode="taat", only_docs=only)
-        return seg.groupBy("doc_part").applyInPandas(
+        return self._by_part(seg).applyInPandas(
             scorer, TOPK_SCHEMA).toPandas()
 
     def term_vectors(self, doc_ids: list[int]) -> DataFrame:
@@ -892,12 +998,46 @@ class SegmentIndex:
                 })
             return pd.concat(outs, ignore_index=True)
 
-        return seg.groupBy("doc_part").applyInPandas(
+        return self._by_part(seg).applyInPandas(
             emit, "term string, doc_id bigint"
         )
 
+    def _parse_filters(self, filter) -> tuple[list[list[str]], list[tuple]]:
+        """Split ES filter-context clauses into (term clauses, metadata
+        clauses). A str / list element or a {"match": {field: text}} dict
+        is a TERM clause (text analyzed by the index's analyzer; the doc
+        must contain >= 1 of its tokens — ES match OR-default); a
+        {"term"|"terms"|"range": {col: spec}} dict is a METADATA clause
+        over doc-store columns. A match clause analyzing to nothing is a
+        no-op (same leniency as the bool must adapter in plans/dsl.py)."""
+        filt_clauses: list[list[str]] = []
+        meta_clauses: list[tuple] = []
+        for f in (filter or []):
+            if isinstance(f, str):
+                filt_clauses.append([f])
+            elif isinstance(f, (list, tuple, set)):
+                c = sorted(set(f))
+                if c:
+                    filt_clauses.append(c)
+            elif isinstance(f, dict):
+                fk, fs = next(iter(f.items()))
+                if fk == "match":
+                    _, text = next(iter(fs.items()))
+                    toks = sorted(set(self.analyze_query(text)))
+                    if toks:
+                        filt_clauses.append(toks)
+                elif fk in ("term", "terms", "range"):
+                    col, spec = next(iter(fs.items()))
+                    meta_clauses.append((fk, col, spec))
+                else:
+                    raise ValueError(f"unsupported filter clause: {fk}")
+            else:
+                raise ValueError(f"unsupported filter clause: {f!r}")
+        return filt_clauses, meta_clauses
+
     def search_bool(self, *, must=None, should=None, must_not=None,
-                    k: int, minimum_should_match: int = 0) -> DataFrame:
+                    k: int, minimum_should_match: int = 0,
+                    filter=None) -> DataFrame:
         """ES `bool` query from the INDEX (compositional form:
         operators.bm25.bool_bm25_topk — asserted identical in tests):
         docs must satisfy EVERY `must` clause and NONE of `must_not`,
@@ -918,10 +1058,22 @@ class SegmentIndex:
         is already this method's behavior when should is the only
         scoring set).
 
+        `filter` adds ES FILTER-CONTEXT clauses (see _parse_filters):
+        every hit must satisfy all of them, but they contribute NO score
+        (ES bool filter semantics). With a filter present and no must,
+        ES's minimum_should_match default is 0, so filter-admitted docs
+        matching no should term are hits with score 0.0 (ranked after
+        every scored doc, doc_id asc). A filter-only bool returns its
+        matches at score 0.0 in doc_id order.
+
         Plan: one score_all pass over the scoring terms' postings, the
         per-clause constraint as a countDistinct(clause) against the
         decoded postings doc sets joined to a broadcast term->clause map,
-        must_not as a left_anti — all index reads, no corpus scan."""
+        must_not as a left_anti — all index reads, no corpus scan.
+        Metadata filters read ONLY their columns + doc_id from the
+        doc_store (predicate pushed to parquet) and flow as a
+        doc_part-cogrouped admitted-id stream into the scoring pass —
+        8 bytes per admitted doc on the wire, never a corpus scan."""
         must_clauses = [
             sorted({c} if isinstance(c, str) else set(c))
             for c in (must or [])
@@ -930,9 +1082,12 @@ class SegmentIndex:
         must_terms = sorted({t for c in must_clauses for t in c})
         should = sorted(set(should or []))
         must_not = sorted(set(must_not or []))
+        filt_clauses, meta_clauses = self._parse_filters(filter)
+        has_filter = bool(filt_clauses or meta_clauses)
         msm = int(minimum_should_match)
-        if not must_clauses and not should:
-            raise ValueError("bool query needs at least one must or should term")
+        if not must_clauses and not should and not has_filter:
+            raise ValueError(
+                "bool query needs at least one must/should/filter clause")
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
@@ -941,32 +1096,53 @@ class SegmentIndex:
             # exceeds the distinct should terms — adapter-submitted
             # bodies must not crash (ADVICE r4)
             return empty
+        # Pure metadata filter (no text terms anywhere): one Catalyst
+        # path — pushed-down doc_store scan, TakeOrderedAndProject.
+        constraints = must_clauses + filt_clauses
+        if (not constraints and not should and not must_not
+                and meta_clauses):
+            hits = (self.doc_store()
+                    .filter(_meta_filter_pred(meta_clauses))
+                    .select("doc_id", F.lit(0.0).alias("score"))
+                    .orderBy(F.asc("doc_id")).limit(k))
+            w = Window.orderBy(F.asc("doc_id"))
+            return hits.select(
+                (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+                "doc_id", "score",
+            )
         # Rank-safe pruned regime: the result set is bounded by the most
-        # selective must clause's doc coverage (sum of its terms' dfs), or
-        # — for a pure-should query with msm >= 2 — by sum(should dfs)/msm
+        # selective constraint clause's doc coverage (sum of its terms'
+        # dfs; filter term clauses constrain exactly like must), or — for
+        # a pure-should query with msm >= 2 — by sum(should dfs)/msm
         # (every result consumes >= msm posting memberships). When the
         # PROVEN bound fits on the driver, candidates are intersected per
         # doc_part (one job, no posting shuffle), then ONLY they are
         # scored (scan pruned to their parts, hot should-terms never
-        # materialize full score relations).
+        # materialize full score relations). A metadata filter never
+        # loosens a bound, so the regime choice stays proven with it.
         bound_ok = None
-        if must_terms:
-            dfs = self.term_dfs(must_terms)
-            if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
+        if constraints:
+            cdfs = self.term_dfs(sorted({t for c in constraints for t in c}))
+            if any(all(cdfs.get(t, 0) == 0 for t in c) for c in constraints):
                 return empty  # a clause with only absent terms matches nothing
-            bound_ok = min(sum(dfs.get(t, 0) for t in c)
-                           for c in must_clauses)
+            bound_ok = min(sum(cdfs.get(t, 0) for t in c)
+                           for c in constraints)
         elif msm >= 2:
             sdfs = self.term_dfs(should)
             bound_ok = sum(sdfs.values()) // msm
         if bound_ok is not None and bound_ok <= BOOL_DRIVER_CAP:
             return self._bool_pruned(must_clauses, should, must_not,
-                                     k=k, empty=empty, msm=msm)
+                                     k=k, empty=empty, msm=msm,
+                                     filt_clauses=filt_clauses,
+                                     meta_clauses=meta_clauses)
         return self._bool_distributed(must_clauses, should, must_not,
-                                      k=k, empty=empty, msm=msm)
+                                      k=k, empty=empty, msm=msm,
+                                      filt_clauses=filt_clauses,
+                                      meta_clauses=meta_clauses)
 
     def _bool_distributed(self, must_clauses, should, must_not, *, k,
-                          empty, msm: int = 0) -> DataFrame:
+                          empty, msm: int = 0, filt_clauses=(),
+                          meta_clauses=()) -> DataFrame:
         """Above-cap bool regime (every must clause hot at 100x scale):
         ONE combined applyInPandas pass intersects the constraints and
         scores ONLY the surviving candidates per doc_part, with a
@@ -976,18 +1152,29 @@ class SegmentIndex:
         shuffled every matching doc's score. Per-doc ranges are disjoint,
         so per-part candidate sets and scores are complete; the shared
         Catalyst round + top-k tail keeps rows bit-identical to the
-        driver-pruned regime (pytest-pinned)."""
+        driver-pruned regime (pytest-pinned).
+
+        Filter-context term clauses ride the same pass as non-scoring
+        constraint clauses. A metadata filter cogroups the pass with the
+        doc_store rows passing the pushed-down predicate, projected to
+        (doc_part, doc_id) — the shuffle carries 8 bytes per admitted
+        doc, and the filter applies BEFORE the top-k cut."""
         must_terms = sorted({t for c in must_clauses for t in c})
         scoring = sorted(set(must_terms) | set(should))
-        dfs = self.term_dfs(scoring)
-        if any(all(dfs.get(t, 0) == 0 for t in c) for c in must_clauses):
+        filt_terms = sorted({t for c in filt_clauses for t in c})
+        dfs = self.term_dfs(sorted(set(scoring) | set(filt_terms)))
+        constraints = list(must_clauses) + list(filt_clauses)
+        if any(all(dfs.get(t, 0) == 0 for t in c) for c in constraints):
             return empty  # a clause with only absent terms matches nothing
         live_scoring = [t for t in scoring if dfs.get(t, 0) > 0]
-        if not live_scoring:
+        zero_fill = not must_clauses and bool(filt_clauses or meta_clauses)
+        if not live_scoring and not zero_fill:
             return empty
+        live_filt = [t for t in filt_terms if dfs.get(t, 0) > 0]
         mn_dfs = self.term_dfs(must_not) if must_not else {}
         live_mn = [t for t in must_not if mn_dfs.get(t, 0) > 0]
-        scan_terms = sorted(set(live_scoring) | set(live_mn))
+        scan_terms = sorted(set(live_scoring) | set(live_filt)
+                            | set(live_mn))
         n_docs = float(self.stats["n_docs"])
         avgdl = float(self.stats["avgdl"])
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
@@ -1001,12 +1188,30 @@ class SegmentIndex:
             .filter(F.col("term").isin(scan_terms))
             .select("doc_part", "term", "docs", "tfs", "dls")
         )
+        live_set = set(scan_terms)
         scorer = _make_bool_taat(
-            [sorted(set(c) & set(live_scoring)) for c in must_clauses],
+            [sorted(set(c) & live_set) for c in constraints],
             live_mn, [t for t in should if t in idf_map], msm,
             live_scoring, idf_map, k1=k1, b=b, avgdl=avgdl, k=k,
+            cogrouped=bool(meta_clauses), zero_fill=zero_fill,
         )
-        scores = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+        if meta_clauses:
+            doc_range = int(self.stats["doc_range"])
+            allowed = (
+                self.doc_store()
+                .filter(_meta_filter_pred(list(meta_clauses)))
+                .select(
+                    (F.col("doc_id") / doc_range).cast("bigint")
+                    .alias("doc_part"),
+                    "doc_id",
+                )
+            )
+            scores = self._by_part(seg).cogroup(
+                self._by_part(allowed)
+            ).applyInPandas(scorer, TOPK_SCHEMA)
+        else:
+            scores = self._by_part(seg).applyInPandas(
+                scorer, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1016,16 +1221,27 @@ class SegmentIndex:
         )
 
     def _bool_pruned(self, must_clauses, should, must_not, *, k,
-                     empty, msm: int = 0) -> DataFrame:
+                     empty, msm: int = 0, filt_clauses=(),
+                     meta_clauses=()) -> DataFrame:
         """Capped-bound bool evaluation: per-part clause intersection ->
         driver candidate set -> candidate-restricted scoring -> local
         top-k. Scores and rounding go through the SAME Catalyst
         expressions as the distributed tail, so results are identical
-        (asserted in tests against the unpruned path)."""
+        (asserted in tests against the unpruned path).
+
+        Filter-context term clauses intersect alongside must clauses
+        (non-scoring). A metadata filter refines the <= cap candidate set
+        with ONE extra job: the pushed-down doc_store scan broadcast-
+        semi-joined against the candidates. Zero-score hits (no must,
+        filter present) are appended on the driver — BM25 partials are
+        strictly positive, so only the k smallest unscored candidates
+        can reach the top-k."""
         must_terms = sorted({t for c in must_clauses for t in c})
+        constraints = list(must_clauses) + list(filt_clauses)
+        filt_terms = sorted({t for c in filt_clauses for t in c})
         mn_dfs = self.term_dfs(must_not) if must_not else {}
         live_mn = [t for t in must_not if mn_dfs.get(t, 0) > 0]
-        scan_terms = sorted(set(must_terms) | set(live_mn)
+        scan_terms = sorted(set(must_terms) | set(filt_terms) | set(live_mn)
                             | (set(should) if msm > 0 else set()))
         n_buckets = int(self.stats["n_buckets"])
         buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
@@ -1035,15 +1251,43 @@ class SegmentIndex:
             .filter(F.col("term").isin(scan_terms))
             .select("doc_part", "term", "docs", "tfs", "dls")
         )
-        intersector = _make_clause_intersector(must_clauses, live_mn,
+        intersector = _make_clause_intersector(constraints, live_mn,
                                                should=should, msm=msm)
-        ok_pdf = seg.groupBy("doc_part").applyInPandas(
+        ok_pdf = self._by_part(seg).applyInPandas(
             intersector, "doc_id bigint").toPandas()
         if not len(ok_pdf):
             return empty
         ok = np.sort(ok_pdf["doc_id"].to_numpy(np.int64))
-        scores_pdf = self._scores_for_docs(
-            sorted(set(must_terms) | set(should)), ok)
+        if meta_clauses:
+            cand = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ok}), "doc_id bigint")
+            passing = (
+                self.doc_store()
+                .filter(_meta_filter_pred(list(meta_clauses)))
+                .join(F.broadcast(cand), "doc_id", "left_semi")
+                .select("doc_id").toPandas()
+            )
+            if not len(passing):
+                return empty
+            ok = np.sort(passing["doc_id"].to_numpy(np.int64))
+        scoring = sorted(set(must_terms) | set(should))
+        scores_pdf = (self._scores_for_docs(scoring, ok) if scoring
+                      else pd.DataFrame({
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)}))
+        if not must_clauses and (filt_clauses or meta_clauses):
+            # zero-score hits: candidates matching no scoring term (ES
+            # filter context, msm defaults to 0 with a filter present)
+            missing = ok[~np.isin(ok, scores_pdf["doc_id"]
+                                  .to_numpy(np.int64))][:k]
+            if missing.size:
+                scores_pdf = pd.concat(
+                    [scores_pdf,
+                     pd.DataFrame({"doc_id": missing,
+                                   "score": np.zeros(missing.size)})],
+                    ignore_index=True)
+        if not len(scores_pdf):
+            return empty
         scores = self.spark.createDataFrame(scores_pdf, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1110,7 +1354,7 @@ class SegmentIndex:
         )
         scorer = _make_groups_taat(live_gs, idf_map, k1=k1, b=b,
                                    avgdl=avgdl, k=k)
-        scores = seg.groupBy("doc_part").applyInPandas(scorer, TOPK_SCHEMA)
+        scores = self._by_part(seg).applyInPandas(scorer, TOPK_SCHEMA)
         rounded = scores.select("doc_id", F.round("score", 6).alias("score"))
         topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1180,7 +1424,7 @@ class SegmentIndex:
                 })
             return pd.concat(outs, ignore_index=True)
 
-        return seg.groupBy("doc_part").applyInPandas(explain_group, out_schema)
+        return self._by_part(seg).applyInPandas(explain_group, out_schema)
 
     def search_phrase_prefix(self, phrase, k: int, *,
                              max_expansions: int = 50) -> DataFrame:
@@ -1224,7 +1468,7 @@ class SegmentIndex:
         )
         matcher = _make_phrase_matcher(list(fixed) + [last],
                                        last_alts=list(alts))
-        cand_plan = seg.groupBy("doc_part").applyInPandas(
+        cand_plan = self._by_part(seg).applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
         )
         # candidate bound: docs matching fixed-then-alt contain every
@@ -1299,7 +1543,7 @@ class SegmentIndex:
         scorer = _make_multi_scorer(qlive, idf_map, k1=k1, b=b,
                                     avgdl=avgdl, k=k, mode=mode,
                                     doc_range=int(self.stats["doc_range"]))
-        per_part = seg.groupBy("doc_part").applyInPandas(
+        per_part = self._by_part(seg).applyInPandas(
             scorer, "query_id string, doc_id bigint, score double"
         )
         # Per-part output is already top-k per query, so the global answer

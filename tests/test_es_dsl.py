@@ -281,3 +281,44 @@ def test_query_string_lowercase_and_or_are_terms(two_field):
     got = es_search(si, body, size=10).collect()
     want = si.search("node cursor shard", 10).collect()
     assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bool_filter_context_body(two_field):
+    """ES bool bodies with FILTER CONTEXT run unchanged: match clauses
+    become non-scoring term constraints; term/range clauses become
+    doc-store metadata predicates; a single clause dict normalizes like
+    ES's lenient parser. Equals the direct search_bool call."""
+    _, idxs = two_field
+    si = idxs["text"]
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "nodeCursor"}}],
+                "should": [{"match": {"text": "shard"}}],
+                "filter": [
+                    {"match": {"text": "stream group"}},
+                    {"term": {"repo": "org1/repo1"}},
+                ],
+            }
+        }
+    }
+    got = es_search({"text": si}, body, size=10).collect()
+    want = si.search_bool(
+        must=[si.analyze_query("nodeCursor")], should=["shard"],
+        filter=[{"match": {"text": "stream group"}},
+                {"term": {"repo": "org1/repo1"}}],
+        k=10,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # hits actually honor the metadata filter
+    repos = {r["doc_id"]: r["repo"]
+             for r in si.doc_store().select("doc_id", "repo").collect()}
+    assert got and all(repos[r["doc_id"]] == "org1/repo1" for r in got)
+
+    # single clause dict (not a list) — ES accepts both shapes
+    body2 = {"query": {"bool": {
+        "filter": {"term": {"repo": "org2/repo2"}}}}}
+    only = es_search({"text": si}, body2, size=5).collect()
+    want2 = sorted(d for d, rp in repos.items() if rp == "org2/repo2")[:5]
+    assert [r["doc_id"] for r in only] == want2
+    assert all(r["score"] == 0.0 for r in only)

@@ -881,3 +881,167 @@ def test_close_releases_all_caches(spark, corpus, tmp_path):
     assert not (cached_ids() - before)  # everything it pinned is gone
     again = si.search(["node", "cursor"], 5).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in top]
+
+
+def test_bool_filter_context(spark, corpus, index_dir, oracle, monkeypatch):
+    """ES bool FILTER CONTEXT: term + metadata filters constrain hits
+    without scoring. Full-oracle expected set; pruned == distributed ==
+    compositional; scores identical to the unfiltered query's."""
+    from pyspark.sql import functions as F
+
+    import newssearchengine_spark.plans.search as S
+    from newssearchengine_spark.operators.bm25 import bool_bm25_topk
+
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    meta = {r["doc_id"]: r for r in
+            si.doc_store().select("doc_id", "lang", "content_len").collect()}
+    filt = [["shard", "stream"], {"term": {"lang": "py"}},
+            {"range": {"content_len": {"gte": 100}}}]
+
+    def passes(d: int) -> bool:
+        m = meta[d]
+        in_terms = (d in oidx.postings.get("shard", {})
+                    or d in oidx.postings.get("stream", {}))
+        return in_terms and m["lang"] == "py" and m["content_len"] >= 100
+
+    base = si.search_bool(must=["node"], should=["cursor"],
+                          k=N_DOCS + 1).collect()
+    want = [(r["doc_id"], r["score"]) for r in base if passes(r["doc_id"])]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = si.search_bool(must=["node"], should=["cursor"], k=25,
+                         filter=filt).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == want[:25]
+    assert [r["rank"] for r in got] == list(range(len(got)))
+    # filters bit: the unfiltered top-25 differs
+    assert {r["doc_id"] for r in base[:25]} != {r["doc_id"] for r in got}
+
+    monkeypatch.setattr(S, "BOOL_DRIVER_CAP", -1)
+    dist = si.search_bool(must=["node"], should=["cursor"], k=25,
+                          filter=filt).collect()
+    monkeypatch.undo()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in got]
+
+    comp = bool_bm25_topk(
+        corpus, must=["node"], should=["cursor"],
+        filter_terms=[["shard", "stream"]],
+        filter_pred=(F.col("lang") == "py")
+        & (F.length("content") >= 100),
+        k=25, text_col="content",
+    ).collect()
+    assert [tuple(r) for r in comp] == [tuple(r) for r in got]
+
+
+def test_bool_filter_zero_score_hits(spark, corpus, index_dir, oracle,
+                                     monkeypatch):
+    """With a filter present and no must, ES's minimum_should_match
+    defaults to 0: filter-admitted docs matching no should term are hits
+    at score 0.0, ranked after every scored doc on doc_id asc. The
+    distributed cogroup regime (no term constraint -> no proven bound)
+    and the compositional left-join+coalesce agree."""
+    from pyspark.sql import functions as F
+
+    from newssearchengine_spark.operators.bm25 import bool_bm25_topk
+
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    meta = {r["doc_id"]: r["lang"] for r in
+            si.doc_store().select("doc_id", "lang").collect()}
+    admits = sorted(d for d, g in meta.items() if g == "rs")
+    scored = {d for d in admits if d in oidx.postings.get("group", {})}
+    assert scored and len(admits) > len(scored), "fixture needs both kinds"
+
+    k = len(admits) + 5
+    got = si.search_bool(should=["group"], k=k,
+                         filter=[{"term": {"lang": "rs"}}]).collect()
+    assert {r["doc_id"] for r in got} == set(admits)
+    zeros = [r for r in got if r["score"] == 0.0]
+    assert {r["doc_id"] for r in zeros} == set(admits) - scored
+    # zero-score tail is doc_id-ascending and AFTER every scored hit
+    assert [r["doc_id"] for r in zeros] == sorted(set(admits) - scored)
+    n_scored = len(got) - len(zeros)
+    assert all(r["score"] > 0.0 for r in got[:n_scored])
+
+    comp = bool_bm25_topk(corpus, should=["group"],
+                          filter_pred=F.col("lang") == "rs",
+                          k=k, text_col="content").collect()
+    assert [tuple(r) for r in comp] == [tuple(r) for r in got]
+
+    # k smaller than the zero tail: the cut keeps the smallest doc_ids
+    small = si.search_bool(should=["group"], k=n_scored + 2,
+                           filter=[{"term": {"lang": "rs"}}]).collect()
+    assert [tuple(r) for r in small] == \
+        [tuple(r) for r in got[:n_scored + 2]]
+
+
+def test_bool_filter_only_and_edges(spark, corpus, index_dir, oracle):
+    """Filter-only bools: metadata-only takes the pure-Catalyst
+    doc_store path; term-only rides the pruned intersector; both return
+    score 0.0 in doc_id order. Dead filters return empty, never raise."""
+    from pyspark.sql import functions as F
+
+    import newssearchengine_spark.plans.search as S
+    from newssearchengine_spark.operators.bm25 import bool_bm25_topk
+
+    oidx, _ = oracle
+    si = SegmentIndex(spark, index_dir)
+    meta = {r["doc_id"]: r["lang"] for r in
+            si.doc_store().select("doc_id", "lang").collect()}
+
+    only_meta = si.search_bool(k=10, filter=[{"term": {"lang": "go"}}])
+    rows = only_meta.collect()
+    want = sorted(d for d, g in meta.items() if g == "go")[:10]
+    assert [r["doc_id"] for r in rows] == want
+    assert all(r["score"] == 0.0 for r in rows)
+    comp = bool_bm25_topk(corpus, filter_pred=F.col("lang") == "go",
+                          k=10, text_col="content").collect()
+    assert [tuple(r) for r in comp] == [tuple(r) for r in rows]
+
+    only_term = si.search_bool(k=15, filter=[["proto"]]).collect()
+    want_t = sorted(oidx.postings.get("proto", {}))[:15]
+    assert [r["doc_id"] for r in only_term] == want_t
+    assert all(r["score"] == 0.0 for r in only_term)
+    comp_t = bool_bm25_topk(corpus, filter_terms=["proto"], k=15,
+                            text_col="content").collect()
+    assert [tuple(r) for r in comp_t] == [tuple(r) for r in only_term]
+
+    # dead term filter / impossible metadata filter -> empty
+    assert si.search_bool(must=["node"], k=5,
+                          filter=[["zzz_missing_term"]]).collect() == []
+    assert si.search_bool(must=["node"], k=5,
+                          filter=[{"term": {"lang": "cobol"}}]
+                          ).collect() == []
+    # msm composes with filters across both regimes
+    a = si.search_bool(should=["node", "cursor", "shard"], k=40,
+                       minimum_should_match=2,
+                       filter=[{"term": {"lang": "py"}}]).collect()
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(S, "BOOL_DRIVER_CAP", -1)
+    b = si.search_bool(should=["node", "cursor", "shard"], k=40,
+                       minimum_should_match=2,
+                       filter=[{"term": {"lang": "py"}}]).collect()
+    mp.undo()
+    assert a and [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:  # msm still bites: >= 2 distinct should terms, lang py
+        n = sum(r["doc_id"] in oidx.postings.get(t, {})
+                for t in ("node", "cursor", "shard"))
+        assert n >= 2 and meta[r["doc_id"]] == "py"
+
+
+def test_by_part_single_exchange(spark, index_dir):
+    """_by_part's explicit-width repartition must SATISFY the groupBy's
+    clustering, not stack a second shuffle: exactly one
+    hashpartitioning(doc_part) exchange in the search plan, and its
+    width exceeds the session's shuffle.partitions (the skew fix is
+    actually active on this few-part fixture)."""
+    import re
+
+    si = SegmentIndex(spark, index_dir)
+    plan = (si.search(["node", "cursor"], 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(doc_part[^)]*, (\d+)\)",
+                    plan)
+    assert len(ex) == 1, plan[:2000]
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert int(ex[0]) > conf  # widened, not the session default
