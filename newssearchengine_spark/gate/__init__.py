@@ -26,9 +26,10 @@ from . import streaming  # noqa: E402,F401
 # pytest). COVERAGE.md maps operators -> entries.
 _PRIORITY = [
     # full-text engine core
-    "ft_term_stats", "ft_doc_lengths", "ft_corpus_stats",
+    "ft_term_stats",
     "ft_bm25_topk", "ft_bm25_topk_indexed", "ft_bm25_dismax",
-    "ft_bool_bm25", "ft_phrase_bm25", "ft_expansion_bm25",
+    "ft_bool_bm25", "ft_bool_filter_bm25", "ft_filter_zero_score",
+    "ft_mixed_bm25", "ft_phrase_bm25", "ft_expansion_bm25",
     "ft_significant_terms", "ft_tfidf_keywords", "ft_bm25_explain",
     "ft_bm25_topk_news_stem", "ft_bm25_topk_de",
     # experiment pipelines (end-to-end)
@@ -42,8 +43,7 @@ _PRIORITY = [
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_embedding_cosine", "dd_simhash",
     # similarity family
-    "sim_knn_bruteforce", "sim_ivf_assign", "sim_ivf_knn",
-    "sim_mean_pairwise_cosine",
+    "sim_knn_bruteforce", "sim_ivf_knn", "sim_ivf_adaptive",
     # text analysis (denorm: the hash-checked no-backoff variant holds the
     # window slot; the full-backoff form stays registered past the window)
     "tx_profile", "tx_html_strip", "tx_highlight", "tx_denorm_keywords_nb",
@@ -52,14 +52,19 @@ _PRIORITY = [
     "rel_semi_join", "rel_set_ops", "rel_group_collect", "rel_agg_stats",
     "rel_topk_per_group", "rel_date_histogram", "rel_trec_runfile",
     "rel_sessionize", "rel_rollup", "rel_asof_join",
-    # ---- past the 50-entry window: subsumed single-family variants ----
+    # ---- past the 50-entry window: subsumed single-family variants
+    # (each verified inside an in-window hash: corpus N/avgdl and doc
+    # lengths inside every BM25 score; IVF assignment inside sim_ivf_knn;
+    # mean-pairwise-cosine shares sim_knn_bruteforce's fold math) ----
+    "ft_doc_lengths", "ft_corpus_stats", "sim_ivf_assign",
+    "sim_mean_pairwise_cosine",
     "rel_pivot", "ft_phrase_bm25_indexed", "ft_prefix_bm25",
     "ft_fuzzy_bm25", "ft_wildcard_bm25", "ft_bm25_topk_news",
     "ex_recall_at_k", "ex_ndcg_at_k", "tx_lang_id", "tx_quality",
     "tx_token_counts", "tx_fingerprints", "rel_proj_filter",
     "rel_date_predicate", "rel_anti_union", "rel_intersect",
     "rel_grouped_counters", "rel_percentiles", "tx_denorm_keywords",
-    "dd_contamination", "tx_repetition", "ft_mixed_bm25",
+    "dd_contamination", "tx_repetition",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -106,8 +106,25 @@ def es_search(indexes, body: dict, size: int = 10, *,
     body: either the full {"query": {...}} body or the inner query dict.
     Returns (rank, doc_id, score) — except `term`, which returns the
     matching doc-store rows (the reference uses it as an id lookup).
+
+    ES pagination: a top-level `from` in the body (or a `from_` key)
+    skips that many hits — the engine evaluates top-(from+size) and
+    drops the first `from` ranks, re-ranking from 0 like an ES page.
     """
     q = body.get("query", body)
+    offset = int(body.get("from", body.get("from_", 0)) or 0)
+    if offset:
+        inner = {"query": q} if "query" not in body else dict(body)
+        inner = {k: v for k, v in inner.items()
+                 if k not in ("from", "from_")}
+        page = es_search(indexes, inner, size=offset + size,
+                         tie_breaker=tie_breaker, mode=mode)
+        if "rank" not in page.columns:  # term lookup has no rank order
+            raise ValueError("from/size pagination needs a ranked query")
+        return page.filter(F.col("rank") >= offset).select(
+            (F.col("rank") - offset).alias("rank"),
+            *[c for c in page.columns if c != "rank"],
+        )
     kind, spec = next(iter(q.items()))
     multi = indexes if isinstance(indexes, dict) else None
 

@@ -120,6 +120,8 @@ def _meta_filter_pred(meta_clauses: list[tuple]):
             conds.append(c == spec)
         elif kind == "terms":
             conds.append(c.isin(list(spec)))
+        elif kind == "exists":
+            conds.append(c.isNotNull())
         elif kind == "range":
             ops = {"gte": c.__ge__, "gt": c.__gt__,
                    "lte": c.__le__, "lt": c.__lt__}
@@ -1029,6 +1031,10 @@ class SegmentIndex:
                 elif fk in ("term", "terms", "range"):
                     col, spec = next(iter(fs.items()))
                     meta_clauses.append((fk, col, spec))
+                elif fk == "exists":
+                    # ES {"exists": {"field": col}}: doc has a non-null
+                    # value for the column
+                    meta_clauses.append((fk, fs["field"], None))
                 else:
                     raise ValueError(f"unsupported filter clause: {fk}")
             else:

@@ -322,3 +322,24 @@ def test_bool_filter_context_body(two_field):
     want2 = sorted(d for d, rp in repos.items() if rp == "org2/repo2")[:5]
     assert [r["doc_id"] for r in only] == want2
     assert all(r["score"] == 0.0 for r in only)
+
+
+def test_from_size_pagination_and_exists(two_field):
+    """ES from/size pagination: page 2 equals ranks [from, from+size) of
+    the full result, re-ranked from 0. An `exists` filter clause admits
+    docs with a non-null column."""
+    _, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"query_string": {"fields": ["text"],
+                                       "query": "nodeCursor shardGroup"}}}
+    full = es_search({"text": si}, body, size=15).collect()
+    page = es_search({"text": si}, {**body, "from": 5}, size=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in page] == \
+        [(r["rank"] - 5, r["doc_id"], r["score"]) for r in full[5:10]]
+
+    exists = si.search_bool(
+        must=["node"], k=10,
+        filter=[{"exists": {"field": "repo"}}]).collect()
+    want = si.search_bool(must=["node"], k=10).collect()
+    # every doc_store row has a repo -> exists is a no-op admit-all
+    assert [tuple(r) for r in exists] == [tuple(r) for r in want]
