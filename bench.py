@@ -95,10 +95,13 @@ def main() -> None:
     nopos_dir = tempfile.mkdtemp(prefix="bench_idx_np_")
     warm_dir = tempfile.mkdtemp(prefix="bench_idx_warm_")
     try:
-        # warm the JVM JIT + Python/Arrow workers on a 50-doc build so the
-        # timed runs measure the engine, not process startup (at real scale
-        # startup is amortized; in this one-shot harness it would dominate)
-        build_index(docs.limit(50), warm_dir, cfg, text_col="text",
+        # warm the JVM JIT + Python/Arrow workers + every build stage's
+        # codegen on a 2000-doc build so the timed runs measure the
+        # engine, not process startup (at real scale startup is
+        # amortized; in this one-shot harness it would dominate — a
+        # 50-doc warm-up left the first timed sample 2-3 s cold because
+        # the segment-write shuffle paths had never run)
+        build_index(docs.limit(2000), warm_dir, cfg, text_col="text",
                     id_col="doc_id", resume=False)
         shutil.rmtree(warm_dir, ignore_errors=True)
 
@@ -196,6 +199,37 @@ def main() -> None:
         "cells_probed": astats.get("cells_probed"),
         "recall_at_10": round(len(got_a & brute) / max(1, len(brute)), 3),
     }
+
+    # 6) HNSW graph ANN (the reference's hnswlib capability) at
+    # production-ish parameters: build once (per-shard graphs, one
+    # shuffle), then single-query latency and a 40-query batch, with
+    # recall@10 vs brute force for the quality axis.
+    from newssearchengine_spark.operators import hnsw as HN
+
+    n_shards = max(4, int(cpus) // 4)
+    timed(
+        "hnsw_build",
+        lambda: HN.hnsw_build(emb, n_shards=n_shards, m=16,
+                              ef_construction=100).count(),
+        warmup=1)
+    graph = HN.hnsw_build(emb, n_shards=n_shards, m=16,
+                          ef_construction=100).cache()
+    graph.count()
+    hrows = timed(
+        "hnsw_query",
+        lambda: HN.hnsw_knn(graph, emb, 0, 10, ef=64).collect(),
+        warmup=1)
+    got_h = {r["vec_id"] for r in hrows}
+    qids = list(range(0, min(n_vec, 2000), max(1, min(n_vec, 2000) // 40)))[:40]
+    t0 = time.time()
+    HN.hnsw_knn_many(graph, emb, qids, 10, ef=64).collect()
+    hqps = len(qids) / (time.time() - t0)
+    extra["hnsw"] = {
+        "n_shards": n_shards, "m": 16, "ef": 64,
+        "recall_at_10": round(len(got_h & brute) / max(1, len(brute)), 3),
+        "batch40_qps": round(hqps, 1),
+    }
+    graph.unpersist()
 
     docs.unpersist()
     total = round(sum(timings.values()), 3)

@@ -43,7 +43,7 @@ _PRIORITY = [
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_embedding_cosine", "dd_simhash",
     # similarity family
-    "sim_knn_bruteforce", "sim_ivf_knn", "sim_ivf_adaptive",
+    "sim_hnsw_knn", "sim_ivf_knn", "sim_ivf_adaptive",
     # text analysis (denorm: the hash-checked no-backoff variant holds the
     # window slot; the full-backoff form stays registered past the window)
     "tx_profile", "tx_html_strip", "tx_highlight", "tx_denorm_keywords_nb",
@@ -55,9 +55,11 @@ _PRIORITY = [
     # ---- past the 50-entry window: subsumed single-family variants
     # (each verified inside an in-window hash: corpus N/avgdl and doc
     # lengths inside every BM25 score; IVF assignment inside sim_ivf_knn;
-    # mean-pairwise-cosine shares sim_knn_bruteforce's fold math) ----
+    # brute-force KNN's Catalyst scoring expression IS the re-score
+    # inside sim_hnsw_knn and its oracle SQL is sim_hnsw_knn's oracle;
+    # mean-pairwise-cosine shares that same fold math) ----
     "ft_doc_lengths", "ft_corpus_stats", "sim_ivf_assign",
-    "sim_mean_pairwise_cosine",
+    "sim_knn_bruteforce", "sim_mean_pairwise_cosine",
     "rel_pivot", "ft_phrase_bm25_indexed", "ft_prefix_bm25",
     "ft_fuzzy_bm25", "ft_wildcard_bm25", "ft_bm25_topk_news",
     "ex_recall_at_k", "ex_ndcg_at_k", "tx_lang_id", "tx_quality",

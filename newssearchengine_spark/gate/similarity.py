@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import hnsw as H
 from ..operators import similarity as S
 from .registry import gate_query, load
 
@@ -127,6 +128,32 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_knn(load(spark, sf_dir, "embeddings"), QUERY_ID, K,
                      n_cells=N_CELLS, nprobe=NPROBE,
                      kmeans_iters=KMEANS_ITERS)
+
+
+@gate_query(
+    "sim_hnsw_knn",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qvec), 6) AS cos
+  FROM embeddings, q WHERE vec_id <> {QUERY_ID}
+)
+SELECT (row_number() OVER (ORDER BY cos DESC, vec_id ASC) - 1)::BIGINT AS rank,
+       vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {K}""",
+)
+def sim_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HNSW graph search (the reference's hnswlib
+    capability, pyw_hnswlib.py:61-69) in its provably-exhaustive
+    configuration: with M / ef_construction / ef >= the largest shard
+    the layer-0 graph is complete and the ef-beam visits every node, so
+    per-shard candidates are the whole corpus, the Catalyst re-score is
+    exact, and the oracle is plain brute force — the hash check runs the
+    REAL graph build + beam-search code end to end. Production
+    parameters (M=16, ef=64) are pytest-pinned for recall and
+    benchmarked (hnsw_* bench entries)."""
+    emb = load(spark, sf_dir, "embeddings")
+    g = H.hnsw_build(emb, n_shards=4, m=2048, ef_construction=2048)
+    return H.hnsw_knn(g, emb, QUERY_ID, K, ef=2048)
 
 
 @gate_query(
