@@ -136,19 +136,19 @@ def _select_neighbors(q_idx: int, cands: list[tuple[float, int]], m: int,
     return kept
 
 
-def _build_shard(ids: np.ndarray, vecs: np.ndarray, m: int,
-                 ef_construction: int) -> list[tuple[int, int, list[int]]]:
-    """Build one shard's HNSW graph. Returns (vec_id, level, nbr_ids)
-    rows, one per (node, layer). vecs must be unit-normalized float64;
-    ids ascending (the deterministic insertion order)."""
+def _insert_nodes(new_idxs: list[int], ids: np.ndarray, vecs: np.ndarray,
+                  adj: list[dict[int, list[int]]], entry: int,
+                  max_level: int, m: int,
+                  ef_construction: int) -> tuple[list, int, int]:
+    """Algorithm 1 insertion of `new_idxs` (in order) into an existing
+    layered adjacency. Returns the grown (adj, entry, max_level).
+    Shared by the cold build and the incremental `hnsw_add`."""
     m_l = 1.0 / math.log(m) if m > 1 else 1.0
     m_max, m_max0 = m, 2 * m
-    levels = [_level_of(int(i), m_l) for i in ids]
-    adj: list[dict[int, list[int]]] = [dict() for _ in range(max(levels) + 1)]
-    entry, max_level = -1, -1
-
-    for idx in range(len(ids)):
-        lvl = levels[idx]
+    for idx in new_idxs:
+        lvl = _level_of(int(ids[idx]), m_l)
+        while len(adj) <= lvl:
+            adj.append(dict())
         if entry < 0:
             for lc in range(lvl + 1):
                 adj[lc][idx] = []
@@ -176,7 +176,16 @@ def _build_shard(ids: np.ndarray, vecs: np.ndarray, m: int,
             adj[lc][idx] = []
         if lvl > max_level:
             entry, max_level = idx, lvl
+    return adj, entry, max_level
 
+
+def _build_shard(ids: np.ndarray, vecs: np.ndarray, m: int,
+                 ef_construction: int) -> list[tuple[int, int, list[int]]]:
+    """Build one shard's HNSW graph. Returns (vec_id, level, nbr_ids)
+    rows, one per (node, layer). vecs must be unit-normalized float64;
+    ids ascending (the deterministic insertion order)."""
+    adj, _, _ = _insert_nodes(list(range(len(ids))), ids, vecs, [dict()],
+                              -1, -1, m, ef_construction)
     rows = []
     for lc, layer in enumerate(adj):
         for node, nbrs in layer.items():
@@ -230,6 +239,81 @@ def hnsw_build(emb: DataFrame, *, n_shards: int = 4, m: int = 16,
     )
     return (base.repartition(n_shards, "shard")
                 .groupBy("shard").applyInPandas(build, _GRAPH_SCHEMA))
+
+
+def hnsw_add(graph: DataFrame, new_emb: DataFrame, *, n_shards: int,
+             m: int = 16, ef_construction: int = 100,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Incrementally insert `new_emb` into an existing graph (the
+    reference wrapper's thread-safe add_items, pyw_hnswlib.py:24-31, and
+    the graph analogue of run_incremental_index): new vectors shard by
+    the SAME vec_id % n_shards rule, then one cogrouped pandas task per
+    shard replays Algorithm 1 insertion on top of the reconstructed
+    adjacency — only shards receiving new vectors do any work; untouched
+    shards pass through unchanged. The grown graph differs from a cold
+    rebuild (insertion order differs, like any live HNSW), but in the
+    exhaustive config results are identical and production recall is
+    pytest-pinned; duplicate ids are rejected per shard."""
+
+    def grow(gpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        if len(npdf) == 0:
+            return gpdf
+        shard = int(npdf["shard"].iloc[0])
+        npdf = npdf.sort_values("vec_id").reset_index(drop=True)
+        nvecs = np.array(npdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((nvecs * nvecs).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        nvecs = nvecs / nrm[:, None]
+        if len(gpdf) == 0:
+            ids = npdf["vec_id"].to_numpy(dtype=np.int64)
+            rows = _build_shard(ids, nvecs, m, ef_construction)
+            uv = {int(i): nvecs[j].tolist() for j, i in enumerate(ids)}
+        else:
+            l0 = gpdf[gpdf["level"] == 0].sort_values("vec_id")
+            old_ids = l0["vec_id"].to_numpy(dtype=np.int64)
+            dup = set(old_ids.tolist()) & set(npdf["vec_id"].tolist())
+            if dup:
+                raise ValueError(f"hnsw_add: ids already indexed: "
+                                 f"{sorted(dup)[:5]}")
+            ids = np.concatenate(
+                [old_ids, npdf["vec_id"].to_numpy(dtype=np.int64)])
+            vecs = np.vstack([np.array(l0["uv"].tolist(),
+                                       dtype=np.float64), nvecs])
+            pos = {int(v): j for j, v in enumerate(ids)}
+            max_level = int(gpdf["level"].max())
+            adj: list[dict[int, list[int]]] = \
+                [dict() for _ in range(max_level + 1)]
+            for lvl, vid, nbrs in zip(gpdf["level"], gpdf["vec_id"],
+                                      gpdf["nbrs"]):
+                adj[int(lvl)][pos[int(vid)]] = [pos[int(n)] for n in nbrs]
+            entry = min(adj[max_level].keys(), key=lambda j: ids[j])
+            adj, _, _ = _insert_nodes(
+                list(range(len(old_ids), len(ids))), ids, vecs, adj,
+                entry, max_level, m, ef_construction)
+            rows = []
+            for lc, layer in enumerate(adj):
+                for node, nbrs in layer.items():
+                    rows.append((int(ids[node]), lc,
+                                 [int(ids[nb]) for nb in nbrs]))
+            uv = {int(i): vecs[j].tolist() for j, i in enumerate(ids)}
+        return pd.DataFrame({
+            "shard": [shard] * len(rows),
+            "vec_id": [r[0] for r in rows],
+            "level": [r[1] for r in rows],
+            "nbrs": [r[2] for r in rows],
+            "uv": [uv[r[0]] if r[1] == 0 else None for r in rows],
+        })
+
+    new_base = new_emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+         .cast("int").alias("shard"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    return (graph.groupBy("shard")
+            .cogroup(new_base.groupBy("shard"))
+            .applyInPandas(grow, _GRAPH_SCHEMA))
 
 
 def hnsw_save(graph: DataFrame, path: str, *, m: int,
