@@ -136,7 +136,8 @@ def main() -> None:
         many = {f"q{i}": terms
                 for i, terms in enumerate(BM25_QUERY_TERMS * 8)}
         timed("bm25_search_many_40q",
-              lambda: si.search_many(many, 100, mode="taat").collect())
+              lambda: si.search_many(many, 100, mode="taat").collect(),
+              warmup=1)
         extra["bm25_batch_qps"] = round(
             len(many) / timings["bm25_search_many_40q"], 2)
 
