@@ -28,7 +28,7 @@ _PRIORITY = [
     # full-text engine core
     "ft_term_stats",
     "ft_bm25_topk", "ft_bm25_topk_indexed", "ft_bm25_dismax",
-    "ft_bool_bm25", "ft_bool_filter_bm25", "ft_filter_zero_score",
+    "ft_bool_bm25", "ft_bool_filter_bm25", "ft_bm25_topk_deleted",
     "ft_mixed_bm25", "ft_phrase_bm25", "ft_expansion_bm25",
     "ft_significant_terms", "ft_tfidf_keywords", "ft_bm25_explain",
     "ft_bm25_topk_news_stem", "ft_bm25_topk_de",
@@ -58,6 +58,12 @@ _PRIORITY = [
     # brute-force KNN's Catalyst scoring expression IS the re-score
     # inside sim_hnsw_knn and its oracle SQL is sim_hnsw_knn's oracle;
     # mean-pairwise-cosine shares that same fold math) ----
+    # ft_filter_zero_score: the zero-score filter-context variant of the
+    # in-window ft_bool_filter_bm25 (one slot per family); the delete
+    # family keeps its compaction tier here, hash-checked locally +
+    # pytest-pinned equal to a fresh build (tests/test_delete.py)
+    "ft_filter_zero_score", "ft_bm25_topk_compacted", "ft_es_aggs",
+    "ft_search_after",
     "ft_doc_lengths", "ft_corpus_stats", "sim_ivf_assign",
     "sim_knn_bruteforce", "sim_mean_pairwise_cosine",
     "rel_pivot", "ft_phrase_bm25_indexed", "ft_prefix_bm25",

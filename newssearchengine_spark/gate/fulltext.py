@@ -1061,3 +1061,168 @@ def ft_expansion_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -- document deletes (plans.delete): tombstones + compaction -----------
+# Deterministic dead set over the sf corpus: doc_id % 7 == 3.
+_DEAD_PRED_SQL = "doc_id % 7 = 3"
+
+
+def _bm25_deleted_sql(terms: list[str], k: int) -> str:
+    """Tombstone (Lucene frozen-stats) semantics: BM25 over the FULL
+    corpus statistics (deleted docs still count toward N/avgdl/df), the
+    dead docs dropped from the ranking only."""
+    base = _bm25_sql(terms, 10 ** 9)  # unranked-cut form of the score CTEs
+    head, _, _ = base.rpartition("SELECT")
+    return head + f"""SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc WHERE NOT ({_DEAD_PRED_SQL})
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _bm25_compacted_sql(terms: list[str], k: int) -> str:
+    """Compacted semantics: a from-scratch build over the live corpus —
+    stats recomputed, so the SQL simply scores the filtered table."""
+    return _bm25_sql(terms, k).replace(
+        "FROM documents",
+        f"FROM documents WHERE NOT ({_DEAD_PRED_SQL})")
+
+
+# (tombstoned index, compacted index) per sf_dir — built once, shared by
+# both delete gates; separate from _GATE_INDEX so the shared index never
+# sees a tombstone.
+_GATE_DEL_INDEX: dict[str, tuple] = {}
+
+
+def _gate_del_index(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.delete import compact_index, delete_docs
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    pair = _GATE_DEL_INDEX.get(sf_dir)
+    if pair is None:
+        cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                          analyzer=DOCS_ANALYZER)
+        root = tempfile.mkdtemp(prefix="gate_del_")
+        idx, cmp_dir = os.path.join(root, "idx"), os.path.join(root, "cmp")
+        docs = load(spark, sf_dir, "documents")
+        build_index(docs, idx, cfg, text_col="text", id_col="doc_id",
+                    resume=False)
+        dead = [int(r["doc_id"]) for r in
+                docs.filter(F.expr(_DEAD_PRED_SQL)).select("doc_id").collect()]
+        delete_docs(spark, idx, dead)
+        compact_index(spark, idx, cmp_dir)
+        pair = (SegmentIndex(spark, idx), SegmentIndex(spark, cmp_dir))
+        _GATE_DEL_INDEX[sf_dir] = pair
+    return pair
+
+
+@gate_query("ft_bm25_topk_deleted", _bm25_deleted_sql(QUERY_TERMS, TOP_K))
+def ft_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deletes, tombstone tier (plans.delete / SURVEY S5's
+    lifecycle counterpart — the reference's own v2->v3 junk-doc removal,
+    README.md:135-138): deleted docs vanish from results immediately
+    while corpus stats stay frozen until compaction (Lucene semantics).
+    The engine runs the exact over-fetch + exclusion wrapper; the oracle
+    ranks with FULL-corpus BM25 stats and drops the dead ids."""
+    si, _ = _gate_del_index(spark, sf_dir)
+    cand = si.search(QUERY_TERMS, TOP_K + 20, mode="wand").select(
+        "doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)
+
+
+@gate_query("ft_bm25_topk_compacted", _bm25_compacted_sql(QUERY_TERMS, TOP_K))
+def ft_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deletes, compaction tier: physical expunge (chunk-local
+    re-encode, NO shuffle; stats/df/block-max recomputed) — equal to a
+    from-scratch build over the live corpus, so the oracle scores the
+    filtered table with recomputed stats."""
+    _, sc = _gate_del_index(spark, sf_dir)
+    cand = sc.search(QUERY_TERMS, TOP_K + 20, mode="wand").select(
+        "doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)
+
+
+# -- ES aggregations adapter (plans.dsl.es_aggs) -------------------------
+_AGGS_QUERY_TEXT = " ".join(QUERY_TERMS)
+
+
+def _es_aggs_sql() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(QUERY_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+d AS (SELECT documents.* FROM documents JOIN m USING (doc_id))
+SELECT 'by_lang' AS agg, key, doc_count, NULL::DOUBLE AS value FROM (
+  SELECT lang AS key, count(*)::BIGINT AS doc_count FROM d
+  GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10)
+UNION ALL
+SELECT 'by_source' AS agg, key, doc_count, NULL::DOUBLE AS value FROM (
+  SELECT source AS key, count(*)::BIGINT AS doc_count FROM d
+  GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 3)
+UNION ALL
+SELECT 'chars' AS agg, key, NULL::BIGINT AS doc_count, value FROM (
+  SELECT 'count' AS key, count(n_chars)::DOUBLE AS value FROM d
+  UNION ALL SELECT 'min', min(n_chars)::DOUBLE FROM d
+  UNION ALL SELECT 'max', max(n_chars)::DOUBLE FROM d
+  UNION ALL SELECT 'avg', avg(n_chars::DOUBLE) FROM d
+  UNION ALL SELECT 'sum', sum(n_chars::DOUBLE) FROM d)"""
+
+
+@gate_query("ft_es_aggs", _es_aggs_sql())
+def ft_es_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggregations over the index (plans.dsl.es_aggs): terms buckets
+    + stats metrics computed over EVERY doc matching the query (ES agg
+    semantics — not the top-k), match set from the pruned postings scan,
+    metadata from the doc store's meta_cols (the ES _source). The
+    surrounding ES surface for a switching user: the reference itself
+    only searches, but every ES deployment of its shape also aggregates."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": _AGGS_QUERY_TEXT}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 10}},
+            "by_source": {"terms": {"field": "source", "size": 3}},
+            "chars": {"stats": {"field": "n_chars"}},
+        },
+    }
+    return es_aggs(si, body)
+
+
+# -- search_after cursor pagination --------------------------------------
+_SA_FROM, _SA_SIZE = 10, 20
+
+
+def _search_after_sql(terms: list[str], frm: int, size: int) -> str:
+    base = _bm25_sql(terms, 10 ** 9)
+    head, _, _ = base.rpartition("SELECT")
+    return head + f"""SELECT (rnk - {frm})::BIGINT AS rank, doc_id, score FROM (
+  SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rnk,
+         doc_id, score
+  FROM sc) WHERE rnk >= {frm} AND rnk < {frm + size}
+ORDER BY rnk"""
+
+
+@gate_query("ft_search_after",
+            _search_after_sql(QUERY_TERMS, _SA_FROM, _SA_SIZE))
+def ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after cursor pagination: page 2 fetched with the cursor
+    cut pushed INSIDE the per-part scorers (each part emits at most k
+    post-cursor rows — the skipped prefix is never re-materialized,
+    unlike from/size). Determinism note: the oracle ranks by the
+    6dp-rounded score while the cursor cuts on the raw score; the page
+    window [ranks 8..31] of this corpus has no rounding plateau
+    (tests/test_es_dsl.py::test_search_after_gate_window_has_no_plateau
+    pins the property, so testdata drift fails in pytest, not here)."""
+    si = _gate_index(spark, sf_dir)
+    p1 = si.search(QUERY_TERMS, _SA_FROM, mode="wand").collect()
+    cur = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    cand = si.search(QUERY_TERMS, _SA_SIZE, mode="wand", after=cur).select(
+        "doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, _SA_SIZE)

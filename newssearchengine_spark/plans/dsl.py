@@ -18,6 +18,10 @@ bodies onto the engine so the queries run UNCHANGED:
   fuzzy / wildcard, plus `field^boost` factors in
   query_string/multi_match fields lists (the surrounding ES surface
   the engine implements)
+- aggregations via `es_aggs` (terms / stats / single-metric /
+  date_histogram over every query-matching doc — ES agg semantics)
+- pagination: `from`/`size` (re-ranked page) and `search_after`
+  cursors (exact, cursor cut pushed into the per-part scorers)
 
 The analyzer key inside a body is ignored on purpose: write/read
 analyzer unity comes from the target index's own stats.json (the engine
@@ -134,6 +138,29 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if field is not None and field in multi:
             return multi[field]
         return next(iter(multi.values()))
+
+    # ES search_after: [score, doc_id] sort values of the previous page's
+    # last hit -> EXACT deep pagination with the cursor cut pushed into
+    # the per-part scorers (SegmentIndex.search(after=...)) — unlike
+    # from/size, the skipped prefix is never re-materialized. Supported
+    # for the single-field OR shapes whose scores are raw BM25 (a boost
+    # would move the cursor into boosted space).
+    sa = body.get("search_after")
+    if sa is not None:
+        cursor = (float(sa[0]), int(sa[1]))
+        if kind == "match":
+            field, text = _field_text(spec)
+            return one(field).search(text, size, mode=mode, after=cursor)
+        if kind in ("query_string", "multi_match"):
+            op, parts = _parse_query_string(str(spec["query"]))
+            names, boosts = _parse_boosts(list(spec.get("fields") or []))
+            if (op == "or" and not boosts
+                    and (multi is None or not names or len(names) == 1)):
+                si = one(names[0] if names else None)
+                return si.search(parts[0], size, mode=mode, after=cursor)
+        raise ValueError(
+            "search_after supports single-field unboosted OR queries "
+            "(match / query_string / multi_match)")
 
     if kind in ("query_string", "multi_match"):
         if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
@@ -263,7 +290,104 @@ def es_search(indexes, body: dict, size: int = 10, *,
     if kind == "term":
         field, val = _field_text(spec)
         # exact keyword-field lookup -> doc-store filter (the reference's
-        # url -> _id translation); returns the matching doc rows
-        return one().doc_store().filter(F.col(field) == val)
+        # url -> _id translation); returns the matching doc rows.
+        # Tombstoned docs never match (the ES 404 on a deleted id).
+        return one()._exclude_dead(
+            one().doc_store().filter(F.col(field) == val))
 
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
+    """ES aggregations over an index: ``{"query": ..., "aggs": {...}}``.
+
+    ES computes aggregations over EVERY doc matching the query (not the
+    top-k hits); here the match set comes from the pruned postings scan
+    (`_term_docs` — no corpus scan) semi-joined to the doc store, whose
+    metadata columns (``meta_cols`` at build time, the ES ``_source``)
+    are the aggregation inputs. Tombstoned docs are excluded (ES skips
+    deleted docs in aggs). Without a query the aggs run corpus-wide.
+
+    Supported agg kinds: ``terms`` (bucket counts, ``size`` default 10,
+    ties broken key-asc like a deterministic ES shard), ``stats``
+    (count/min/max/avg/sum), single metrics (``value_count`` / ``avg`` /
+    ``min`` / ``max`` / ``sum``), and ``date_histogram`` with
+    ``calendar_interval`` day|month|year over a date/timestamp column.
+
+    Returns ONE flat DataFrame — (agg string, key string, doc_count
+    bigint, value double) — the bucket list of every requested agg
+    labeled by its name (terms/date_histogram rows carry doc_count;
+    metric rows carry value), so results stay a relation the rest of a
+    Spark pipeline can join/filter like any other.
+    """
+    store = index._exclude_dead(index.doc_store())
+    q = body.get("query")
+    if q:
+        kind, spec = next(iter(q.items()))
+        if kind == "match":
+            _, text = _field_text(spec)
+        elif kind in ("query_string", "multi_match"):
+            text = str(spec["query"])
+        else:
+            raise ValueError(
+                f"unsupported aggs query scope: {kind} (match / "
+                "query_string / multi_match OR-matching is supported)")
+        terms = index.analyze_query(str(text))
+        if terms:
+            match = index._term_docs(terms).select("doc_id").distinct()
+            store = store.join(match, "doc_id", "left_semi")
+        else:
+            store = store.filter(F.lit(False))
+    aggs = body.get("aggs", body.get("aggregations") or {})
+    if not aggs:
+        raise ValueError("body has no aggs")
+    out_cols = [F.col("agg"), F.col("key"),
+                F.col("doc_count").cast("bigint").alias("doc_count"),
+                F.col("value").cast("double").alias("value")]
+    outs = []
+    for name, spec in aggs.items():
+        akind, aspec = next(iter(spec.items()))
+        field = aspec["field"]
+        if akind == "terms":
+            size = int(aspec.get("size", 10))
+            b = (store.groupBy(F.col(field).cast("string").alias("key"))
+                 .agg(F.count(F.lit(1)).alias("doc_count"))
+                 .orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+                 .select(F.lit(name).alias("agg"), "key", "doc_count",
+                         F.lit(None).alias("value")))
+        elif akind == "date_histogram":
+            iv = aspec.get("calendar_interval", "day")
+            if iv not in ("day", "month", "year"):
+                raise ValueError(f"unsupported calendar_interval: {iv}")
+            b = (store.groupBy(
+                    F.date_format(F.date_trunc(iv, F.col(field)),
+                                  "yyyy-MM-dd").alias("key"))
+                 .agg(F.count(F.lit(1)).alias("doc_count"))
+                 .select(F.lit(name).alias("agg"), "key", "doc_count",
+                         F.lit(None).alias("value")))
+        elif akind == "stats":
+            c = F.col(field).cast("double")
+            b = (store.agg(F.count(c).cast("double").alias("count"),
+                           F.min(c).alias("min"), F.max(c).alias("max"),
+                           F.avg(c).alias("avg"), F.sum(c).alias("sum"))
+                 .selectExpr(
+                     "stack(5, 'count', count, 'min', min, 'max', max, "
+                     "'avg', avg, 'sum', sum) as (key, value)")
+                 .select(F.lit(name).alias("agg"), "key",
+                         F.lit(None).alias("doc_count"), "value"))
+        elif akind in ("value_count", "avg", "min", "max", "sum"):
+            c = F.col(field).cast("double")
+            metric = {"value_count": F.count(c).cast("double"),
+                      "avg": F.avg(c), "min": F.min(c), "max": F.max(c),
+                      "sum": F.sum(c)}[akind]
+            b = (store.agg(metric.alias("value"))
+                 .select(F.lit(name).alias("agg"),
+                         F.lit(akind).alias("key"),
+                         F.lit(None).alias("doc_count"), "value"))
+        else:
+            raise ValueError(f"unsupported agg kind: {akind}")
+        outs.append(b.select(*out_cols))
+    res = outs[0]
+    for b in outs[1:]:
+        res = res.unionByName(b)
+    return res

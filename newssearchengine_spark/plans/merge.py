@@ -168,6 +168,21 @@ def merge_indexes(spark: SparkSession, index_a: str, index_b: str,
              "merged_from": [index_a, index_b],
              "elapsed_sec": round(time.time() - t0, 3)},
         )
+
+    # tombstones (plans.delete) survive a merge: deleted docs must not
+    # resurface in the merged index — copy both sidecars forward (stats
+    # stay frozen-with-deletes, consistent with the unmerged handles)
+    import shutil
+
+    for side, src in (("a", index_a), ("b", index_b)):
+        tdir = os.path.join(src, "tombstones")
+        if os.path.isdir(tdir):
+            dst = os.path.join(out_dir, "tombstones")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(tdir):
+                if f.endswith(".parquet"):
+                    shutil.copy2(os.path.join(tdir, f),
+                                 os.path.join(dst, f"{side}-{f}"))
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,

@@ -62,6 +62,16 @@ BOOL_DRIVER_CAP = 1 << 17
 # distributed stage + a driver merge; above it the per-query window runs.
 MANY_DRIVER_CAP = 1 << 21
 
+# Tombstone exclusion regimes (plans.delete): dead ids inline as an isin
+# literal up to this count; beyond it they join as a broadcast anti-join
+# relation. Element-based: ids are fixed-width int64 rows.
+DELETED_ISIN_CAP = 1 << 14
+# Driver-local tombstone gather cap in BYTES of the sidecar's parquet
+# files (~8-10 B per int64 row => ~2^25 ids at the default). Above it
+# the dead set stays a distributed relation (an operational smell —
+# compact_index is the cure — but never a wrong answer).
+DELETED_DRIVER_BYTES_CAP = 1 << 28
+
 
 def _make_clause_intersector(must_clauses: list[list[str]],
                              must_not: list[str],
@@ -395,6 +405,9 @@ class SegmentIndex:
         )
         self._cache = cache
         self._pos_cached = False
+        # tombstone memo: (sidecar file listing) -> (T, ids, dead_df)
+        self._tomb_sig: tuple | None = None
+        self._tomb: tuple = (0, None, None)
         if cache:
             self._tstats = self._tstats.persist()
             self._segments = self._segments.persist()
@@ -499,8 +512,92 @@ class SegmentIndex:
 
     def get_docs(self, doc_ids: list[int]) -> DataFrame:
         """Point lookups by id (the reference's es.get, SURVEY S6):
-        an isin filter over the doc store — parquet row-group stats prune."""
-        return self.doc_store().filter(F.col("doc_id").isin(list(doc_ids)))
+        an isin filter over the doc store — parquet row-group stats prune.
+        Tombstoned ids return no row (the ES 404 on a deleted id)."""
+        out = self.doc_store().filter(F.col("doc_id").isin(list(doc_ids)))
+        return self._exclude_dead(out)
+
+    # -- deletes (plans.delete tombstone sidecar) ---------------------------
+    def _tombstone_listing(self) -> tuple:
+        tdir = os.path.join(self.index_dir, "tombstones")
+        try:
+            return tuple(sorted(
+                (e.name, e.stat().st_size) for e in os.scandir(tdir)
+                if e.name.endswith(".parquet")))
+        except FileNotFoundError:
+            return ()
+
+    def _tombstones(self) -> tuple:
+        """(T, ids, dead_df) for the index's tombstone sidecar, memoized
+        on the sidecar's file listing (a new delete invalidates it).
+
+        T = distinct tombstone count. ids = sorted int64 numpy of the
+        dead ids when the sidecar fits the driver gather cap (the normal
+        regime between compactions), else None with dead_df a distributed
+        distinct relation (the huge-backlog regime)."""
+        sig = self._tombstone_listing()
+        if sig == self._tomb_sig:
+            return self._tomb
+        if not sig:
+            self._tomb_sig, self._tomb = sig, (0, None, None)
+            return self._tomb
+        tdir = os.path.join(self.index_dir, "tombstones")
+        if sum(s for _, s in sig) <= DELETED_DRIVER_BYTES_CAP:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(tdir, columns=["doc_id"])
+            ids = np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            self._tomb = (int(ids.size), ids, None)
+        else:
+            dead_df = (self.spark.read.parquet(tdir)
+                       .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+                       .distinct().persist())
+            self._tomb = (int(dead_df.count()), None, dead_df)
+        self._tomb_sig = sig
+        return self._tomb
+
+    def n_deleted(self) -> int:
+        """Distinct live tombstones (0 when none were ever written)."""
+        return self._tombstones()[0]
+
+    def _exclude_dead(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned doc_ids from a relation: isin literal for small
+        dead sets, broadcast anti-join above DELETED_ISIN_CAP, plain
+        anti-join in the distributed-dead regime."""
+        T, ids, dead_df = self._tombstones()
+        if not T:
+            return df
+        if ids is not None and T <= DELETED_ISIN_CAP:
+            return df.filter(~F.col("doc_id").isin([int(i) for i in ids]))
+        if ids is not None:
+            dead_df = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ids}), "doc_id bigint")
+            dead_df = F.broadcast(dead_df)
+        return df.join(dead_df, "doc_id", "left_anti")
+
+    def _live(self, k: int, run) -> DataFrame:
+        """EXACT tombstone exclusion for any ranked query (Lucene
+        semantics: deleted docs vanish from results immediately; corpus
+        stats stay frozen until compact_index). run(k') must return rows
+        carrying a dense 0-based `rank` (optionally per query_id). At
+        most T dead docs can precede the k-th live hit, so top-(k+T)
+        over-fetch + drop + re-rank is provably the live top-k. T=0 (the
+        only state every pre-delete caller sees) short-circuits."""
+        T = self.n_deleted()
+        if not T:
+            return run(k)
+        out = run(k + T)
+        cols = out.columns
+        out = self._exclude_dead(out)
+        w = (Window.partitionBy("query_id") if "query_id" in cols
+             else Window).orderBy(F.asc("rank"))
+        return (
+            out.withColumn("rank",
+                           (F.row_number().over(w) - 1).cast("bigint"))
+            .filter(F.col("rank") < k)
+            .select(*cols)
+        )
 
     def _by_part(self, df: DataFrame):
         """Group a pruned per-part relation by doc_part with an EXPLICIT
@@ -528,13 +625,30 @@ class SegmentIndex:
 
     # -- retrieval ---------------------------------------------------------
     def search(self, query, k: int, mode: str = "taat",
-               with_meta: bool = False) -> DataFrame:
+               with_meta: bool = False, after: tuple | None = None,
+               _raw: bool = False) -> DataFrame:
         """OR-disjunction BM25 top-k. `query` = raw text or list of terms.
 
         Returns (rank, doc_id, score); empty if no term matches.
         with_meta=True joins the doc store (the `_source` the reference
         reads off every hit) — a broadcast join of k rows.
+        after=(score, doc_id) is an ES search_after cursor (the
+        (sort-values) of the previous page's LAST hit): only docs
+        strictly after it in (score desc, doc_id asc) order return,
+        re-ranked from 0 — EXACT deep pagination that, unlike from+size,
+        never re-materializes the skipped prefix: the cursor cut runs
+        INSIDE the per-part scorers (per-part scores are final — doc
+        ranges are disjoint and float64 sums are order-pinned), so each
+        part emits at most k post-cursor rows no matter how deep the
+        page. Tombstoned docs (plans.delete) never appear; _raw=True
+        skips the exclusion (internal regime probes only).
         """
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search(
+                query, kk, mode=mode, with_meta=with_meta, after=after,
+                _raw=True))
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         terms = sorted(set(terms))
         n_docs = float(self.stats["n_docs"])
@@ -560,7 +674,8 @@ class SegmentIndex:
             .select("doc_part", "term", "docs", "tfs", "dls",
                     "block_last", "block_max")
         )
-        scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=k, mode=mode)
+        scorer = _make_scorer(idf_map, k1=k1, b=b, avgdl=avgdl, k=k,
+                              mode=mode, after=after)
         per_part = self._by_part(seg).applyInPandas(scorer, TOPK_SCHEMA)
         topk = per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -677,7 +792,8 @@ class SegmentIndex:
             )
         return self.search(terms, k, mode=mode)
 
-    def search_phrase(self, phrase, k: int, with_meta: bool = False) -> DataFrame:
+    def search_phrase(self, phrase, k: int, with_meta: bool = False,
+                      _raw: bool = False) -> DataFrame:
         """Indexed phrase retrieval (ES match_phrase) — a pure INDEX
         operation over the positional postings sidecar, no corpus re-scan
         (the reference's ES index stores positions for exactly this,
@@ -705,6 +821,9 @@ class SegmentIndex:
                 "index was built with with_positions=False; phrase search "
                 "needs the positional sidecar (IndexConfig.with_positions)"
             )
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_phrase(
+                phrase, kk, with_meta=with_meta, _raw=True))
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
@@ -1043,7 +1162,7 @@ class SegmentIndex:
 
     def search_bool(self, *, must=None, should=None, must_not=None,
                     k: int, minimum_should_match: int = 0,
-                    filter=None) -> DataFrame:
+                    filter=None, _raw: bool = False) -> DataFrame:
         """ES `bool` query from the INDEX (compositional form:
         operators.bm25.bool_bm25_topk — asserted identical in tests):
         docs must satisfy EVERY `must` clause and NONE of `must_not`,
@@ -1080,6 +1199,11 @@ class SegmentIndex:
         doc_store (predicate pushed to parquet) and flow as a
         doc_part-cogrouped admitted-id stream into the scoring pass —
         8 bytes per admitted doc on the wire, never a corpus scan."""
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_bool(
+                must=must, should=should, must_not=must_not, k=kk,
+                minimum_should_match=minimum_should_match, filter=filter,
+                _raw=True))
         must_clauses = [
             sorted({c} if isinstance(c, str) else set(c))
             for c in (must or [])
@@ -1303,7 +1427,7 @@ class SegmentIndex:
             "doc_id", "score",
         )
 
-    def search_mixed(self, groups, k: int) -> DataFrame:
+    def search_mixed(self, groups, k: int, _raw: bool = False) -> DataFrame:
         """OR of AND-groups — the ES mixed AND/OR query_string shape
         ('a AND b OR c' = (a AND b) OR c, AND binds tighter). `groups` is
         a list of groups; each group a list of clauses; each clause a
@@ -1322,6 +1446,9 @@ class SegmentIndex:
         results are complete) -> shared Catalyst round + top-k tail.
         A single group degenerates to search_bool(must=...); singleton
         groups degenerate to search() — both pytest-pinned."""
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_mixed(
+                groups, kk, _raw=True))
         gs = []
         for g in groups:
             clauses = [sorted({c} if isinstance(c, str) else set(c))
@@ -1433,7 +1560,8 @@ class SegmentIndex:
         return self._by_part(seg).applyInPandas(explain_group, out_schema)
 
     def search_phrase_prefix(self, phrase, k: int, *,
-                             max_expansions: int = 50) -> DataFrame:
+                             max_expansions: int = 50,
+                             _raw: bool = False) -> DataFrame:
         """ES match_phrase_prefix: the last phrase term is treated as a
         PREFIX, expanded against the term dictionary (bounded by
         max_expansions like ES), and a doc matches where the fixed terms
@@ -1446,6 +1574,9 @@ class SegmentIndex:
                 "index was built with with_positions=False; phrase search "
                 "needs the positional sidecar (IndexConfig.with_positions)"
             )
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_phrase_prefix(
+                phrase, kk, max_expansions=max_expansions, _raw=True))
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
@@ -1488,7 +1619,8 @@ class SegmentIndex:
         return self._phrase_topk(cand_plan, bound, n_docs=n_docs,
                                  avgdl=avgdl, k1=k1, b=b, k=k)
 
-    def search_many(self, queries: dict, k: int, mode: str = "taat") -> DataFrame:
+    def search_many(self, queries: dict, k: int, mode: str = "taat",
+                    _raw: bool = False) -> DataFrame:
         """Batched retrieval: MANY queries against the warm index in ONE
         Spark job. `queries` maps query_id -> raw text or term list.
 
@@ -1503,6 +1635,9 @@ class SegmentIndex:
         efficiency killer for sequential single-query loops — is amortized
         across the whole batch.
         """
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_many(
+                queries, kk, mode=mode, _raw=True))
         qterms = {
             str(qid): sorted(set(
                 self.analyze_query(q) if isinstance(q, str) else list(q)
@@ -1619,7 +1754,8 @@ class SegmentIndex:
 
 def search_dismax(field_indexes: dict, query, k: int, *,
                   tie_breaker: float = 0.0, prune: bool = True,
-                  boosts: dict | None = None) -> DataFrame:
+                  boosts: dict | None = None,
+                  _raw: bool = False) -> DataFrame:
     """Multi-field best_fields retrieval over PER-FIELD segment indexes —
     the indexed form of the reference's query shape (query_string over
     [title, text], /root/reference/wapo/experiments/ranking.py:128-139).
@@ -1648,6 +1784,22 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
     if any(v < 0 for v in b.values()):
         raise ValueError("field boosts must be >= 0")
+    sis = list(field_indexes.values())
+    if not _raw and any(si.n_deleted() for si in sis):
+        # fields share one doc space; the per-index tombstone sets may
+        # overlap, so sum(T) is an upper bound on the union — still a
+        # valid over-fetch bound for the exact exclusion wrapper
+        T = sum(si.n_deleted() for si in sis)
+        out = search_dismax(field_indexes, query, k + T,
+                            tie_breaker=tie_breaker, prune=prune,
+                            boosts=boosts, _raw=True)
+        for si in sis:
+            out = si._exclude_dead(out)
+        w = Window.orderBy(F.asc("rank"))
+        return (out.withColumn(
+                    "rank", (F.row_number().over(w) - 1).cast("bigint"))
+                .filter(F.col("rank") < k)
+                .select("rank", "doc_id", "score"))
     if prune and 0.0 <= float(tie_breaker) <= 1.0:
         # escalation ladder (VERDICT r4 #1): when the threshold proof
         # fails at k', retry with a wider per-field pool before paying
@@ -1887,20 +2039,27 @@ def _make_phrase_matcher(phrase: list[str], last_alts: list[str] | None = None):
 
 def _make_scorer(idf_map: dict[str, float], *, k1: float, b: float,
                  avgdl: float, k: int, mode: str,
-                 only_docs: "np.ndarray | None" = None):
+                 only_docs: "np.ndarray | None" = None,
+                 after: "tuple | None" = None):
     """Per-doc_part scorer closure for applyInPandas. only_docs (sorted
     int64 array) restricts scoring to a candidate doc set — the decoded
     posting rows outside it are dropped before accumulation (the
     rank-safe-pruning fetch; accumulation order is unchanged, so the
-    surviving docs' scores are bit-identical to the unrestricted path)."""
+    surviving docs' scores are bit-identical to the unrestricted path).
+    after=(score, doc_id) is an ES search_after cursor: only docs
+    STRICTLY after the cursor in (score desc, doc_id asc) order are
+    emitted — exact because per-part scores ARE the final scores (doc
+    ranges are disjoint; the determinism contract makes per-part float64
+    sums bit-identical to any global computation)."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("term", kind="mergesort")  # fixed term order
         if mode == "wand":
-            ids, scores = _wand_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl, k=k)
+            ids, scores = _wand_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl,
+                                     k=k, after=after)
         else:
             ids, scores = _taat_topk(pdf, idf_map, k1=k1, b=b, avgdl=avgdl,
-                                     k=k, only_docs=only_docs)
+                                     k=k, only_docs=only_docs, after=after)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_group
@@ -2011,10 +2170,13 @@ def _make_multi_scorer(qterms: dict[str, list[str]], idf_map: dict[str, float],
 
 
 def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k,
-               only_docs=None):
+               only_docs=None, after=None):
     """Exact vectorized term-at-a-time: decode all matched postings in the
     range, accumulate idf*tf_norm per doc (term-sorted order), top-k.
-    only_docs (sorted int64) drops non-candidate postings pre-accumulation."""
+    only_docs (sorted int64) drops non-candidate postings pre-accumulation.
+    after=(score, doc_id) keeps only docs strictly after the cursor in
+    (score desc, doc_id asc) order — the cut happens on the FINAL
+    accumulated score, so it is exact, not heuristic."""
     all_ids, all_scores = [], []
     for row in pdf.itertuples(index=False):
         ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
@@ -2036,6 +2198,12 @@ def _taat_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k,
     uniq, inv = np.unique(ids, return_inverse=True)
     acc = np.zeros(uniq.size)
     np.add.at(acc, inv, scores)  # element order = term-sorted: deterministic
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        keep = (acc < s_a) | ((acc == s_a) & (uniq > d_a))
+        uniq, acc = uniq[keep], acc[keep]
+        if not uniq.size:
+            return np.empty(0, dtype=np.int64), np.empty(0)
     # top-k by (score desc, doc_id asc): lexsort is stable & total.
     # k=None emits every scored doc (the score_all full-relation form).
     order = np.lexsort((uniq, -acc))
@@ -2077,7 +2245,8 @@ class _TermCursor:
         return float(self.block_ub[bi])
 
 
-def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k, stats=None):
+def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k, stats=None,
+               after=None):
     """Block-max WAND (Ding & Suel, 2011 — public algorithm): doc-at-a-time
     pivoting over per-term cursors with global and per-block upper bounds.
     Rank-safe: returns exactly the taat top-k (asserted in tests).
@@ -2155,6 +2324,15 @@ def _wand_topk(pdf: pd.DataFrame, idf_map, *, k1, b, avgdl, k, stats=None):
             for c in sorted(ext, key=lambda c: c.term):  # fixed order: determinism
                 score += float(c.tfn[c.pos])
                 c.pos += 1
+            # search_after cursor: a doc at-or-before the cursor in
+            # (score desc, doc_id asc) order never enters the heap. The
+            # block-max skipping stays rank-safe — it only ever skips
+            # docs that cannot beat the heap bottom, and the heap holds
+            # admissible docs only.
+            if after is not None and not (
+                    score < after[0]
+                    or (score == after[0] and pivot_doc > after[1])):
+                continue
             item = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)

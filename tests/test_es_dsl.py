@@ -343,3 +343,166 @@ def test_from_size_pagination_and_exists(two_field):
     want = si.search_bool(must=["node"], k=10).collect()
     # every doc_store row has a repo -> exists is a no-op admit-all
     assert [tuple(r) for r in exists] == [tuple(r) for r in want]
+
+
+def test_es_aggs_terms_and_stats(spark, two_field):
+    """es_aggs computes buckets/metrics over EVERY query-matching doc
+    (ES agg semantics), independently recomputed here with the pure
+    oracle analyzer over the collected corpus."""
+    from collections import Counter
+
+    from newssearchengine_spark.oracle import pure
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {
+        "query": {"match": {"text": "node cursor"}},
+        "aggs": {
+            "by_repo": {"terms": {"field": "repo", "size": 5}},
+            "len": {"stats": {"field": "content_len"}},
+            "n": {"value_count": {"field": "doc_id"}},
+        },
+    }
+    got = es_aggs(si, body).collect()
+
+    terms = set(si.analyze_query("node cursor"))
+    rows = two.select("doc_id", "repo", "text").collect()
+    match = [r for r in rows
+             if terms & set(pure.analyze(r["text"], si.analyzer))]
+    assert match, "fixture must contain matching docs"
+    counts = Counter(r["repo"] for r in match)
+    want_terms = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got_terms = [(r["key"], r["doc_count"]) for r in got
+                 if r["agg"] == "by_repo"]
+    assert sorted(got_terms, key=lambda kv: (-kv[1], kv[0])) == want_terms
+
+    lens = [len(r["text"]) for r in match]
+    got_stats = {r["key"]: r["value"] for r in got if r["agg"] == "len"}
+    assert got_stats["count"] == float(len(lens))
+    assert got_stats["min"] == float(min(lens))
+    assert got_stats["max"] == float(max(lens))
+    assert got_stats["sum"] == pytest.approx(float(sum(lens)))
+    assert got_stats["avg"] == pytest.approx(sum(lens) / len(lens))
+    got_n = [r for r in got if r["agg"] == "n"]
+    assert got_n[0]["value"] == float(len(match))
+    assert got_n[0]["key"] == "value_count"
+
+
+def test_es_aggs_corpus_wide_and_deleted(spark, tmp_path):
+    """No query -> corpus-wide aggs; tombstoned docs drop out of every
+    bucket (ES skips deleted docs in aggregations)."""
+    from newssearchengine_spark.plans.delete import delete_docs
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    docs = assign_doc_ids(source_files(spark, 150, seed=9, partitions=2),
+                          num_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, CFG, meta_cols=("lang",), resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    body = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 100}}}}
+    before = {r["key"]: r["doc_count"]
+              for r in es_aggs(si, body).collect()}
+    assert sum(before.values()) == 150
+    victims = [int(r["doc_id"]) for r in
+               si.doc_store().limit(7).collect()]
+    delete_docs(spark, d, victims)
+    after = {r["key"]: r["doc_count"] for r in es_aggs(si, body).collect()}
+    assert sum(after.values()) == 143
+
+    with pytest.raises(ValueError):
+        es_aggs(si, {"aggs": {"x": {"cardinality": {"field": "lang"}}}})
+    with pytest.raises(ValueError):
+        es_aggs(si, {"query": {"match": {"text": "node"}}})
+
+
+@pytest.mark.parametrize("mode", ["taat", "wand"])
+def test_search_after_cursor(spark, two_field, mode):
+    """search_after pages are exactly the corresponding slices of the
+    full ranking, in both scorer modes, and the cursor walk visits every
+    hit exactly once."""
+    two, idxs = two_field
+    si = idxs["text"]
+    q = "node cursor shard stream"
+    full = si.search(q, 400, mode=mode).collect()
+    assert len(full) > 25
+    cur = (full[9]["score"], full[9]["doc_id"])
+    page2 = si.search(q, 10, mode=mode, after=cur).collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] == \
+        [(r["doc_id"], r["score"]) for r in full[10:20]]
+    assert [r["rank"] for r in page2] == list(range(len(page2)))
+
+    # cursor walk: pages of 7 reassemble the full ranking exactly
+    walked, cursor = [], None
+    while True:
+        page = si.search(q, 7, mode=mode, after=cursor).collect()
+        if not page:
+            break
+        walked.extend((r["doc_id"], r["score"]) for r in page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert walked == [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_search_after_es_body_and_unsupported(two_field):
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"query_string": {"fields": ["text"],
+                                       "query": "node OR cursor OR shard"}}}
+    full = es_search({"text": si}, body, size=25).collect()
+    cur = [full[9]["score"], full[9]["doc_id"]]
+    page2 = es_search({"text": si}, {**body, "search_after": cur},
+                      size=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] == \
+        [(r["doc_id"], r["score"]) for r in full[10:20]]
+    with pytest.raises(ValueError):
+        es_search({"text": si}, {
+            "query": {"match_phrase": {"text": "node cursor"}},
+            "search_after": cur}, size=5)
+
+
+def test_search_after_with_deletes(spark, tmp_path):
+    """Cursor pagination composes with tombstones: pages slice the LIVE
+    ranking."""
+    from newssearchengine_spark.plans.delete import delete_docs
+
+    docs = assign_doc_ids(source_files(spark, 200, seed=3, partitions=2),
+                          num_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, CFG, resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    q = "node value hash"
+    full_raw = si.search(q, 200).collect()
+    dead = [r["doc_id"] for r in full_raw[2:6]]
+    delete_docs(spark, d, dead)
+    live = [(r["doc_id"], r["score"]) for r in full_raw
+            if r["doc_id"] not in set(dead)]
+    p1 = si.search(q, 8).collect()
+    assert [(r["doc_id"], r["score"]) for r in p1] == live[:8]
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = si.search(q, 8, after=cur).collect()
+    assert [(r["doc_id"], r["score"]) for r in p2] == live[8:16]
+
+
+def test_search_after_gate_window_has_no_plateau():
+    """Tripwire for the ft_search_after gate: its page window must stay
+    free of 6dp rounding plateaus (the oracle orders by rounded score,
+    the engine cursor cuts on the raw score). If regenerated testdata
+    ever puts a plateau inside [8, 31], this fails loudly here instead
+    of flaking in the driver gate."""
+    import os
+
+    import duckdb
+
+    from newssearchengine_spark.gate.fulltext import QUERY_TERMS, _bm25_sql
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    rows = con.execute(_bm25_sql(QUERY_TERMS, 40)).fetchall()
+    scores = [r[2] for r in rows]
+    window = scores[8:32]
+    assert all(a != b for a, b in zip(window, window[1:])), \
+        "rounding plateau inside the ft_search_after page window"
