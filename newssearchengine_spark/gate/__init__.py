@@ -63,7 +63,7 @@ _PRIORITY = [
     # family keeps its compaction tier here, hash-checked locally +
     # pytest-pinned equal to a fresh build (tests/test_delete.py)
     "ft_filter_zero_score", "ft_bm25_topk_compacted", "ft_es_aggs",
-    "ft_search_after",
+    "ft_search_after", "ft_more_like_this",
     "ft_doc_lengths", "ft_corpus_stats", "sim_ivf_assign",
     "sim_knn_bruteforce", "sim_mean_pairwise_cosine",
     "rel_pivot", "ft_phrase_bm25_indexed", "ft_prefix_bm25",

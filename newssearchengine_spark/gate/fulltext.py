@@ -70,8 +70,10 @@ def _gate_index(spark: SparkSession, sf_dir: str):
 
     si = _GATE_INDEX.get(sf_dir)
     if si is None:
+        # with_term_vectors: the forward index the MLT gate's keyword
+        # extraction reads (the es.termvectors store)
         cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
-                          analyzer=DOCS_ANALYZER)
+                          analyzer=DOCS_ANALYZER, with_term_vectors=True)
         idx_dir = tempfile.mkdtemp(prefix="gate_idx_")
         # meta_cols land in the doc_store (the ES _source shape) — the
         # filter-context gates predicate on them with parquet pushdown
@@ -1226,3 +1228,69 @@ def ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = si.search(QUERY_TERMS, _SA_SIZE, mode="wand", after=cur).select(
         "doc_id", F.round("score", 6).alias("score"))
     return _rounded_topk(cand, _SA_SIZE)
+
+
+# -- more_like_this: the reference's whole background-linking flow -------
+_MLT_LIKE_ID = 11
+_MLT_MIN_TF, _MLT_MIN_DF, _MLT_MAX_TERMS = 2, 5, 10
+
+
+def _mlt_sql(like_id: int, k: int,
+             bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+kscored AS (
+  SELECT tf.term,
+         round(tf.tf * ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5)), 6) AS kscore
+  FROM tf JOIN tdf USING (term) CROSS JOIN stats
+  WHERE tf.doc_id = {like_id}
+    AND tf.tf >= {_MLT_MIN_TF} AND tdf.df >= {_MLT_MIN_DF}
+),
+q AS (
+  SELECT term FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY kscore DESC, term ASC) AS rn
+    FROM kscored) WHERE rn <= {_MLT_MAX_TERMS}
+),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts
+       WHERE doc_id <> {like_id} GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_more_like_this", _mlt_sql(_MLT_LIKE_ID, TOP_K))
+def ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this by doc id — the reference's ENTIRE
+    background-linking retrieval (es.termvectors tf-idf keyword
+    extraction with min_term_freq/min_doc_freq/max_query_terms,
+    wapo/parser.py:10-47, feeding the OR query_string of
+    ranking.py:127-139, liked doc excluded) as ONE ES body through the
+    index path: stored term vectors -> keyword top-n -> pruned postings
+    scan. The oracle composes the same two stages in SQL."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": [{"_id": _MLT_LIKE_ID}],
+        "min_term_freq": _MLT_MIN_TF,
+        "min_doc_freq": _MLT_MIN_DF,
+        "max_query_terms": _MLT_MAX_TERMS,
+    }}}
+    cand = es_search(si, body, size=TOP_K + 20).select(
+        "doc_id", F.round("score", 6).alias("score"))
+    return _rounded_topk(cand, TOP_K)

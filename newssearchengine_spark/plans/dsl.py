@@ -10,7 +10,8 @@ bodies onto the engine so the queries run UNCHANGED:
 - multi_match with operator:"or" (the netzpolitik shape,
   /root/reference/netzpolitik/experiments/keyword_match_recall.py:30-43)
 - term on a keyword field (the url lookup,
-  /root/reference/netzpolitik/index_vs.py:47-58)
+  /root/reference/netzpolitik/index_vs.py:47-58); terms / ids / range
+  as their whole-query forms (doc-store lookups, constant-score)
 - match / match_phrase / match_phrase_prefix / bool (incl.
   minimum_should_match and FILTER CONTEXT: non-scoring match / term /
   terms / range clauses — the reference's publish-date cut shape,
@@ -22,6 +23,8 @@ bodies onto the engine so the queries run UNCHANGED:
   date_histogram over every query-matching doc — ES agg semantics)
 - pagination: `from`/`size` (re-ranked page) and `search_after`
   cursors (exact, cursor cut pushed into the per-part scorers)
+- more_like_this by doc id — the reference's whole background-linking
+  flow (termvectors keyword extraction -> OR retrieval) as one body
 
 The analyzer key inside a body is ignored on purpose: write/read
 analyzer unity comes from the target index's own stats.json (the engine
@@ -287,6 +290,45 @@ def es_search(indexes, body: dict, size: int = 10, *,
         field, val = _field_text(spec)
         return one(field).search_wildcard(val, size)
 
+    if kind == "more_like_this":
+        # The reference's ENTIRE background-linking retrieval as one ES
+        # body: tf-idf keyword extraction from the liked doc's stored
+        # term vectors (es.termvectors thresholds min_term_freq /
+        # min_doc_freq / max_query_terms, wapo/parser.py:10-47) feeding
+        # an OR disjunction, with the liked docs excluded from the hits
+        # (ES MLT include:false default). Runs entirely off the index:
+        # term vectors -> keywords -> pruned postings scan.
+        fields = list(spec.get("fields") or [])
+        si = one(fields[0] if fields else None)
+        like = spec.get("like", [])
+        if isinstance(like, dict):
+            like = [like]
+        ids = [int(l["_id"]) for l in like
+               if isinstance(l, dict) and "_id" in l]
+        if not ids:
+            raise ValueError(
+                "more_like_this needs like: [{'_id': ...}] docs "
+                "(the only form the reference's flow produces)")
+        kw = si.keywords_tf_idf(
+            ids,
+            min_tf=int(spec.get("min_term_freq", 2)),
+            min_df=int(spec.get("min_doc_freq", 5)),
+            top_n=int(spec.get("max_query_terms", 25)))
+        terms = sorted({r["term"] for r in kw.collect()})
+        if not terms:
+            return si.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+        out = si.search(terms, size + len(ids), mode=mode)
+        out = out.filter(~F.col("doc_id").isin(ids))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.asc("rank"))
+        return (out.withColumn(
+                    "rank",
+                    (F.row_number().over(w) - 1).cast("bigint"))
+                .filter(F.col("rank") < size)
+                .select("rank", "doc_id", "score"))
+
     if kind == "term":
         field, val = _field_text(spec)
         # exact keyword-field lookup -> doc-store filter (the reference's
@@ -294,6 +336,34 @@ def es_search(indexes, body: dict, size: int = 10, *,
         # Tombstoned docs never match (the ES 404 on a deleted id).
         return one()._exclude_dead(
             one().doc_store().filter(F.col(field) == val))
+
+    if kind == "terms":
+        # multi-value keyword lookup: {"terms": {field: [v1, v2, ...]}}
+        field, vals = next(iter(spec.items()))
+        return one()._exclude_dead(
+            one().doc_store().filter(F.col(field).isin(list(vals))))
+
+    if kind == "ids":
+        # {"ids": {"values": [...]}} -> doc-store point lookups
+        # (get_docs already excludes tombstones — the ES 404)
+        return one().get_docs([int(v) for v in spec.get("values", [])])
+
+    if kind == "range":
+        # top-level range over a doc-store column (the filter-context
+        # range shape promoted to a whole query, ES constant-score):
+        # {"range": {col: {"gte": a, "lt": b}}} -> matching doc rows
+        field, cond = next(iter(spec.items()))
+        ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__",
+               "lt": "__lt__"}
+        pred = None
+        for op, bound in cond.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range op: {op}")
+            p = getattr(F.col(field), ops[op])(F.lit(bound))
+            pred = p if pred is None else (pred & p)
+        if pred is None:
+            raise ValueError("empty range condition")
+        return one()._exclude_dead(one().doc_store().filter(pred))
 
     raise ValueError(f"unsupported query kind: {kind}")
 
@@ -375,11 +445,19 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                      "'avg', avg, 'sum', sum) as (key, value)")
                  .select(F.lit(name).alias("agg"), "key",
                          F.lit(None).alias("doc_count"), "value"))
-        elif akind in ("value_count", "avg", "min", "max", "sum"):
-            c = F.col(field).cast("double")
+        elif akind in ("value_count", "avg", "min", "max", "sum",
+                       "cardinality"):
+            c = F.col(field).cast("double") if akind != "cardinality" \
+                else F.col(field)
             metric = {"value_count": F.count(c).cast("double"),
                       "avg": F.avg(c), "min": F.min(c), "max": F.max(c),
-                      "sum": F.sum(c)}[akind]
+                      "sum": F.sum(c),
+                      # exact distinct count (ES approximates via
+                      # HyperLogLog++; Spark's approx_count_distinct is
+                      # the same sketch, but exactness keeps the DuckDB
+                      # oracle meaningful — swap at true scale)
+                      "cardinality": F.countDistinct(c).cast("double"),
+                      }[akind]
             b = (store.agg(metric.alias("value"))
                  .select(F.lit(name).alias("agg"),
                          F.lit(akind).alias("key"),

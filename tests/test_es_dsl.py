@@ -118,7 +118,7 @@ def test_dsl_single_index_forms(two_field):
         [(r["doc_id"], r["score"]) for r in want]
     assert es_search(si, {"prefix": {"text": "curso"}}, 5).collect()
     with pytest.raises(ValueError, match="unsupported"):
-        es_search(si, {"more_like_this": {}}, 5)
+        es_search(si, {"span_near": {}}, 5)
 
 
 def test_bool_must_clause_is_or_of_tokens(spark, two_field):
@@ -506,3 +506,64 @@ def test_search_after_gate_window_has_no_plateau():
     window = scores[8:32]
     assert all(a != b for a, b in zip(window, window[1:])), \
         "rounding plateau inside the ft_search_after page window"
+
+
+def test_more_like_this_body(spark, tmp_path):
+    """MLT == manual composition (keywords_tf_idf -> OR search, liked doc
+    excluded), including ES's multi-doc like form."""
+    from newssearchengine_spark.plans.dsl import es_search as ess
+
+    cfg = IndexConfig(n_buckets=8, doc_range=128, block_size=16,
+                      with_term_vectors=True)
+    docs = assign_doc_ids(source_files(spark, 250, seed=5, partitions=2),
+                          num_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, cfg, resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    like = 17
+    body = {"query": {"more_like_this": {
+        "fields": ["content"], "like": [{"_id": like}],
+        "min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 8}}}
+    got = ess(si, body, size=12).collect()
+    kw = si.keywords_tf_idf([like], min_tf=2, min_df=3, top_n=8).collect()
+    terms = sorted({r["term"] for r in kw})
+    assert terms, "liked doc must yield keywords"
+    want = [r for r in si.search(terms, 13).collect()
+            if r["doc_id"] != like][:12]
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+    assert like not in {r["doc_id"] for r in got}
+    assert [r["rank"] for r in got] == list(range(len(got)))
+    # multi-doc like: union of both docs' keyword sets, both excluded
+    body2 = {"query": {"more_like_this": {
+        "fields": ["content"], "like": [{"_id": like}, {"_id": 23}],
+        "min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 8}}}
+    got2 = ess(si, body2, size=12).collect()
+    assert not {like, 23} & {r["doc_id"] for r in got2}
+    with pytest.raises(ValueError, match="more_like_this"):
+        ess(si, {"more_like_this": {"like": ["raw text"]}}, 5)
+
+
+def test_es_lookup_kinds_and_cardinality(two_field):
+    """terms / ids / range whole-query forms + the cardinality agg."""
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    two, idxs = two_field
+    si = idxs["text"]
+    got = es_search(si, {"ids": {"values": [5, 7]}}).collect()
+    assert {r["doc_id"] for r in got} == {5, 7}
+
+    paths = [r["path"] for r in two.orderBy("doc_id").limit(2).collect()]
+    got = es_search(si, {"terms": {"path": paths}}).collect()
+    assert {r["path"] for r in got} == set(paths)
+
+    got = es_search(si, {"range": {"doc_id": {"gte": 10, "lt": 14}}}
+                    ).collect()
+    assert {r["doc_id"] for r in got} == {10, 11, 12, 13}
+    with pytest.raises(ValueError, match="range op"):
+        es_search(si, {"range": {"doc_id": {"between": [1, 2]}}})
+
+    out = es_aggs(si, {"aggs": {
+        "nrepo": {"cardinality": {"field": "repo"}}}}).collect()
+    assert out[0]["value"] == float(
+        two.select("repo").distinct().count())
