@@ -54,7 +54,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {}
     spread: dict[str, float] = {}
+    spread2: dict[str, float] = {}
     extra["spread_sec"] = spread
+    extra["spread2_sec"] = spread2
 
     def timed(name, fn, n=3, warmup=0):
         """min-of-n timing: single samples whipsaw 2-4x with sandbox host
@@ -62,7 +64,11 @@ def main() -> None:
         of n runs with the max-min spread in extra.spread_sec — the
         alternating-run insight from the scaling harness applied here.
         warmup runs the entry untimed first (VERDICT r4 #5: cold-plan
-        first samples made ex_ltr_rerank's spread exceed its value)."""
+        first samples made ex_ltr_rerank's spread exceed its value).
+        spread2_sec = second-best minus best: the stability of the
+        reported min itself (the max-min range keeps one host-noise
+        outlier per entry visible, but says little about whether the
+        min is converged — spread2 does)."""
         samples = []
         out = None
         for _ in range(warmup):
@@ -73,6 +79,8 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
+        ss = sorted(samples)
+        spread2[name] = round((ss[1] - ss[0]) if len(ss) > 1 else 0.0, 3)
         return out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
@@ -137,7 +145,7 @@ def main() -> None:
                 for i, terms in enumerate(BM25_QUERY_TERMS * 8)}
         timed("bm25_search_many_40q",
               lambda: si.search_many(many, 100, mode="taat").collect(),
-              warmup=1)
+              n=5, warmup=1)
         extra["bm25_batch_qps"] = round(
             len(many) / timings["bm25_search_many_40q"], 2)
 
@@ -147,6 +155,27 @@ def main() -> None:
         timed("phrase_indexed_query",
               lambda: si.search_phrase(["table", "scan"], 100).collect(),
               warmup=1)
+
+        # 2b) document deletes: tombstone 1% of the corpus, then time the
+        # full physical compaction (chunk-local re-encode, no shuffle —
+        # the expungeDeletes analog; runs LAST against idx_dir so the
+        # tombstones never touch the query timings above)
+        from newssearchengine_spark.plans.delete import (compact_index,
+                                                         delete_docs)
+
+        victims = [r["doc_id"] for r in
+                   si.doc_store().limit(max(1, n_docs // 100)).collect()]
+        delete_docs(spark, idx_dir, victims)
+        cmp_dir = tempfile.mkdtemp(prefix="bench_idx_cmp_")
+
+        def compact():
+            shutil.rmtree(cmp_dir, ignore_errors=True)
+            return compact_index(spark, idx_dir, cmp_dir)
+
+        timed("index_compact", compact, n=3)
+        extra["compact_files_per_sec"] = round(
+            n_docs / timings["index_compact"], 2)
+        shutil.rmtree(cmp_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(nopos_dir, ignore_errors=True)
@@ -161,7 +190,8 @@ def main() -> None:
         # full scan + score) whipsaw with host load: 5 samples where 3
         # left spread > value (VERDICT r4 #5 — spread must stay < 50%)
         n = 5 if name in ("ex_ltr_rerank", "ex_recall_at_k",
-                          "ft_bm25_topk", "dd_exact") else 3
+                          "ft_bm25_topk", "dd_exact",
+                          "dd_minhash_lsh") else 3
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect(),
               n=n, warmup=1)
 
