@@ -90,6 +90,20 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     )
 
 
+def delete_by_query(si, body: dict, *, max_docs: int | None = None) -> int:
+    """ES _delete_by_query: evaluate the body through the DSL adapter and
+    tombstone every matching doc. Lookup bodies (term / terms / ids /
+    range) delete their full match set; ranked bodies delete the top
+    `max_docs` hits (required there — a ranked query needs a size).
+    Returns the number of distinct live tombstones afterwards."""
+    from .dsl import es_search
+
+    out = es_search(si, body, size=max_docs or 10)
+    if "rank" in out.columns and max_docs is None:
+        raise ValueError("ranked delete_by_query needs max_docs")
+    return delete_docs(si.spark, si.index_dir, out.select("doc_id"))
+
+
 def _dead_relation(spark: SparkSession, index_dir: str) -> DataFrame | None:
     tdir = tombstone_dir(index_dir)
     try:

@@ -433,6 +433,9 @@ class SegmentIndex:
             if self._pos_cached:
                 self._pos_segments_df.unpersist()
                 self._pos_cached = False
+        if self._tomb[2] is not None:  # distributed-dead regime relation
+            self._tomb[2].unpersist()
+            self._tomb_sig, self._tomb = None, (0, None, None)
         self._cache = False
 
     def _read_or_empty(self, path: str, schema: str):

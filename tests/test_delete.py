@@ -199,3 +199,30 @@ def test_merge_carries_tombstones(spark, tmp_path_factory):
     got = {r["doc_id"] for r in sim.search("hash value", 50).collect()}
     assert not got & set(top)
     corpus.unpersist()
+
+
+def test_delete_by_query(spark, tmp_path):
+    """ES _delete_by_query: lookup bodies tombstone their whole match
+    set; ranked bodies need max_docs."""
+    from newssearchengine_spark.plans.delete import delete_by_query
+
+    docs = assign_doc_ids(source_files(spark, 120, seed=31, partitions=2),
+                          num_partitions=2)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(n_buckets=4, doc_range=64, block_size=16)
+    build_index(docs, d, cfg, meta_cols=("lang",), resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    doomed = {r["doc_id"] for r in
+              si.doc_store().filter("lang = 'py'").collect()}
+    assert doomed
+    n = delete_by_query(si, {"range": {"doc_id": {"gte": 115}}})
+    n2 = delete_by_query(si, {"terms": {"lang": ["py"]}})
+    assert n2 == len(doomed | set(range(115, 120)))
+    got = {r["doc_id"] for r in si.search("node value hash", 200).collect()}
+    assert not got & doomed and not got & set(range(115, 120))
+    with pytest.raises(ValueError, match="max_docs"):
+        delete_by_query(si, {"match": {"content": "node"}})
+    top2 = [r["doc_id"] for r in si.search("node", 2).collect()]
+    delete_by_query(si, {"match": {"content": "node"}}, max_docs=2)
+    left = {r["doc_id"] for r in si.search("node", 200).collect()}
+    assert not left & set(top2)

@@ -411,7 +411,7 @@ def test_es_aggs_corpus_wide_and_deleted(spark, tmp_path):
     assert sum(after.values()) == 143
 
     with pytest.raises(ValueError):
-        es_aggs(si, {"aggs": {"x": {"cardinality": {"field": "lang"}}}})
+        es_aggs(si, {"aggs": {"x": {"percentiles": {"field": "lang"}}}})
     with pytest.raises(ValueError):
         es_aggs(si, {"query": {"match": {"text": "node"}}})
 
