@@ -172,7 +172,7 @@ def main() -> None:
             shutil.rmtree(cmp_dir, ignore_errors=True)
             return compact_index(spark, idx_dir, cmp_dir)
 
-        timed("index_compact", compact, n=3)
+        timed("index_compact", compact, n=3, warmup=1)
         extra["compact_files_per_sec"] = round(
             n_docs / timings["index_compact"], 2)
         shutil.rmtree(cmp_dir, ignore_errors=True)
