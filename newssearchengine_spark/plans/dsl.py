@@ -381,8 +381,11 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     Supported agg kinds: ``terms`` (bucket counts, ``size`` default 10,
     ties broken key-asc like a deterministic ES shard), ``stats``
     (count/min/max/avg/sum), single metrics (``value_count`` / ``avg`` /
-    ``min`` / ``max`` / ``sum``), and ``date_histogram`` with
-    ``calendar_interval`` day|month|year over a date/timestamp column.
+    ``min`` / ``max`` / ``sum`` / exact ``cardinality``),
+    ``date_histogram`` with ``calendar_interval`` day|month|year over a
+    date/timestamp column, and ``significant_terms`` (JLH foreground vs
+    background over the indexed text — routed to
+    ``SegmentIndex.significant_terms``, gate-verified).
 
     Returns ONE flat DataFrame — (agg string, key string, doc_count
     bigint, value double) — the bucket list of every requested agg
@@ -417,6 +420,20 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     outs = []
     for name, spec in aggs.items():
         akind, aspec = next(iter(spec.items()))
+        if akind == "significant_terms":
+            # ES significant_terms over the indexed text field: JLH of
+            # the query's foreground (matching docs) vs the corpus
+            # background — routed to the gated index operator. key =
+            # term, doc_count = foreground df, value = JLH score.
+            if not q:
+                raise ValueError("significant_terms needs a query scope")
+            st = index.significant_terms(
+                terms, top_n=int(aspec.get("size", 10)))
+            outs.append(st.select(
+                F.lit(name).alias("agg"), F.col("term").alias("key"),
+                F.col("fg_df").alias("doc_count"),
+                F.col("score").alias("value")).select(*out_cols))
+            continue
         field = aspec["field"]
         if akind == "terms":
             size = int(aspec.get("size", 10))

@@ -567,3 +567,32 @@ def test_es_lookup_kinds_and_cardinality(two_field):
         "nrepo": {"cardinality": {"field": "repo"}}}}).collect()
     assert out[0]["value"] == float(
         two.select("repo").distinct().count())
+
+
+def test_es_aggs_significant_terms(spark, tmp_path):
+    """significant_terms agg kind routes to the gated index operator
+    (JLH foreground-vs-background), flattened into the agg relation."""
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    cfg = IndexConfig(n_buckets=4, doc_range=64, block_size=16,
+                      with_term_vectors=True)
+    docs = assign_doc_ids(source_files(spark, 150, seed=13, partitions=2),
+                          num_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(docs, d, cfg, resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    # "stream sort" matches ~half the corpus — a proper foreground
+    # subset ("node" is in every doc, where JLH is vacuously empty)
+    body = {"query": {"match": {"content": "stream sort"}},
+            "aggs": {"sig": {"significant_terms": {"field": "content",
+                                                   "size": 5}}}}
+    got = sorted(es_aggs(si, body).collect(),
+                 key=lambda r: (-r["value"], r["key"]))
+    want = si.significant_terms(si.analyze_query("stream sort"),
+                                top_n=5).collect()
+    assert want and [(r["key"], r["doc_count"], r["value"])
+                     for r in got] == \
+        [(r["term"], r["fg_df"], r["score"]) for r in want]
+    with pytest.raises(ValueError, match="query scope"):
+        es_aggs(si, {"aggs": {"sig": {"significant_terms": {
+            "field": "content"}}}})
