@@ -73,6 +73,11 @@ _PRIORITY = [
     "rel_date_predicate", "rel_anti_union", "rel_intersect",
     "rel_grouped_counters", "rel_percentiles", "tx_denorm_keywords",
     "dd_contamination", "tx_repetition",
+    # round-5 ES compound-query surface (variants of in-window families:
+    # match_all/constant_score of the filter-context family, boosting of
+    # the BM25 family, most_fields of the dismax family)
+    "ft_match_all", "ft_constant_score", "ft_boosting",
+    "ft_mm_most_fields",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -429,7 +429,8 @@ _DISMAX_TITLE = "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
 
 
 def _dismax_sql(terms: list[str], k: int,
-                bm25: BM25Config = BM25Config()) -> str:
+                bm25: BM25Config = BM25Config(),
+                tie: float = _DISMAX_TIE) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     fields = _field_ctes(_DISMAX_TITLE, "t_") + "," + _field_ctes("text", "b_")
     fields = fields.replace("{k1}", str(bm25.k1)).replace("{b}", str(bm25.b))
@@ -443,7 +444,7 @@ allsc AS (
 fin AS (
   SELECT doc_id,
          round(greatest(s_t, s_b)
-               + {_DISMAX_TIE} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+               + {tie} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
   FROM allsc
 )
 SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
@@ -1294,3 +1295,134 @@ def ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = es_search(si, body, size=TOP_K + 20).select(
         "doc_id", F.round("score", 6).alias("score"))
     return _rounded_topk(cand, TOP_K)
+
+
+# -- remaining ES compound-query surface (round 5) ----------------------
+# match_all / constant_score / boosting / multi_match most_fields: the
+# compound kinds a switching ES user issues that no earlier gate covers.
+
+_CS_BOOST = 2.5
+_CS_LANG = "de"
+_CS_NCHARS = (100, 400)                  # gte, lt
+
+
+@gate_query(
+    "ft_match_all",
+    f"""SELECT (row_number() OVER (ORDER BY doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, 1.0::DOUBLE AS score
+FROM documents ORDER BY doc_id ASC LIMIT {TOP_K}""",
+)
+def ft_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_all through the DSL adapter: every live doc at the
+    constant boost score, deterministic doc_id-asc hit order."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    return es_search(si, {"query": {"match_all": {}}}, size=TOP_K)
+
+
+@gate_query(
+    "ft_constant_score",
+    f"""SELECT (row_number() OVER (ORDER BY doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, {_CS_BOOST}::DOUBLE AS score
+FROM documents
+WHERE lang = '{_CS_LANG}'
+  AND n_chars >= {_CS_NCHARS[0]} AND n_chars < {_CS_NCHARS[1]}
+ORDER BY doc_id ASC LIMIT {TOP_K}""",
+)
+def ft_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score: filter-context evaluation (term on lang +
+    range on n_chars — parquet-pushed doc_store predicates through
+    search_bool's filter machinery), every hit at score = boost. Equal
+    scores rank doc_id asc (the engine-wide tie-break)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"constant_score": {
+        "filter": [
+            {"term": {"lang": _CS_LANG}},
+            {"range": {"n_chars": {"gte": _CS_NCHARS[0],
+                                   "lt": _CS_NCHARS[1]}}},
+        ],
+        "boost": _CS_BOOST,
+    }}}
+    return es_search(si, body, size=TOP_K)
+
+
+_BOOST_POS = ["hash", "merge", "spark"]
+_BOOST_NEG = ["table", "window"]
+_BOOST_NB = 0.4
+
+
+def _boosting_sql(pos: list[str], neg: list[str], nb: float, k: int,
+                  bm25: BM25Config = BM25Config()) -> str:
+    pos_sql = ", ".join(f"'{t}'" for t in sorted(set(pos)))
+    neg_sql = ", ".join(f"'{t}'" for t in sorted(set(neg)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{pos_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+raw AS (SELECT doc_id, sum(p) AS s FROM parts GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({neg_sql})),
+sc AS (
+  SELECT r.doc_id,
+         round(r.s * (CASE WHEN n.doc_id IS NOT NULL THEN {nb}
+                           ELSE 1.0 END), 6) AS score
+  FROM raw r LEFT JOIN neg n USING (doc_id)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_boosting",
+            _boosting_sql(_BOOST_POS, _BOOST_NEG, _BOOST_NB, TOP_K))
+def ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query through the REAL engine: positive OR-disjunction
+    scores BM25, negative-matching docs demoted by negative_boost —
+    exact over the FULL positive match set via search_boosting's
+    WAND-probed stop proof (demotion can promote docs from arbitrarily
+    deep, so a fixed over-fetch would be wrong; the oracle scores every
+    match). tests/test_es_dsl.py pins that the demotion actually
+    reorders this corpus and that both regimes are row-identical."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": " ".join(_BOOST_POS)}},
+        "negative": {"match": {"text": " ".join(_BOOST_NEG)}},
+        "negative_boost": _BOOST_NB,
+    }}}
+    return es_search(si, body, size=TOP_K)
+
+
+@gate_query("ft_mm_most_fields", _dismax_sql(QUERY_TERMS, TOP_K, tie=1.0))
+def ft_mm_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=most_fields — per-field BM25 scores SUMMED
+    across fields (vs best_fields' max + tie_breaker): exactly the
+    DisMax combine at tie_breaker 1.0, so the oracle is the dismax SQL
+    with tie=1.0. Compositional path; the DSL's indexed mapping
+    (most_fields -> search_dismax(tb=1.0)) is pinned in pytest."""
+    from ..operators.bm25 import dismax_bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        .alias("title"),
+        F.col("text").alias("body"),
+    )
+    out = dismax_bm25_topk(docs, QUERY_TERMS, TOP_K,
+                           fields=["title", "body"],
+                           tie_breaker=1.0, analyzer=DOCS_ANALYZER)
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"))

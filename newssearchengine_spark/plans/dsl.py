@@ -19,6 +19,10 @@ bodies onto the engine so the queries run UNCHANGED:
   fuzzy / wildcard, plus `field^boost` factors in
   query_string/multi_match fields lists (the surrounding ES surface
   the engine implements)
+- match_all / constant_score (filter context at a constant boost) /
+  boosting (negative_boost demotion, exact over the full positive
+  match set) / multi_match type best_fields|most_fields with
+  tie_breaker — the remaining ES compound-query surface
 - aggregations via `es_aggs` (terms / stats / single-metric /
   date_histogram over every query-matching doc — ES agg semantics)
 - pagination: `from`/`size` (re-ranked page) and `search_after`
@@ -169,6 +173,18 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
             raise ValueError("only operator:'or' multi_match is supported "
                              "(the only form the reference issues)")
+        tb = float(spec.get("tie_breaker", tie_breaker))
+        if kind == "multi_match":
+            mtype = spec.get("type", "best_fields")
+            if mtype == "most_fields":
+                # ES most_fields sums the per-field scores — exactly the
+                # DisMax combine max + tb*(sum-max) at tie_breaker 1.0,
+                # so the Fagin-pruned engine path serves it unchanged
+                tb = 1.0
+            elif mtype != "best_fields":
+                raise ValueError(
+                    f"unsupported multi_match type: {mtype} "
+                    "(best_fields / most_fields)")
         op, parts = _parse_query_string(str(spec["query"]))
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
         if op == "mixed":
@@ -226,7 +242,7 @@ def es_search(indexes, body: dict, size: int = 10, *,
                     .alias("score"))
             return out
         return search_dismax({f: multi[f] for f in names}, text, size,
-                             tie_breaker=tie_breaker,
+                             tie_breaker=tb,
                              boosts=boosts or None)
 
     if kind == "match":
@@ -328,6 +344,58 @@ def es_search(indexes, body: dict, size: int = 10, *,
                     (F.row_number().over(w) - 1).cast("bigint"))
                 .filter(F.col("rank") < size)
                 .select("rank", "doc_id", "score"))
+
+    if kind == "match_all":
+        # every live doc at a constant score (the ES boost, default 1.0);
+        # ES hit order for equal scores is internal — here it's the
+        # engine-wide deterministic tie-break, doc_id asc
+        si = one()
+        boost = float(spec.get("boost", 1.0))
+        from pyspark.sql import Window
+
+        store = si._exclude_dead(si.doc_store()).select("doc_id")
+        topk = store.orderBy(F.asc("doc_id")).limit(size)
+        w = Window.orderBy(F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(boost).alias("score"))
+
+    if kind == "constant_score":
+        # filter-context evaluation (non-scoring, cacheable in ES), every
+        # hit at score = boost. Rank order is inherited from the zero-
+        # score filter ranking: all-equal scores -> doc_id asc.
+        si = one()
+        filt = spec.get("filter")
+        if not filt:
+            raise ValueError("constant_score needs a filter clause")
+        boost = float(spec.get("boost", 1.0))
+        out = si.search_bool(
+            k=size,
+            filter=[filt] if isinstance(filt, dict) else list(filt))
+        return out.select("rank", "doc_id", F.lit(boost).alias("score"))
+
+    if kind == "boosting":
+        # positive scores BM25; negative-matching docs are demoted by
+        # negative_boost — exact over the full positive match set
+        # (SegmentIndex.search_boosting's WAND-probed stop proof)
+        nb = float(spec.get("negative_boost", 0.5))
+
+        def _text(q: dict) -> str:
+            qk, qs = next(iter(q.items()))
+            if qk == "match":
+                return _field_text(qs)[1]
+            if qk in ("query_string", "multi_match"):
+                qop, qparts = _parse_query_string(str(qs["query"]))
+                if qop == "or":
+                    return qparts[0]
+            raise ValueError(
+                "boosting positive/negative must be OR-matching "
+                "(match / query_string / multi_match)")
+
+        return one().search_boosting(
+            _text(spec["positive"]), _text(spec["negative"]), size,
+            negative_boost=nb)
 
     if kind == "term":
         field, val = _field_text(spec)

@@ -596,3 +596,104 @@ def test_es_aggs_significant_terms(spark, tmp_path):
     with pytest.raises(ValueError, match="query scope"):
         es_aggs(si, {"aggs": {"sig": {"significant_terms": {
             "field": "content"}}}})
+
+
+def test_match_all_and_constant_score(two_field):
+    """match_all: every doc at the boost score, doc_id-asc order.
+    constant_score: filter-context hits at score = boost."""
+    two, idxs = two_field
+    si = idxs["text"]
+    got = es_search(si, {"query": {"match_all": {}}}, size=10).collect()
+    all_ids = sorted(d for (d,) in two.select("doc_id").collect())
+    assert [r["doc_id"] for r in got] == all_ids[:10]
+    assert all(r["score"] == 1.0 for r in got)
+    got2 = es_search(si, {"query": {"match_all": {"boost": 3.0}}},
+                     size=5).collect()
+    assert len(got2) == 5 and all(r["score"] == 3.0 for r in got2)
+
+    some_repo = two.limit(1).collect()[0]["repo"]
+    body = {"query": {"constant_score": {
+        "filter": {"term": {"repo": some_repo}}, "boost": 2.0}}}
+    got3 = es_search(si, body, size=400).collect()
+    want = sorted(d for (d,) in two.filter(F.col("repo") == some_repo)
+                  .select("doc_id").collect())
+    assert [r["doc_id"] for r in got3] == want
+    assert all(r["score"] == 2.0 for r in got3)
+    with pytest.raises(ValueError, match="filter"):
+        es_search(si, {"query": {"constant_score": {"boost": 2.0}}}, 5)
+
+
+def test_boosting_demotes_and_regimes_agree(two_field, monkeypatch):
+    """ES boosting: negative-matching docs demoted by negative_boost.
+    The WAND-probed pruned regime and the distributed score_all fallback
+    are row-identical; the demotion actually reorders this corpus."""
+    from newssearchengine_spark.plans import search as search_mod
+
+    _, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": "node cursor"}},
+        "negative": {"match": {"text": "shard"}},
+        "negative_boost": 0.3,
+    }}}
+    got = es_search(si, body, size=15).collect()
+    assert got
+
+    # demotion tripwire: a plain positive search ranks differently AND a
+    # demoted (negative-matching) doc is present among the hits
+    plain = si.search(["cursor", "node"], 15).collect()
+    negdocs = {r["doc_id"] for r in si._term_docs(["shard"])
+               .select("doc_id").distinct().collect()}
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in plain]
+    assert any(r["doc_id"] in negdocs for r in got)
+
+    # regime parity: force the distributed score_all fallback
+    monkeypatch.setattr(search_mod, "BOOL_DRIVER_CAP", 0)
+    dist = es_search(si, body, size=15).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in dist]
+    monkeypatch.undo()
+
+    # empty negative == rounded plain search
+    body2 = {"query": {"boosting": {
+        "positive": {"match": {"text": "node cursor"}},
+        "negative": {"match": {"text": "zzznotaterm"}},
+        "negative_boost": 0.3,
+    }}}
+    got2 = es_search(si, body2, size=15).collect()
+    # expected: plain search, Catalyst-rounded (HALF_UP like the engine
+    # tail), re-ranked on the rounded value (buffered top-k pattern)
+    buf = (si.search(["cursor", "node"], 30)
+           .select("doc_id", F.round("score", 6).alias("score")).collect())
+    rounded_plain = sorted(((r["doc_id"], r["score"]) for r in buf),
+                           key=lambda t: (-t[1], t[0]))[:15]
+    assert [(r["doc_id"], r["score"]) for r in got2] == rounded_plain
+    with pytest.raises(ValueError, match="OR-matching"):
+        es_search(si, {"query": {"boosting": {
+            "positive": {"bool": {}}, "negative": {"match": {"text": "x"}},
+        }}}, 5)
+
+
+def test_multi_match_most_fields_and_tie_breaker(two_field):
+    """multi_match type=most_fields sums per-field scores (== DisMax at
+    tie_breaker 1.0); an explicit tie_breaker in a best_fields body is
+    honored; unknown types are rejected, not silently mis-ranked."""
+    _, idxs = two_field
+    body = {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": "nodeCursor protoShard",
+        "type": "most_fields"}}}
+    got = es_search(idxs, body, size=12).collect()
+    want = search_dismax(idxs, "nodeCursor protoShard", 12,
+                         tie_breaker=1.0).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    body2 = {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": "nodeCursor protoShard",
+        "tie_breaker": 0.25}}}
+    got2 = es_search(idxs, body2, size=12).collect()
+    want2 = search_dismax(idxs, "nodeCursor protoShard", 12,
+                          tie_breaker=0.25).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    with pytest.raises(ValueError, match="multi_match type"):
+        es_search(idxs, {"query": {"multi_match": {
+            "fields": ["title", "text"], "query": "x",
+            "type": "cross_fields"}}}, 5)

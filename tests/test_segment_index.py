@@ -1038,10 +1038,46 @@ def test_by_part_single_exchange(spark, index_dir):
     import re
 
     si = SegmentIndex(spark, index_dir)
-    plan = (si.search(["node", "cursor"], 10)
+    # wand mode pins the DISTRIBUTED plan (taat under SEARCH_DRIVER_CAP
+    # takes the driver regime, which has no exchange to inspect)
+    plan = (si.search(["node", "cursor"], 10, mode="wand")
             ._jdf.queryExecution().executedPlan().toString())
     ex = re.findall(r"Exchange hashpartitioning\(doc_part[^)]*, (\d+)\)",
                     plan)
     assert len(ex) == 1, plan[:2000]
     conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert int(ex[0]) > conf  # widened, not the session default
+
+
+def test_search_driver_and_distributed_regimes_identical(
+        spark, index_dir, monkeypatch):
+    """Plain taat search has two regimes (driver gather + local scoring
+    under SEARCH_DRIVER_CAP on a warm index, distributed
+    scan->shuffle->applyInPandas above it) — the SAME scorer closure
+    runs in both, so results must be bit-identical. Force the
+    distributed regime by zeroing the cap and compare, including the
+    search_after cursor cut and with_meta join."""
+    import newssearchengine_spark.plans.search as S
+
+    si = SegmentIndex(spark, index_dir)
+    queries = [["node", "cursor"], ["shard", "group", "stream"]]
+    driver = [si.search(q, 20, mode="taat").collect() for q in queries]
+    assert all(driver)
+    cur = (driver[0][4]["score"], driver[0][4]["doc_id"])
+    driver_after = si.search(queries[0], 10, mode="taat",
+                             after=cur).collect()
+    driver_meta = si.search(queries[0], 5, mode="taat",
+                            with_meta=True).collect()
+    monkeypatch.setattr(S, "SEARCH_DRIVER_CAP", -1)
+    dist = [si.search(q, 20, mode="taat").collect() for q in queries]
+    dist_after = si.search(queries[0], 10, mode="taat",
+                           after=cur).collect()
+    dist_meta = si.search(queries[0], 5, mode="taat",
+                          with_meta=True).collect()
+    monkeypatch.undo()
+    for a, b in zip(driver, dist):
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert driver_after and [tuple(r) for r in driver_after] == \
+        [tuple(r) for r in dist_after]
+    assert driver_meta and [tuple(r) for r in driver_meta] == \
+        [tuple(r) for r in dist_meta]
