@@ -77,7 +77,7 @@ _PRIORITY = [
     # match_all/constant_score of the filter-context family, boosting of
     # the BM25 family, most_fields of the dismax family)
     "ft_match_all", "ft_constant_score", "ft_boosting",
-    "ft_mm_most_fields",
+    "ft_mm_most_fields", "ft_regexp_bm25", "ft_es_aggs_buckets",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

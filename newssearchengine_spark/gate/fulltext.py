@@ -1036,6 +1036,54 @@ def ft_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(cand, TOP_K)
 
 
+# -- ES regexp query (the last term-level expansion kind) ----------------
+_REGEXP_PATTERN = "(ha|spark)[a-z]*"   # alternation + class + star
+_REGEXP_MAX_EXP = 12
+
+
+def _regexp_sql(pattern: str, max_exp: int, k: int,
+                bm25: BM25Config = BM25Config()) -> str:
+    regex = f"^(?:{pattern})$"
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT term FROM alldf WHERE regexp_matches(term, '{regex}')
+      ORDER BY df DESC, term ASC LIMIT {max_exp}),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_regexp_bm25",
+            _regexp_sql(_REGEXP_PATTERN, _REGEXP_MAX_EXP, TOP_K))
+def ft_regexp_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query (ES `regexp`) through the REAL engine: the anchored
+    pattern expanded against the term dictionary JVM-side (rlike), df
+    desc order, ES-style max_expansions cap, then BM25 over the
+    expansion — the last member of the term-level family
+    (term / prefix / fuzzy / wildcard / regexp)."""
+    si = _gate_index(spark, sf_dir)
+    cand = si.search_regexp(_REGEXP_PATTERN, TOP_K + 20,
+                            max_expansions=_REGEXP_MAX_EXP).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return _rounded_topk(cand, TOP_K)
+
+
+
 def _expansion_sql() -> str:
     from .registry import REGISTRY
 
@@ -1043,21 +1091,23 @@ def _expansion_sql() -> str:
         f"SELECT '{label}' AS qtype, * FROM ({REGISTRY[name].sql})"
         for label, name in (("prefix", "ft_prefix_bm25"),
                             ("fuzzy", "ft_fuzzy_bm25"),
-                            ("wildcard", "ft_wildcard_bm25"))
+                            ("wildcard", "ft_wildcard_bm25"),
+                            ("regexp", "ft_regexp_bm25"))
     )
 
 
 @gate_query("ft_expansion_bm25", _expansion_sql())
 def ft_expansion_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole term-expansion query family (ES prefix / fuzzy /
-    wildcard, SURVEY P8) as one labeled union over the shared segment
-    index — one driver window slot hash-checks all three expansions
-    (dictionary scan order df desc, ES-style max_expansions caps).
-    The single-family entries stay registered for direct use."""
+    wildcard / regexp, SURVEY P8) as one labeled union over the shared
+    segment index — one driver window slot hash-checks all four
+    expansions (dictionary scan order df desc, ES-style max_expansions
+    caps). The single-family entries stay registered for direct use."""
     parts = []
     for label, fn in (("prefix", ft_prefix_bm25),
                       ("fuzzy", ft_fuzzy_bm25),
-                      ("wildcard", ft_wildcard_bm25)):
+                      ("wildcard", ft_wildcard_bm25),
+                      ("regexp", ft_regexp_bm25)):
         parts.append(fn(spark, sf_dir).select(
             F.lit(label).alias("qtype"), "rank", "doc_id", "score"))
     out = parts[0]
@@ -1426,3 +1476,50 @@ def ft_mm_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                            fields=["title", "body"],
                            tie_breaker=1.0, analyzer=DOCS_ANALYZER)
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+# -- ES bucket/percentile aggregations (histogram / range / percentiles) -
+def _es_aggs_buckets_sql() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(QUERY_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+d AS (SELECT documents.* FROM documents JOIN m USING (doc_id))
+SELECT 'hist' AS agg, (floor(n_chars / 50) * 50)::BIGINT::VARCHAR AS key,
+       count(*)::BIGINT AS doc_count, NULL::DOUBLE AS value
+FROM d GROUP BY 2
+UNION ALL
+SELECT 'rng', '*-150', (SELECT count(*) FROM d WHERE n_chars < 150)::BIGINT, NULL::DOUBLE
+UNION ALL
+SELECT 'rng', '150-300', (SELECT count(*) FROM d WHERE n_chars >= 150 AND n_chars < 300)::BIGINT, NULL::DOUBLE
+UNION ALL
+SELECT 'rng', '300-*', (SELECT count(*) FROM d WHERE n_chars >= 300)::BIGINT, NULL::DOUBLE
+UNION ALL
+SELECT 'pct', '25.0', NULL::BIGINT, quantile_cont(n_chars, 0.25) FROM d
+UNION ALL SELECT 'pct', '50.0', NULL::BIGINT, quantile_cont(n_chars, 0.50) FROM d
+UNION ALL SELECT 'pct', '75.0', NULL::BIGINT, quantile_cont(n_chars, 0.75) FROM d
+UNION ALL SELECT 'pct', '95.0', NULL::BIGINT, quantile_cont(n_chars, 0.95) FROM d"""
+
+
+@gate_query("ft_es_aggs_buckets", _es_aggs_buckets_sql())
+def ft_es_aggs_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric-bucket + percentile aggregations over the query match
+    set (plans.dsl.es_aggs): histogram (fixed interval, floor-bucketed
+    lower-bound keys), range ([from,to) buckets, open bounds keyed '*',
+    empty buckets at 0 like ES), and exact interpolated percentiles
+    (ES approximates with t-digest; exactness keeps this oracle
+    meaningful — swap to approx_percentile at true scale)."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": _AGGS_QUERY_TEXT}},
+        "aggs": {
+            "hist": {"histogram": {"field": "n_chars", "interval": 50}},
+            "rng": {"range": {"field": "n_chars", "ranges": [
+                {"to": 150}, {"from": 150, "to": 300}, {"from": 300}]}},
+            "pct": {"percentiles": {"field": "n_chars",
+                                    "percents": [25, 50, 75, 95]}},
+        },
+    }
+    return es_aggs(si, body)

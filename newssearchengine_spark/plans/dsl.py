@@ -306,6 +306,10 @@ def es_search(indexes, body: dict, size: int = 10, *,
         field, val = _field_text(spec)
         return one(field).search_wildcard(val, size)
 
+    if kind == "regexp":
+        field, val = _field_text(spec)
+        return one(field).search_regexp(val, size)
+
     if kind == "more_like_this":
         # The reference's ENTIRE background-linking retrieval as one ES
         # body: tf-idf keyword extraction from the liked doc's stored
@@ -451,9 +455,12 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     (count/min/max/avg/sum), single metrics (``value_count`` / ``avg`` /
     ``min`` / ``max`` / ``sum`` / exact ``cardinality``),
     ``date_histogram`` with ``calendar_interval`` day|month|year over a
-    date/timestamp column, and ``significant_terms`` (JLH foreground vs
-    background over the indexed text — routed to
-    ``SegmentIndex.significant_terms``, gate-verified).
+    date/timestamp column, ``histogram`` (fixed numeric interval +
+    offset), ``range`` (explicit [from, to) buckets, open bounds keyed
+    '*'), ``percentiles`` (exact interpolated), and
+    ``significant_terms`` (JLH foreground vs background over the
+    indexed text — routed to ``SegmentIndex.significant_terms``,
+    gate-verified).
 
     Returns ONE flat DataFrame — (agg string, key string, doc_count
     bigint, value double) — the bucket list of every requested agg
@@ -528,6 +535,64 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                  .selectExpr(
                      "stack(5, 'count', count, 'min', min, 'max', max, "
                      "'avg', avg, 'sum', sum) as (key, value)")
+                 .select(F.lit(name).alias("agg"), "key",
+                         F.lit(None).alias("doc_count"), "value"))
+        elif akind == "histogram":
+            # fixed-interval numeric buckets: key = the bucket's lower
+            # bound floor((v - offset)/interval)*interval + offset (the
+            # ES histogram contract); integral interval+offset render as
+            # integer keys so the relation stays join-friendly
+            iv = float(aspec["interval"])
+            off = float(aspec.get("offset", 0.0))
+            if iv <= 0:
+                raise ValueError("histogram interval must be > 0")
+            c = F.col(field).cast("double")
+            key = (F.floor((c - F.lit(off)) / F.lit(iv)) * F.lit(iv)
+                   + F.lit(off))
+            key = (key.cast("long").cast("string")
+                   if iv.is_integer() and off.is_integer()
+                   else key.cast("string"))
+            b = (store.groupBy(key.alias("key"))
+                 .agg(F.count(F.lit(1)).alias("doc_count"))
+                 .select(F.lit(name).alias("agg"), "key", "doc_count",
+                         F.lit(None).alias("value")))
+        elif akind == "range":
+            # explicit [from, to) buckets; a missing bound is open and
+            # keyed '*' (the ES range-agg shape). Empty buckets report
+            # doc_count 0, as ES does.
+            parts = []
+            c = F.col(field).cast("double")
+            for r in aspec["ranges"]:
+                frm, to = r.get("from"), r.get("to")
+                pred = F.lit(True)
+                if frm is not None:
+                    pred = pred & (c >= F.lit(float(frm)))
+                if to is not None:
+                    pred = pred & (c < F.lit(float(to)))
+                label = (f"{frm if frm is not None else '*'}-"
+                         f"{to if to is not None else '*'}")
+                parts.append(store.filter(pred).agg(
+                    F.count(F.lit(1)).alias("doc_count")).select(
+                    F.lit(name).alias("agg"), F.lit(label).alias("key"),
+                    "doc_count", F.lit(None).alias("value")))
+            b = parts[0]
+            for p in parts[1:]:
+                b = b.unionByName(p)
+        elif akind == "percentiles":
+            # exact interpolated percentiles (ES approximates via
+            # t-digest; exactness keeps the DuckDB oracle meaningful —
+            # swap to approx_percentile at true scale). key = the
+            # percent, value = the percentile.
+            pcts = [float(p) for p in
+                    aspec.get("percents", [1, 5, 25, 50, 75, 95, 99])]
+            c = F.col(field).cast("double")
+            exprs = [F.percentile(c, p / 100.0).alias(f"_p{i}")
+                     for i, p in enumerate(pcts)]
+            stacked = ", ".join(f"'{p}', _p{i}"
+                                for i, p in enumerate(pcts))
+            b = (store.agg(*exprs)
+                 .selectExpr(f"stack({len(pcts)}, {stacked}) "
+                             "as (key, value)")
                  .select(F.lit(name).alias("agg"), "key",
                          F.lit(None).alias("doc_count"), "value"))
         elif akind in ("value_count", "avg", "min", "max", "sum",

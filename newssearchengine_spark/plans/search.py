@@ -809,6 +809,48 @@ class SegmentIndex:
             )
         return self.search(terms, k, mode=mode)
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 50) -> list[str]:
+        """Terms matching an ES `regexp` query pattern, ordered (df desc,
+        term asc), capped at max_expansions. Lucene RegExp anchors to the
+        WHOLE term; its core operator set (literals, `.`, `?`, `+`, `*`,
+        `|`, `[...]`, `(...)`, `{m,n}`) coincides with Java regex, which
+        rlike evaluates JVM-side — Lucene-only operators (`&`, `<>`,
+        `@`) are not translated. A leading literal run prunes the
+        dictionary scan to a term range (dropped back one char when its
+        last char carries a ?/*/{n} quantifier, which would make it
+        optional)."""
+        import re as _re
+
+        _re.compile(pattern)  # reject invalid patterns loudly, up front
+        lit = _re.match(r"[a-z0-9]*", pattern).group(0)
+        if pattern[len(lit):len(lit) + 1] in ("?", "*", "{"):
+            lit = lit[:-1]
+        cand = self._tstats
+        if lit:
+            cand = cand.filter(F.col("term").startswith(lit))
+        rows = (
+            cand.filter(F.col("term").rlike("^(?:" + pattern + ")$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_regexp(self, pattern: str, k: int, *,
+                      max_expansions: int = 50,
+                      mode: str = "taat") -> DataFrame:
+        """Regexp query (ES `regexp`): expand the anchored pattern against
+        the term dictionary, then BM25 over the expansion, bounded like
+        ES (max_expansions). Completes the term-level expansion family:
+        term / prefix / fuzzy / wildcard / regexp."""
+        terms = self.expand_regexp(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double"
+            )
+        return self.search(terms, k, mode=mode)
+
     def expand_fuzzy(self, term: str, *, max_edits: int = 1,
                      prefix_len: int = 0,
                      max_expansions: int = 50) -> list[str]:

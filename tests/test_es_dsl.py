@@ -411,7 +411,9 @@ def test_es_aggs_corpus_wide_and_deleted(spark, tmp_path):
     assert sum(after.values()) == 143
 
     with pytest.raises(ValueError):
-        es_aggs(si, {"aggs": {"x": {"percentiles": {"field": "lang"}}}})
+        # percentiles became a supported kind in round 5; geo_distance
+        # stays the unknown-kind rejection probe
+        es_aggs(si, {"aggs": {"x": {"geo_distance": {"field": "lang"}}}})
     with pytest.raises(ValueError):
         es_aggs(si, {"query": {"match": {"text": "node"}}})
 
@@ -697,3 +699,68 @@ def test_multi_match_most_fields_and_tie_breaker(two_field):
         es_search(idxs, {"query": {"multi_match": {
             "fields": ["title", "text"], "query": "x",
             "type": "cross_fields"}}}, 5)
+
+
+def test_regexp_query_and_expansion(two_field):
+    """ES regexp: anchored whole-term match, df-desc capped expansion,
+    BM25 over the expansion — checked against a Python re oracle over
+    the dictionary, and through the DSL body form."""
+    import re
+
+    _, idxs = two_field
+    si = idxs["text"]
+    pattern = "(node|shard)[a-z]*"
+    got_terms = si.expand_regexp(pattern, max_expansions=50)
+    vocab = {r["term"]: r["df"] for r in si._tstats.collect()}
+    want = sorted((t for t in vocab
+                   if re.fullmatch(pattern, t)),
+                  key=lambda t: (-vocab[t], t))[:50]
+    assert got_terms == want and got_terms
+    got = es_search(si, {"regexp": {"text": {"value": pattern}}},
+                    10).collect()
+    want_hits = si.search(got_terms, 10).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want_hits]
+    # a quantified last literal char must not over-prune the dictionary
+    opt = si.expand_regexp("nodes?", max_expansions=10)
+    assert "node" in opt
+    with pytest.raises(Exception):
+        si.expand_regexp("a[b", max_expansions=5)  # invalid pattern
+
+
+def test_es_aggs_histogram_range_percentiles(spark, two_field):
+    """histogram buckets = floor lower bounds; range buckets honor open
+    bounds and report empty buckets at 0; percentiles are exact
+    interpolated values — all over the query match set."""
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {
+        "query": {"match": {"text": "node"}},
+        "aggs": {
+            "h": {"histogram": {"field": "doc_id", "interval": 100}},
+            "r": {"range": {"field": "doc_id", "ranges": [
+                {"to": 100}, {"from": 100, "to": 10 ** 6}, {"from": 10 ** 6}]}},
+            "p": {"percentiles": {"field": "doc_id",
+                                  "percents": [50]}},
+        },
+    }
+    out = es_aggs(si, body).collect()
+    match = {r["doc_id"] for r in si._term_docs(["node"])
+             .select("doc_id").distinct().collect()}
+    assert match
+    import numpy as np
+
+    hist = {r["key"]: r["doc_count"] for r in out if r["agg"] == "h"}
+    want_hist = {}
+    for d in match:
+        want_hist[str(d // 100 * 100)] = want_hist.get(
+            str(d // 100 * 100), 0) + 1
+    assert hist == want_hist
+    rng = {r["key"]: r["doc_count"] for r in out if r["agg"] == "r"}
+    assert rng["*-100"] == sum(1 for d in match if d < 100)
+    assert rng["100-1000000"] == sum(1 for d in match if 100 <= d < 10 ** 6)
+    assert rng["1000000-*"] == 0  # empty bucket still reported
+    p50 = next(r["value"] for r in out if r["agg"] == "p")
+    assert p50 == pytest.approx(
+        float(np.percentile(sorted(match), 50)), rel=1e-12)
