@@ -65,15 +65,27 @@ MANY_DRIVER_CAP = 1 << 21
 #: volume (sum of query-term dfs, known from the dictionary before any
 #: job) fits the cap, gather the pruned segment rows with ONE JVM-only
 #: job (no shuffle, no Python-worker stage) and run the SAME per-part
-#: scorer function on the driver. 2^22 postings decode to ~24 B/posting
-#: of int64 numpy (docs+tfs+dls) ≈ 100 MB transient — fixed-width and
+#: scorer function on the driver. 2^19 postings decode to ~24 B/posting
+#: of int64 numpy (docs+tfs+dls) ≈ 13 MB transient — fixed-width and
 #: bounded (the element-based guard style VERDICT r4 asked for).
-#: Measured on the 800k-doc index at local[8]: 0.66 s vs 1.15 s
-#: distributed per warm query. WAND stays distributed at EVERY size:
-#: its per-part block loop is Python-sequential and needs executor
-#: parallelism (measured 2.4-6 s driver-side vs 1.15 s distributed —
-#: rejected by measurement).
-SEARCH_DRIVER_CAP = 1 << 22
+#: Cap calibration, measured on the 800k-doc index (warm, local[8]):
+#: the distributed single-query job is overhead-bound at ~1.15 s
+#: regardless of size (~50 small tasks of scheduling + Arrow worker
+#: round-trips), the driver path runs ~0.3 s + ~0.15 s/M postings — so
+#: for SEQUENTIAL latency the driver wins up to ~5M postings. But the
+#: driver path is core-count-independent and GIL-serialized across
+#: concurrent submitters: at 2^22 the hot 1.4-2.4M-posting probe
+#: queries ran driver-side and 8-submitter throughput at local[8] FELL
+#: 1.03 -> 0.62 qps while local[2] rose 0.56 -> 0.72 (the crossover
+#: depends on cores the guard cannot see). 2^19 keeps typical queries
+#: (the sf0.1 suite's whole dictionary is far below it) on the ~0.35 s
+#: driver floor and routes hot disjunctions to the distributed plan,
+#: which scales with executors — the only shape that matters at
+#: 10^12-doc scale, where every hot term exceeds any driver cap anyway.
+#: WAND stays distributed at EVERY size: its per-part block loop is
+#: Python-sequential and needs executor parallelism (measured 2.4-6 s
+#: driver-side vs 1.15 s distributed — rejected by measurement).
+SEARCH_DRIVER_CAP = 1 << 19
 
 # Tombstone exclusion regimes (plans.delete): dead ids inline as an isin
 # literal up to this count; beyond it they join as a broadcast anti-join
