@@ -1523,3 +1523,60 @@ def ft_es_aggs_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     return es_aggs(si, body)
+
+
+# -- ES function_score (field_value_factor) ------------------------------
+_FS_FACTOR = 0.1
+_FS_QUERY = ["hash", "merge", "spark"]
+
+
+def _function_score_sql(terms: list[str], factor: float, k: int,
+                        bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+raw AS (SELECT doc_id, sum(p) AS s FROM parts GROUP BY doc_id),
+sc AS (
+  SELECT r.doc_id,
+         round(r.s * ln(1 + {factor} * d2.n_chars), 6) AS score
+  FROM raw r JOIN documents d2 USING (doc_id)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_function_score",
+            _function_score_sql(_FS_QUERY, _FS_FACTOR, TOP_K))
+def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score with field_value_factor through the REAL
+    engine: final = bm25(query) * log1p(factor * n_chars) over EVERY
+    matching doc (the boost-by-popularity shape). Per-doc factors can
+    promote docs from arbitrarily deep, so the engine's WAND-probed
+    bound (unscanned final <= s_m * corpus-max factor) proves the
+    rounded top-k without scoring the full match set; the oracle scores
+    everything. Regime parity pinned in tests/test_es_dsl.py."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(_FS_QUERY)}},
+        "field_value_factor": {"field": "n_chars",
+                               "factor": _FS_FACTOR,
+                               "modifier": "log1p"},
+        "boost_mode": "multiply",
+    }}}
+    return es_search(si, body, size=TOP_K)

@@ -21,8 +21,10 @@ bodies onto the engine so the queries run UNCHANGED:
   the engine implements)
 - match_all / constant_score (filter context at a constant boost) /
   boosting (negative_boost demotion, exact over the full positive
-  match set) / multi_match type best_fields|most_fields with
-  tie_breaker — the remaining ES compound-query surface
+  match set) / function_score with field_value_factor (boost by a
+  doc field, exact via the same bounded-probe design) / multi_match
+  type best_fields|most_fields with tie_breaker / whole-query exists
+  — the remaining ES compound-query surface
 - aggregations via `es_aggs` (terms / stats / single-metric /
   date_histogram over every query-matching doc — ES agg semantics)
 - pagination: `from`/`size` (re-ranked page) and `search_after`
@@ -92,6 +94,22 @@ def _field_text(spec: dict) -> tuple[str, str]:
     if isinstance(val, dict):
         val = val.get("query", val.get("value"))
     return field, str(val)
+
+
+def _or_query_text(q: dict) -> str:
+    """Extract the OR-matching text of an inner query dict (match /
+    pure-OR query_string / multi_match) — the sub-query shape the
+    compound kinds (boosting, function_score) accept."""
+    qk, qs = next(iter(q.items()))
+    if qk == "match":
+        return _field_text(qs)[1]
+    if qk in ("query_string", "multi_match"):
+        qop, qparts = _parse_query_string(str(qs["query"]))
+        if qop == "or":
+            return qparts[0]
+    raise ValueError(
+        "sub-query must be OR-matching (match / query_string / "
+        "multi_match)")
 
 
 def _parse_boosts(fields: list[str]) -> tuple[list[str], dict[str, float]]:
@@ -384,22 +402,42 @@ def es_search(indexes, body: dict, size: int = 10, *,
         # negative_boost — exact over the full positive match set
         # (SegmentIndex.search_boosting's WAND-probed stop proof)
         nb = float(spec.get("negative_boost", 0.5))
-
-        def _text(q: dict) -> str:
-            qk, qs = next(iter(q.items()))
-            if qk == "match":
-                return _field_text(qs)[1]
-            if qk in ("query_string", "multi_match"):
-                qop, qparts = _parse_query_string(str(qs["query"]))
-                if qop == "or":
-                    return qparts[0]
+        try:
+            pos_t = _or_query_text(spec["positive"])
+            neg_t = _or_query_text(spec["negative"])
+        except ValueError:
             raise ValueError(
                 "boosting positive/negative must be OR-matching "
                 "(match / query_string / multi_match)")
+        return one().search_boosting(pos_t, neg_t, size,
+                                     negative_boost=nb)
 
-        return one().search_boosting(
-            _text(spec["positive"]), _text(spec["negative"]), size,
-            negative_boost=nb)
+    if kind == "function_score":
+        # relevance combined with a per-doc field factor (the ES
+        # boost-by-popularity/recency shape) — exact over the full
+        # match set via search_function_score's bounded probe
+        fvf = spec.get("field_value_factor")
+        if not isinstance(fvf, dict) or "field" not in fvf:
+            raise ValueError(
+                "function_score supports field_value_factor with a "
+                "field (the functions list form is not implemented)")
+        inner = spec.get("query")
+        if not inner:
+            raise ValueError("function_score needs an inner query")
+        return one().search_function_score(
+            _or_query_text(inner), fvf["field"], size,
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=str(fvf.get("modifier", "none")),
+            missing=float(fvf.get("missing", 1.0)),
+            boost_mode=str(spec.get("boost_mode", "multiply")))
+
+    if kind == "exists":
+        # whole-query exists: every live doc with a non-null value in
+        # the doc-store column (the filter-context clause promoted to a
+        # query, like term/terms/range above)
+        field = spec["field"] if isinstance(spec, dict) else str(spec)
+        return one()._exclude_dead(
+            one().doc_store().filter(F.col(field).isNotNull()))
 
     if kind == "term":
         field, val = _field_text(spec)

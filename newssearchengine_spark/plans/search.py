@@ -1695,6 +1695,120 @@ class SegmentIndex:
             rel = rel.withColumn("neg", F.lit(False))
         return self._boosting_tail(rel, nb, k)
 
+    def search_function_score(self, query, field: str, k: int, *,
+                              factor: float = 1.0, modifier: str = "none",
+                              missing: float = 1.0,
+                              boost_mode: str = "multiply",
+                              _raw: bool = False) -> DataFrame:
+        """ES `function_score` with a `field_value_factor` function:
+        final = round(bm25(query) OP f(doc_field), 6) over EVERY
+        matching doc, where f = modifier(factor * coalesce(field,
+        missing)), modifier in {none, log1p, sqrt}, OP = boost_mode
+        {multiply, sum} — the boost-by-popularity/recency shape an ES
+        user reaches for next after plain relevance.
+
+        Like `boosting`, the per-doc factor can promote docs from
+        arbitrarily deep in the BM25 ranking, so a fixed over-fetch is
+        not exact. Regimes:
+
+        - pruned: one tiny agg reads the corpus-wide min/max of f off
+          the doc store (a column min/max — parquet-footer statistics at
+          scale), then a WAND-probed candidate loop: for multiply (needs
+          f >= 0 corpus-wide, checked against the min) every unscanned
+          doc's final <= s_m * F_max; for sum, <= s_m + F_max — once
+          that bound falls 1e-6 below the k-th candidate final the
+          rounded top-k is proven (same margin argument as
+          search_boosting). Candidate field values arrive via a
+          broadcast join of <= m rows against the doc store.
+        - distributed fallback (pool exceeds BOOL_DRIVER_CAP, or
+          f < 0 somewhere under multiply): complete score_all(query)
+          joined to the doc store's (doc_id, field) columns.
+
+        Both regimes share one Catalyst tail so scores and 6dp rounding
+        are bit-identical (pytest-pinned).
+        """
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be multiply or sum")
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError("modifier must be none, log1p or sqrt")
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_function_score(
+                query, field, kk, factor=factor, modifier=modifier,
+                missing=missing, boost_mode=boost_mode, _raw=True))
+        terms = (self.analyze_query(query) if isinstance(query, str)
+                 else list(query))
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+
+        fexpr = F.lit(float(factor)) * F.coalesce(
+            F.col(field).cast("double"), F.lit(float(missing)))
+        if modifier == "log1p":
+            fexpr = F.log1p(fexpr)
+        elif modifier == "sqrt":
+            fexpr = F.sqrt(fexpr)
+        store = self.doc_store().select(
+            "doc_id", fexpr.alias("fval"))
+        pos_bound = sum(int(dfs[t]) for t in terms)
+        if pos_bound <= BOOL_DRIVER_CAP:
+            row = store.agg(F.min("fval").alias("lo"),
+                            F.max("fval").alias("hi")).collect()[0]
+            f_lo = float(row["lo"]) if row["lo"] is not None else 0.0
+            f_hi = float(row["hi"]) if row["hi"] is not None else 0.0
+            prunable = boost_mode == "sum" or f_lo >= 0.0
+            m = min(max(4 * k, 64), pos_bound)
+            while prunable and m > 0:
+                cand = (self.search(terms, m, mode="wand", _raw=True)
+                        .toPandas().sort_values("rank"))
+                exhausted = len(cand) < m or m >= pos_bound
+                ids = cand["doc_id"].to_numpy(np.int64)
+                raw = cand["score"].to_numpy(np.float64)
+                cdf = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": ids}), "doc_id bigint")
+                fv = {r["doc_id"]: r["fval"] for r in store.join(
+                    F.broadcast(cdf), "doc_id", "left_semi").collect()}
+                fvals = np.array([fv.get(int(i), 0.0) for i in ids])
+                final = (raw * fvals if boost_mode == "multiply"
+                         else raw + fvals)
+                if len(final) >= k:
+                    theta = np.partition(
+                        final, len(final) - k)[len(final) - k]
+                    bound = (raw[-1] * f_hi if boost_mode == "multiply"
+                             else raw[-1] + f_hi)
+                    proven = bound < theta - 1e-6
+                else:
+                    proven = False
+                if exhausted or proven:
+                    rel = self.spark.createDataFrame(
+                        pd.DataFrame({"doc_id": ids, "score": raw,
+                                      "fval": fvals}),
+                        "doc_id bigint, score double, fval double")
+                    return self._function_tail(rel, boost_mode, k)
+                if m >= pos_bound:
+                    break
+                m = min(m * 8, pos_bound)
+        rel = self.score_all(terms).join(store, "doc_id", "left")
+        return self._function_tail(rel, boost_mode, k)
+
+    def _function_tail(self, rel: DataFrame, boost_mode: str,
+                       k: int) -> DataFrame:
+        """Shared combine + round + top-k tail over (doc_id, score,
+        fval) — both search_function_score regimes run these exact
+        expressions."""
+        fv = F.coalesce(F.col("fval"), F.lit(0.0))
+        combined = (F.col("score") * fv if boost_mode == "multiply"
+                    else F.col("score") + fv)
+        rounded = rel.select(
+            "doc_id", F.round(combined, 6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
+
     def _boosting_tail(self, rel: DataFrame, nb: float, k: int) -> DataFrame:
         """Shared demote + round + top-k tail over (doc_id, score, neg) —
         both search_boosting regimes run these exact expressions."""

@@ -764,3 +764,47 @@ def test_es_aggs_histogram_range_percentiles(spark, two_field):
     p50 = next(r["value"] for r in out if r["agg"] == "p")
     assert p50 == pytest.approx(
         float(np.percentile(sorted(match), 50)), rel=1e-12)
+
+
+def test_function_score_and_exists(two_field, monkeypatch):
+    """function_score/field_value_factor: final = bm25 * f(field) over
+    the FULL match set (a doc can be promoted from below the plain
+    top-k); probe and distributed regimes are row-identical; sum mode
+    and whole-query exists work."""
+    from newssearchengine_spark.plans import search as search_mod
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "node cursor"}},
+        "field_value_factor": {"field": "content_len", "factor": 0.5,
+                               "modifier": "sqrt"},
+        "boost_mode": "multiply",
+    }}}
+    got = es_search(si, body, size=15).collect()
+    assert got
+    # the factor actually reorders vs plain relevance
+    plain = si.search(["cursor", "node"], 15).collect()
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in plain]
+
+    monkeypatch.setattr(search_mod, "BOOL_DRIVER_CAP", 0)
+    dist = es_search(si, body, size=15).collect()
+    monkeypatch.undo()
+    assert [tuple(r) for r in got] == [tuple(r) for r in dist]
+
+    body_sum = {"query": {"function_score": {
+        "query": {"match": {"text": "node cursor"}},
+        "field_value_factor": {"field": "content_len", "factor": 0.01},
+        "boost_mode": "sum",
+    }}}
+    got_sum = es_search(si, body_sum, size=15).collect()
+    monkeypatch.setattr(search_mod, "BOOL_DRIVER_CAP", 0)
+    dist_sum = es_search(si, body_sum, size=15).collect()
+    monkeypatch.undo()
+    assert got_sum and [tuple(r) for r in got_sum] == \
+        [tuple(r) for r in dist_sum]
+
+    n = es_search(si, {"exists": {"field": "repo"}}, 400).count()
+    assert n == two.count()
+    with pytest.raises(ValueError, match="boost_mode"):
+        si.search_function_score("node", "content_len", 5, boost_mode="max")
