@@ -78,7 +78,8 @@ _PRIORITY = [
     # the BM25 family, most_fields of the dismax family)
     "ft_match_all", "ft_constant_score", "ft_boosting",
     "ft_mm_most_fields", "ft_regexp_bm25", "ft_es_aggs_buckets",
-    "ft_function_score",
+    "ft_function_score", "ft_dismax_queries", "ft_es_aggs_nested",
+    "ft_es_aggs_filters",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

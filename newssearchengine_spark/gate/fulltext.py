@@ -386,9 +386,10 @@ def ft_bm25_topk_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(cand, TOP_K)
 
 
-def _field_ctes(expr: str, p: str) -> str:
+def _field_ctes(expr: str, p: str, qname: str = "q") -> str:
     """Per-field analyzer + BM25-stats CTE block (same regex pipeline as
-    TOKENS_CTE, parameterized by source expression and prefix)."""
+    TOKENS_CTE, parameterized by source expression, prefix, and the
+    query-terms CTE — per-field term lists for the dis_max gate)."""
     return f"""
 {p}toks AS (
   SELECT doc_id,
@@ -409,7 +410,7 @@ def _field_ctes(expr: str, p: str) -> str:
 {p}dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM {p}kept GROUP BY 1),
 {p}stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM {p}dl),
 {p}tstats AS (SELECT term, count(*)::DOUBLE AS df
-              FROM {p}tf JOIN q USING (term) GROUP BY term),
+              FROM {p}tf JOIN {qname} USING (term) GROUP BY term),
 {p}sc AS (
   SELECT tf.doc_id, sum(
            ln(1 + ({p}stats.n - {p}tstats.df + 0.5) / ({p}tstats.df + 0.5))
@@ -1580,3 +1581,179 @@ def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boost_mode": "multiply",
     }}}
     return es_search(si, body, size=TOP_K)
+
+
+# -- explicit ES dis_max (per-sub-query texts) ----------------------------
+_DMQ_TITLE_Q = ["join", "query"]
+_DMQ_TEXT_Q = ["hash", "window"]
+_DMQ_TIE = 0.25
+_DMQ_TITLE_BOOST = 1.5
+
+# second per-field index (derived title), built once per sf_dir like
+# _GATE_INDEX — the dis_max gate queries two real segment indexes
+_GATE_TITLE_INDEX: dict[str, object] = {}
+
+
+def _gate_title_index(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    si = _GATE_TITLE_INDEX.get(sf_dir)
+    if si is None:
+        cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                          analyzer=DOCS_ANALYZER)
+        idx_dir = tempfile.mkdtemp(prefix="gate_title_idx_")
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+            .alias("title"))
+        build_index(docs, idx_dir, cfg, text_col="title",
+                    id_col="doc_id", resume=False)
+        si = SegmentIndex(spark, idx_dir)
+        _GATE_TITLE_INDEX[sf_dir] = si
+    return si
+
+
+def _dismax_queries_sql(title_terms: list[str], text_terms: list[str],
+                        k: int, bm25: BM25Config = BM25Config(),
+                        tie: float = _DMQ_TIE,
+                        title_boost: float = _DMQ_TITLE_BOOST) -> str:
+    tq = ", ".join(f"'{t}'" for t in sorted(set(title_terms)))
+    bq = ", ".join(f"'{t}'" for t in sorted(set(text_terms)))
+    fields = (_field_ctes(_DISMAX_TITLE, "t_", qname="tq") + "," +
+              _field_ctes("text", "b_", qname="bq"))
+    fields = fields.replace("{k1}", str(bm25.k1)).replace("{b}", str(bm25.b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+tq AS (SELECT unnest([{tq}]) AS term),
+bq AS (SELECT unnest([{bq}]) AS term),{fields},
+allsc AS (
+  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+         coalesce(a.score, 0) * {title_boost} AS s_t,
+         coalesce(c.score, 0) AS s_b
+  FROM t_sc a FULL OUTER JOIN b_sc c ON a.doc_id = c.doc_id
+),
+fin AS (
+  SELECT doc_id,
+         round(greatest(s_t, s_b)
+               + {tie} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+  FROM allsc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_dismax_queries",
+            _dismax_queries_sql(_DMQ_TITLE_Q, _DMQ_TEXT_Q, TOP_K))
+def ft_dismax_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ES dis_max — each sub-query carries its OWN text for its
+    OWN field (title scores 'join query' at boost 1.5, text scores
+    'hash window'), per-field BM25 with field-local N/avgdl/df combined
+    max + tie_breaker * (sum - max). Runs through es_search onto the
+    Fagin-pruned search_dismax with a per-field query dict over TWO real
+    segment indexes; the oracle re-expresses both analyzer pipelines,
+    per-field BM25, the boost, and the combine in one SQL. Regime parity
+    (pruned == full) pinned in tests/test_es_dsl.py."""
+    from ..plans.dsl import es_search
+
+    fidx = {"title": _gate_title_index(spark, sf_dir),
+            "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"dis_max": {
+        "queries": [
+            {"match": {"title": {"query": " ".join(_DMQ_TITLE_Q),
+                                 "boost": _DMQ_TITLE_BOOST}}},
+            {"match": {"text": " ".join(_DMQ_TEXT_Q)}},
+        ],
+        "tie_breaker": _DMQ_TIE,
+    }}}
+    return es_search(fidx, body, size=TOP_K)
+
+
+# -- ES terms + metric sub-aggregations (nested aggs) --------------------
+def _es_aggs_nested_sql() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(QUERY_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+d AS (SELECT documents.* FROM documents JOIN m USING (doc_id)),
+b AS (SELECT lang AS key, count(*)::BIGINT AS doc_count,
+             avg(n_chars::DOUBLE) AS avg_len,
+             max(n_chars)::DOUBLE AS max_len,
+             count(DISTINCT source)::DOUBLE AS n_sources
+      FROM d GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 5)
+SELECT 'by_lang' AS agg, key, doc_count, NULL::DOUBLE AS value FROM b
+UNION ALL
+SELECT 'by_lang.avg_len', key, NULL::BIGINT, avg_len FROM b
+UNION ALL
+SELECT 'by_lang.max_len', key, NULL::BIGINT, max_len FROM b
+UNION ALL
+SELECT 'by_lang.n_sources', key, NULL::BIGINT, n_sources FROM b"""
+
+
+@gate_query("ft_es_aggs_nested", _es_aggs_nested_sql())
+def ft_es_aggs_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sub-aggregations: metric aggs nested under terms buckets (the
+    everyday ES analytics shape — group by a field, compute stats per
+    group). Every sub-metric rides the SAME hash aggregation as the
+    bucket counts — ONE shuffle no matter how many sub-aggs — then a
+    stack() fans each bucket row into its bucket line plus one
+    parent.child line per metric. Match set from the pruned postings
+    scan, aggregation inputs from the doc store's _source columns."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": _AGGS_QUERY_TEXT}},
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {
+                "avg_len": {"avg": {"field": "n_chars"}},
+                "max_len": {"max": {"field": "n_chars"}},
+                "n_sources": {"cardinality": {"field": "source"}},
+            },
+        }},
+    }
+    return es_aggs(si, body)
+
+
+# -- ES filters aggregation (named predicate buckets) --------------------
+def _es_aggs_filters_sql() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(QUERY_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+d AS (SELECT documents.* FROM documents JOIN m USING (doc_id)),
+j AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'join')
+SELECT 'buckets' AS agg, 'english' AS key,
+       (SELECT count(*) FROM d WHERE lang = 'en')::BIGINT AS doc_count,
+       NULL::DOUBLE AS value
+UNION ALL
+SELECT 'buckets', 'longform',
+       (SELECT count(*) FROM d WHERE n_chars >= 300)::BIGINT, NULL::DOUBLE
+UNION ALL
+SELECT 'buckets', 'mentions_join',
+       (SELECT count(*) FROM d JOIN j USING (doc_id))::BIGINT, NULL::DOUBLE"""
+
+
+@gate_query("ft_es_aggs_filters", _es_aggs_filters_sql())
+def ft_es_aggs_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation: named predicate buckets over the query's
+    match set — a term bucket (lang), a range bucket (n_chars), and a
+    match bucket (docs also containing 'join', membership through the
+    pruned postings scan). Metadata predicates push down to the
+    doc-store parquet scan; the oracle recounts each bucket in SQL."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": _AGGS_QUERY_TEXT}},
+        "aggs": {"buckets": {"filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "longform": {"range": {"n_chars": {"gte": 300}}},
+            "mentions_join": {"match": {"text": "join"}},
+        }}}},
+    }
+    return es_aggs(si, body)

@@ -23,8 +23,10 @@ bodies onto the engine so the queries run UNCHANGED:
   boosting (negative_boost demotion, exact over the full positive
   match set) / function_score with field_value_factor (boost by a
   doc field, exact via the same bounded-probe design) / multi_match
-  type best_fields|most_fields with tie_breaker / whole-query exists
-  — the remaining ES compound-query surface
+  type best_fields|most_fields with tie_breaker / explicit dis_max
+  with per-sub-query texts / simple_query_string (the unambiguous
+  subset) / whole-query exists — the remaining ES compound-query
+  surface
 - aggregations via `es_aggs` (terms / stats / single-metric /
   date_histogram over every query-matching doc — ES agg semantics)
 - pagination: `from`/`size` (re-ranked page) and `search_after`
@@ -431,6 +433,71 @@ def es_search(indexes, body: dict, size: int = 10, *,
             missing=float(fvf.get("missing", 1.0)),
             boost_mode=str(spec.get("boost_mode", "multiply")))
 
+    if kind == "dis_max":
+        # explicit ES dis_max: each sub-query carries its own text for
+        # its own field, combined max + tie_breaker*(sum - max) — the
+        # engine's Fagin-pruned search_dismax with a per-field query
+        # dict. A per-sub-query boost rides the match spec
+        # ({"match": {"f": {"query": ..., "boost": ...}}}).
+        subs = spec.get("queries") or []
+        if not subs:
+            raise ValueError("dis_max needs a non-empty queries list")
+        per_field: dict[str, str] = {}
+        boosts = {}
+        for sub in subs:
+            sk, ss = next(iter(sub.items()))
+            if sk != "match":
+                raise ValueError("dis_max sub-queries must be match "
+                                 "clauses (one field each)")
+            field, text = _field_text(ss)
+            if field in per_field:
+                raise ValueError("dis_max supports one sub-query per "
+                                 "field")
+            per_field[field] = text
+            val = next(iter(ss.values()))
+            if isinstance(val, dict) and "boost" in val:
+                boosts[field] = float(val["boost"])
+        tb = float(spec.get("tie_breaker", 0.0))
+        if multi is None:
+            if len(per_field) != 1:
+                raise ValueError("multi-field dis_max needs a "
+                                 "{field: SegmentIndex} dict")
+            fidx = {next(iter(per_field)): indexes}
+        else:
+            fidx = {f: multi[f] for f in per_field}
+        return search_dismax(fidx, per_field, size,
+                             tie_breaker=tb, boosts=boosts or None)
+
+    if kind == "simple_query_string":
+        # the Lucene SimpleQueryParser subset with an unambiguous
+        # mapping onto the query_string grammar: bare terms joined by
+        # default_operator, or a pure `|` disjunction. The +/-/quote/
+        # wildcard operators and |-inside-AND (which SimpleQueryParser
+        # evaluates left-to-right, not by precedence) are rejected.
+        text = str(spec["query"])
+        if any(ch in text for ch in "+-\"*()~"):
+            raise ValueError(
+                "simple_query_string supports the bare-term and `|` "
+                "subset (no +/-/quotes/wildcards)")
+        dop = str(spec.get("default_operator", "or")).lower()
+        segs = [s.strip() for s in text.split("|") if s.strip()]
+        if len(segs) > 1:
+            if dop == "and" and any(" " in s for s in segs):
+                raise ValueError(
+                    "simple_query_string with `|` plus AND "
+                    "default_operator is evaluated left-to-right by "
+                    "ES and is not supported")
+            qtext = " OR ".join(segs)
+        elif dop == "and":
+            qtext = " AND ".join(text.split())
+        else:
+            qtext = text
+        inner = {k: v for k, v in spec.items()
+                 if k not in ("query", "default_operator")}
+        inner["query"] = qtext
+        return es_search(indexes, {"query_string": inner}, size=size,
+                         tie_breaker=tie_breaker, mode=mode)
+
     if kind == "exists":
         # whole-query exists: every live doc with a non-null value in
         # the doc-store column (the filter-context clause promoted to a
@@ -495,10 +562,16 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     ``date_histogram`` with ``calendar_interval`` day|month|year over a
     date/timestamp column, ``histogram`` (fixed numeric interval +
     offset), ``range`` (explicit [from, to) buckets, open bounds keyed
-    '*'), ``percentiles`` (exact interpolated), and
+    '*'), ``filters`` (named predicate buckets over the match set —
+    match / term / terms / range / exists clauses, the bool
+    filter-context grammar), ``percentiles`` (exact interpolated), and
     ``significant_terms`` (JLH foreground vs background over the
     indexed text — routed to ``SegmentIndex.significant_terms``,
-    gate-verified).
+    gate-verified). ``terms`` additionally accepts metric
+    sub-aggregations (the nested ``aggs`` key): every sub-metric is
+    computed in the SAME hash aggregation as the bucket counts — one
+    shuffle regardless of sub-agg count — and emitted as
+    ``parent.child`` rows against the bucket key.
 
     Returns ONE flat DataFrame — (agg string, key string, doc_count
     bigint, value double) — the bucket list of every requested agg
@@ -532,7 +605,12 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 F.col("value").cast("double").alias("value")]
     outs = []
     for name, spec in aggs.items():
-        akind, aspec = next(iter(spec.items()))
+        sub = spec.get("aggs") or spec.get("aggregations") or {}
+        akind, aspec = next(kv for kv in spec.items()
+                            if kv[0] not in ("aggs", "aggregations"))
+        if sub and akind != "terms":
+            raise ValueError(
+                "sub-aggregations are supported under terms buckets")
         if akind == "significant_terms":
             # ES significant_terms over the indexed text field: JLH of
             # the query's foreground (matching docs) vs the corpus
@@ -547,14 +625,74 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 F.col("fg_df").alias("doc_count"),
                 F.col("score").alias("value")).select(*out_cols))
             continue
+        if akind == "filters":
+            # named predicate buckets: each bucket counts the query-
+            # matching docs that ALSO satisfy its filter-context clause
+            # (match / term / terms / range / exists — the same clause
+            # grammar as bool filter context). Metadata predicates push
+            # down to the doc-store parquet scan; match clauses prune
+            # through the postings like every other term lookup.
+            from .search import _meta_filter_pred
+            parts = []
+            for bname, fq in aspec["filters"].items():
+                fc, mc = index._parse_filters([fq])
+                s = store
+                if mc:
+                    s = s.filter(_meta_filter_pred(mc))
+                for toks in fc:
+                    s = s.join(
+                        index._term_docs(toks).select("doc_id").distinct(),
+                        "doc_id", "left_semi")
+                parts.append(s.agg(
+                    F.count(F.lit(1)).alias("doc_count")).select(
+                    F.lit(name).alias("agg"), F.lit(bname).alias("key"),
+                    "doc_count", F.lit(None).alias("value")))
+            b = parts[0]
+            for p in parts[1:]:
+                b = b.unionByName(p)
+            outs.append(b.select(*out_cols))
+            continue
         field = aspec["field"]
         if akind == "terms":
+            # metric sub-aggregations ride the SAME hash aggregation as
+            # the bucket counts (one shuffle for counts + every
+            # sub-metric), then one stack() fans each surviving bucket
+            # row out into its bucket line plus one line per sub-agg
+            # (agg = "parent.child" — ES's nested response flattened
+            # into the relation contract)
             size = int(aspec.get("size", 10))
-            b = (store.groupBy(F.col(field).cast("string").alias("key"))
-                 .agg(F.count(F.lit(1)).alias("doc_count"))
-                 .orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
-                 .select(F.lit(name).alias("agg"), "key", "doc_count",
-                         F.lit(None).alias("value")))
+            aggexprs = [F.count(F.lit(1)).alias("doc_count")]
+            snames = []
+            for sname, sspec in sub.items():
+                skind, sspec2 = next(iter(sspec.items()))
+                sc = F.col(sspec2["field"]).cast("double")
+                smap = {"value_count": F.count(sc).cast("double"),
+                        "avg": F.avg(sc), "min": F.min(sc),
+                        "max": F.max(sc), "sum": F.sum(sc),
+                        "cardinality": F.countDistinct(
+                            F.col(sspec2["field"])).cast("double")}
+                if skind not in smap:
+                    raise ValueError(
+                        f"unsupported sub-aggregation: {skind} "
+                        "(metric kinds under terms)")
+                aggexprs.append(smap[skind].alias(f"_s_{len(snames)}"))
+                snames.append(sname)
+            g = (store.groupBy(F.col(field).cast("string").alias("key"))
+                 .agg(*aggexprs)
+                 .orderBy(F.desc("doc_count"), F.asc("key")).limit(size))
+            if snames:
+                rows = [f"'{name}', key, doc_count, CAST(NULL AS DOUBLE)"]
+                for i, sn in enumerate(snames):
+                    rows.append(f"'{name}.{sn}', key, "
+                                f"CAST(NULL AS BIGINT), _s_{i}")
+                b = (g.selectExpr(f"stack({len(rows)}, {', '.join(rows)})"
+                                  " as (agg, k, dc, v)")
+                     .select("agg", F.col("k").alias("key"),
+                             F.col("dc").alias("doc_count"),
+                             F.col("v").alias("value")))
+            else:
+                b = g.select(F.lit(name).alias("agg"), "key", "doc_count",
+                             F.lit(None).alias("value"))
         elif akind == "date_histogram":
             iv = aspec.get("calendar_interval", "day")
             if iv not in ("day", "month", "year"):

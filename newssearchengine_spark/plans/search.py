@@ -2105,6 +2105,10 @@ def search_dismax(field_indexes: dict, query, k: int, *,
     therefore never feeds the full_outer join in the common case.
 
     field_indexes: {field_name: SegmentIndex} — one index per field.
+    query: one text/term-list scored against every field (the
+    multi_match / query_string-over-fields shape), or a
+    {field_name: text} dict — the explicit ES `dis_max` kind, where
+    each sub-query carries its own text for its own field.
     boosts: optional {field_name: factor >= 0} — ES field boosts
     (`title^3`): the field's BM25 scores are multiplied by the factor
     before the DisMax combine (missing fields default 1.0).
@@ -2149,6 +2153,12 @@ def search_dismax(field_indexes: dict, query, k: int, *,
                         tie_breaker=float(tie_breaker), boosts=b)
 
 
+def _dismax_q(query, name: str):
+    """Per-field query resolution for the DisMax family: one query for
+    every field, or {field: query} (the explicit ES dis_max kind)."""
+    return query[name] if isinstance(query, dict) else query
+
+
 def _combine_dismax(filled: DataFrame, cols: list[str],
                     tie_breaker: float, k: int) -> DataFrame:
     """Shared DisMax combine + top-k tail (both regimes run these exact
@@ -2179,7 +2189,7 @@ def _dismax_full(field_indexes: dict, query, k: int, *,
     cols = []
     for name, si in field_indexes.items():
         bf = float((boosts or {}).get(name, 1.0))
-        s = si.score_all(query).select(
+        s = si.score_all(_dismax_q(query, name)).select(
             "doc_id",
             (F.col("score") * F.lit(bf)).alias(f"s_{name}")
             if bf != 1.0 else F.col("score").alias(f"s_{name}"),
@@ -2227,7 +2237,8 @@ def _dismax_pruned(field_indexes: dict, query, k: int, *,
     cand: set[int] = set()
     for name in names:
         bf = float((boosts or {}).get(name, 1.0))
-        rows = field_indexes[name].search(query, kprime).collect()
+        rows = field_indexes[name].search(
+            _dismax_q(query, name), kprime).collect()
         pools[name] = rows
         if len(rows) == kprime:
             # boost > 0 preserves the per-field order, so the pool is
@@ -2248,8 +2259,9 @@ def _dismax_pruned(field_indexes: dict, query, k: int, *,
     for name in names:
         si = field_indexes[name]
         bf = float((boosts or {}).get(name, 1.0))
-        terms = (si.analyze_query(query) if isinstance(query, str)
-                 else list(query))
+        q = _dismax_q(query, name)
+        terms = (si.analyze_query(q) if isinstance(q, str)
+                 else list(q))
         spdf = si._scores_for_docs(terms, ids)
         if bf != 1.0:
             # float64 multiply, the same IEEE op the full path's

@@ -808,3 +808,159 @@ def test_function_score_and_exists(two_field, monkeypatch):
     assert n == two.count()
     with pytest.raises(ValueError, match="boost_mode"):
         si.search_function_score("node", "content_len", 5, boost_mode="max")
+
+
+def test_dis_max_per_field_texts(two_field):
+    """Explicit dis_max: each sub-query's text scores its own field
+    (per-field query dict through search_dismax), boosts ride the match
+    spec, and the Fagin-pruned regime matches the exact full-relation
+    regime row for row."""
+    two, idxs = two_field
+    body = {"query": {"dis_max": {
+        "queries": [
+            {"match": {"title": {"query": "node stream", "boost": 2.0}}},
+            {"match": {"text": "cursor shard"}},
+        ],
+        "tie_breaker": 0.4,
+    }}}
+    got = es_search(idxs, body, size=15).collect()
+    assert got
+    full = search_dismax(
+        idxs, {"title": "node stream", "text": "cursor shard"}, 15,
+        tie_breaker=0.4, boosts={"title": 2.0}, prune=False).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full]
+
+    # per-field texts matter: one shared text over both fields differs
+    shared = search_dismax(idxs, "node stream cursor shard", 15,
+                           tie_breaker=0.4, boosts={"title": 2.0}).collect()
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in shared]
+
+    # the boost matters: dropping it changes scores
+    body_nb = {"query": {"dis_max": {
+        "queries": [
+            {"match": {"title": "node stream"}},
+            {"match": {"text": "cursor shard"}},
+        ],
+        "tie_breaker": 0.4,
+    }}}
+    nb = es_search(idxs, body_nb, size=15).collect()
+    assert [tuple(r) for r in nb] != [tuple(r) for r in got]
+
+    with pytest.raises(ValueError, match="dis_max"):
+        es_search(idxs["text"], body, size=5)
+
+
+def test_simple_query_string_subset(two_field):
+    """simple_query_string maps its unambiguous subset onto the
+    query_string grammar: `|` = OR across fields, bare terms joined by
+    default_operator; the +/-/quote operators are rejected."""
+    _, idxs = two_field
+    got = es_search(idxs, {"query": {"simple_query_string": {
+        "query": "nodeCursor | shardGroup | streamSort",
+        "fields": ["title", "text"]}}}, size=20).collect()
+    want = es_search(idxs, {"query": {"query_string": {
+        "query": "nodeCursor OR shardGroup OR streamSort",
+        "fields": ["title", "text"]}}}, size=20).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    got_and = es_search(idxs, {"query": {"simple_query_string": {
+        "query": "node cursor", "fields": ["text"],
+        "default_operator": "AND"}}}, size=20).collect()
+    want_and = es_search(idxs, {"query": {"query_string": {
+        "query": "node AND cursor", "fields": ["text"]}}},
+        size=20).collect()
+    assert got_and and \
+        [tuple(r) for r in got_and] == [tuple(r) for r in want_and]
+
+    with pytest.raises(ValueError, match="subset"):
+        es_search(idxs, {"query": {"simple_query_string": {
+            "query": "+node -cursor", "fields": ["text"]}}}, size=5)
+
+
+def test_es_aggs_nested_sub_aggs(two_field):
+    """Metric sub-aggregations under terms buckets: per-bucket avg/max/
+    cardinality recomputed independently over the collected match set;
+    sub rows carry agg='parent.child' against the bucket key; non-terms
+    parents reject sub-aggs."""
+    from collections import defaultdict
+
+    from newssearchengine_spark.oracle import pure
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {
+        "query": {"match": {"text": "node cursor"}},
+        "aggs": {"by_repo": {
+            "terms": {"field": "repo", "size": 4},
+            "aggs": {
+                "avg_len": {"avg": {"field": "content_len"}},
+                "max_len": {"max": {"field": "content_len"}},
+                "n_paths": {"cardinality": {"field": "path"}},
+            },
+        }},
+    }
+    got = es_aggs(si, body).collect()
+
+    terms = set(si.analyze_query("node cursor"))
+    rows = two.select("doc_id", "repo", "path", "text",
+                      F.length("text").alias("content_len")).collect()
+    match = [r for r in rows
+             if terms & set(pure.analyze(r["text"], si.analyzer))]
+    groups = defaultdict(list)
+    for r in match:
+        groups[r["repo"]].append(r)
+    top = sorted(groups.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:4]
+
+    buckets = {r["key"]: r["doc_count"] for r in got
+               if r["agg"] == "by_repo"}
+    assert buckets == {k: len(v) for k, v in top}
+    avg = {r["key"]: r["value"] for r in got if r["agg"] == "by_repo.avg_len"}
+    mx = {r["key"]: r["value"] for r in got if r["agg"] == "by_repo.max_len"}
+    card = {r["key"]: r["value"] for r in got
+            if r["agg"] == "by_repo.n_paths"}
+    for k, v in top:
+        lens = [r["content_len"] for r in v]
+        assert avg[k] == pytest.approx(sum(lens) / len(lens))
+        assert mx[k] == float(max(lens))
+        assert card[k] == float(len({r["path"] for r in v}))
+
+    with pytest.raises(ValueError, match="sub-agg"):
+        es_aggs(si, {"aggs": {"s": {
+            "stats": {"field": "content_len"},
+            "aggs": {"x": {"avg": {"field": "content_len"}}}}}})
+
+
+def test_es_aggs_filters_buckets(two_field):
+    """filters agg: named predicate buckets over the match set — term,
+    range, and match clauses recounted independently on the collected
+    corpus."""
+    from newssearchengine_spark.oracle import pure
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {
+        "query": {"match": {"text": "node cursor"}},
+        "aggs": {"b": {"filters": {"filters": {
+            "py": {"term": {"path": "src/module_0.py"}},
+            "big": {"range": {"content_len": {"gte": 200}}},
+            "has_shard": {"match": {"text": "shard"}},
+        }}}},
+    }
+    got = {r["key"]: r["doc_count"] for r in es_aggs(si, body).collect()}
+
+    qterms = set(si.analyze_query("node cursor"))
+    shard = set(si.analyze_query("shard"))
+    rows = two.select("doc_id", "path", "text",
+                      F.length("text").alias("content_len")).collect()
+    match = [r for r in rows
+             if qterms & set(pure.analyze(r["text"], si.analyzer))]
+    assert match
+    assert got["py"] == sum(1 for r in match
+                            if r["path"] == "src/module_0.py")
+    assert got["big"] == sum(1 for r in match if r["content_len"] >= 200)
+    assert got["has_shard"] == sum(
+        1 for r in match
+        if shard & set(pure.analyze(r["text"], si.analyzer)))
+    assert set(got) == {"py", "big", "has_shard"}
