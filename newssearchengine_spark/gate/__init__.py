@@ -79,7 +79,7 @@ _PRIORITY = [
     "ft_match_all", "ft_constant_score", "ft_boosting",
     "ft_mm_most_fields", "ft_regexp_bm25", "ft_es_aggs_buckets",
     "ft_function_score", "ft_dismax_queries", "ft_es_aggs_nested",
-    "ft_es_aggs_filters",
+    "ft_es_aggs_filters", "ft_es_sort",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -1757,3 +1757,31 @@ def ft_es_aggs_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}}},
     }
     return es_aggs(si, body)
+
+
+# -- ES body-level field sort (filter-then-sort) -------------------------
+def _es_sort_sql() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(QUERY_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+m AS (SELECT DISTINCT doc_id FROM tf JOIN q USING (term)),
+d AS (SELECT documents.* FROM documents JOIN m USING (doc_id))
+SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, n_chars::BIGINT AS n_chars
+FROM d ORDER BY n_chars DESC, doc_id ASC LIMIT {TOP_K}"""
+
+
+@gate_query("ft_es_sort", _es_sort_sql())
+def ft_es_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES body-level sort: the match set of the query (postings
+    membership, never a corpus scan) ordered by a doc-store column
+    instead of relevance — the filter-then-sort ES shape (sort:
+    [{n_chars: desc}]), doc_id tie-break, missing-last semantics."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match": {"text": _AGGS_QUERY_TEXT}},
+            "sort": [{"n_chars": "desc"}]}
+    out = es_search(si, body, size=TOP_K)
+    return out.select("rank", "doc_id",
+                      F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -29,6 +29,8 @@ bodies onto the engine so the queries run UNCHANGED:
   surface
 - aggregations via `es_aggs` (terms / stats / single-metric /
   date_histogram over every query-matching doc — ES agg semantics)
+- body-level `sort` (field sorts over the match set — the
+  filter-then-sort shape; missing-last, doc_id tie-break)
 - pagination: `from`/`size` (re-ranked page) and `search_after`
   cursors (exact, cursor cut pushed into the per-part scorers)
 - more_like_this by doc id — the reference's whole background-linking
@@ -188,6 +190,58 @@ def es_search(indexes, body: dict, size: int = 10, *,
         raise ValueError(
             "search_after supports single-field unboosted OR queries "
             "(match / query_string / multi_match)")
+
+    sort_spec = body.get("sort")
+    if sort_spec is not None:
+        # body-level field sort: the filter-then-sort ES shape. Scoring
+        # order is irrelevant, so the match set (postings membership for
+        # match, parquet-pushed predicates for the lookup kinds) is
+        # ordered by the doc-store columns directly — ES 'missing'
+        # default _last on both directions. Returns
+        # (rank, doc_id, <sort cols>).
+        from pyspark.sql import Window
+
+        clauses = (sort_spec if isinstance(sort_spec, list)
+                   else [sort_spec])
+        cols: list[tuple[str, str]] = []
+        for s in clauses:
+            if isinstance(s, str):
+                fld, o = s, "asc"
+            else:
+                fld, ov = next(iter(s.items()))
+                o = (str(ov.get("order", "asc"))
+                     if isinstance(ov, dict) else str(ov))
+            if fld == "_score":
+                raise ValueError(
+                    "sort by _score: omit the sort clause instead")
+            cols.append((fld, o.lower()))
+        if kind == "match_all":
+            si = one()
+            s = si._exclude_dead(si.doc_store())
+        elif kind in ("match", "term", "terms", "range", "exists"):
+            from .search import _meta_filter_pred
+            si = one(next(iter(spec)) if kind == "match" else None)
+            fc, mc = si._parse_filters([q])
+            s = si._exclude_dead(si.doc_store())
+            if mc:
+                s = s.filter(_meta_filter_pred(mc))
+            for toks in fc:
+                s = s.join(
+                    si._term_docs(toks).select("doc_id").distinct(),
+                    "doc_id", "left_semi")
+        else:
+            raise ValueError(
+                "sort supports match / match_all / term / terms / "
+                "range / exists queries")
+        order = [(F.col(f).desc_nulls_last() if o == "desc"
+                  else F.col(f).asc_nulls_last()) for f, o in cols]
+        order.append(F.col("doc_id").asc())
+        out_fields = [f for f, _ in cols]
+        topk = s.select("doc_id", *out_fields).orderBy(*order).limit(size)
+        w = Window.orderBy(*order)
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", *out_fields)
 
     if kind in ("query_string", "multi_match"):
         if kind == "multi_match" and spec.get("operator", "or").lower() != "or":

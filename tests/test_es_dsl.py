@@ -964,3 +964,47 @@ def test_es_aggs_filters_buckets(two_field):
         1 for r in match
         if shard & set(pure.analyze(r["text"], si.analyzer)))
     assert set(got) == {"py", "big", "has_shard"}
+
+
+def test_es_sort_field_order(two_field):
+    """Body-level sort orders the query's match set by doc-store
+    columns (filter-then-sort), multi-key with asc/desc and doc_id
+    tie-break; lookup kinds (range) sort too; from/size pages the
+    sorted order; _score sort and unsupported kinds reject."""
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"match": {"text": "node cursor"}},
+            "sort": [{"content_len": "desc"}, {"repo": "asc"}]}
+    got = es_search(si, body, size=12).collect()
+    assert got and got[0]["rank"] == 0
+
+    qterms = set(si.analyze_query("node cursor"))
+    rows = two.select("doc_id", "repo", "text",
+                      F.length("text").alias("content_len")).collect()
+    match = [r for r in rows
+             if qterms & set(pure.analyze(r["text"], si.analyzer))]
+    want = sorted(match,
+                  key=lambda r: (-r["content_len"], r["repo"],
+                                 r["doc_id"]))[:12]
+    assert [(r["doc_id"], r["content_len"], r["repo"]) for r in got] == \
+        [(r["doc_id"], r["content_len"], r["repo"]) for r in want]
+
+    # lookup-kind scope + pagination over the sorted order
+    page = es_search(si, {"query": {"range": {"content_len": {"gte": 100}}},
+                          "sort": [{"content_len": "asc"}],
+                          "from": 5}, size=5).collect()
+    all10 = es_search(si, {"query": {"range": {"content_len": {"gte": 100}}},
+                           "sort": [{"content_len": "asc"}]},
+                      size=10).collect()
+    assert [(r["doc_id"], r["content_len"]) for r in page] == \
+        [(r["doc_id"], r["content_len"]) for r in all10[5:]]
+    assert [r["rank"] for r in page] == list(range(5))
+
+    with pytest.raises(ValueError, match="_score"):
+        es_search(si, {"query": {"match": {"text": "node"}},
+                       "sort": ["_score"]}, size=5)
+    with pytest.raises(ValueError, match="sort supports"):
+        es_search(si, {"query": {"match_phrase": {"text": "node cursor"}},
+                       "sort": [{"content_len": "asc"}]}, size=5)
