@@ -80,6 +80,9 @@ _PRIORITY = [
     "ft_mm_most_fields", "ft_regexp_bm25", "ft_es_aggs_buckets",
     "ft_function_score", "ft_dismax_queries", "ft_es_aggs_nested",
     "ft_es_aggs_filters", "ft_es_sort",
+    # nested-bool tree evaluator (general composition; flat bool holds
+    # the window slot)
+    "ft_bool_nested",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -824,6 +824,84 @@ def ft_mixed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return si.search_mixed(groups, TOP_K).select("rank", "doc_id", "score")
 
 
+# NESTED bool: bool clauses inside must/should at depth — the general ES
+# composition (a nested child scores only when the CHILD matches as a
+# whole). must = table AND (spark OR window); should-booster = (merge AND
+# join) adds its summed BM25 only where BOTH are present; must_not =
+# customer.
+_BN_MUST1 = "table"
+_BN_NESTED_SHOULD = ["spark", "window"]
+_BN_BOOSTER = ["join", "merge"]
+_BN_NOT = "customer"
+
+
+def _bool_nested_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    sc = sorted({_BN_MUST1, *_BN_NESTED_SHOULD, *_BN_BOOSTER})
+    sc_terms = ", ".join(f"'{t}'" for t in sc)
+    ns_terms = ", ".join(f"'{t}'" for t in sorted(_BN_NESTED_SHOULD))
+    bo_terms = ", ".join(f"'{t}'" for t in sorted(set(_BN_BOOSTER)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{sc_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_BN_MUST1}'),
+m2 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({ns_terms})),
+booster AS (
+  SELECT doc_id FROM tf WHERE term IN ({bo_terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_BN_BOOSTER))}
+),
+contrib AS (
+  SELECT doc_id, p FROM parts WHERE term IN ('{_BN_MUST1}', {ns_terms})
+  UNION ALL
+  SELECT p.doc_id, p.p FROM parts p JOIN booster USING (doc_id)
+  WHERE p.term IN ({bo_terms})
+),
+sc AS (
+  SELECT c.doc_id, round(sum(c.p), 6) AS score
+  FROM contrib c
+  JOIN m1 USING (doc_id)
+  JOIN m2 USING (doc_id)
+  WHERE c.doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM tf WHERE term = '{_BN_NOT}')
+  GROUP BY c.doc_id
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bool_nested", _bool_nested_sql(TOP_K))
+def ft_bool_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED ES bool through the real index (search_bool_tree): must =
+    [table, bool(should=[spark, window], msm=1)], should =
+    [bool(must=[join, merge])], must_not = [customer]. The booster
+    child's BM25 sum counts ONLY for docs containing BOTH its terms —
+    the per-child match gate a flat term-set bool can't express. Plan:
+    one complete score relation per leaf off the pruned segment scan,
+    one union + hash aggregation per bool node, shared ranked tail."""
+    si = _gate_index(spark, sf_dir)
+    node = {
+        "must": [[_BN_MUST1],
+                 {"should": [[t] for t in _BN_NESTED_SHOULD],
+                  "minimum_should_match": 1}],
+        "should": [{"must": [[t] for t in _BN_BOOSTER]}],
+        "must_not": [[_BN_NOT]],
+    }
+    return si.search_bool_tree(node, TOP_K).select(
+        "rank", "doc_id", "score")
+
+
 # ES bool FILTER CONTEXT (the reference's publish-date/metadata cut
 # shape, e.g. wapo/experiments/filter_by_time.py as an ES range filter):
 # filters constrain hits but contribute NO score.

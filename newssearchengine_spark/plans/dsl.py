@@ -334,6 +334,51 @@ def es_search(indexes, body: dict, size: int = 10, *,
     if kind == "bool":
         si = one()
 
+        def _as_list(v):
+            return v if isinstance(v, list) else [v]
+
+        def _is_nested(bspec: dict) -> bool:
+            for role in ("must", "should", "must_not"):
+                for c in _as_list(bspec.get(role, [])):
+                    if isinstance(c, dict) and next(iter(c)) == "bool":
+                        return True
+            return any(isinstance(f, dict) and "bool" in f
+                       for f in _as_list(bspec.get("filter", [])))
+
+        def _to_tree(bspec: dict) -> dict:
+            """Translate a (possibly nested) ES bool body into the
+            engine's search_bool_tree node: match clauses analyze to
+            token lists, term stays a literal token, bool recurses;
+            filter entries pass through (the engine's _parse_filters
+            grammar) except nested bools, which recurse."""
+            def conv(c):
+                ck, cs = next(iter(c.items()))
+                if ck == "bool":
+                    return _to_tree(cs)
+                if ck not in ("match", "term"):
+                    raise ValueError(f"unsupported bool clause: {ck}")
+                _, text = _field_text(cs)
+                return (si.analyze_query(text) if ck == "match"
+                        else [text])
+            out = {
+                role: [conv(c) for c in _as_list(bspec.get(role, []))]
+                for role in ("must", "should", "must_not")
+            }
+            out["filter"] = [
+                _to_tree(f["bool"])
+                if isinstance(f, dict) and "bool" in f else f
+                for f in _as_list(bspec.get("filter", []))
+            ]
+            out["minimum_should_match"] = int(
+                bspec.get("minimum_should_match", 0))
+            return out
+
+        if _is_nested(spec):
+            # nested bool: the general tree evaluator (union + one hash
+            # aggregation per node); flat bodies keep the WAND/driver-
+            # pruned fast path below
+            return si.search_bool_tree(_to_tree(spec), k=size)
+
         def clauses_of(clauses) -> list[list[str]]:
             """One analyzed term list PER CLAUSE: a multi-token match
             under `must` requires the doc to match the CLAUSE (OR of its

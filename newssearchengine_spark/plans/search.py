@@ -152,7 +152,10 @@ def _meta_filter_pred(meta_clauses: list[tuple]):
     for kind, col, spec in meta_clauses:
         c = F.col(col)
         if kind == "term":
-            conds.append(c == spec)
+            # ES accepts both {"term": {f: v}} and {"term": {f:
+            # {"value": v}}} — unwrap the long form
+            v = spec.get("value") if isinstance(spec, dict) else spec
+            conds.append(c == v)
         elif kind == "terms":
             conds.append(c.isin(list(spec)))
         elif kind == "exists":
@@ -1603,6 +1606,177 @@ class SegmentIndex:
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score",
         )
+
+    def search_bool_tree(self, node: dict, k: int,
+                         _raw: bool = False) -> DataFrame:
+        """Arbitrarily NESTED ES `bool` query — bool clauses inside
+        must/should/must_not/filter at any depth, the general composition
+        the flat fast paths (search_bool / search_mixed) don't cover,
+        e.g. must=[clause, {"should": [...], "minimum_should_match": 2}].
+
+        `node` is {"must": [...], "should": [...], "must_not": [...],
+        "filter": [...], "minimum_should_match": int}. A clause is a
+        term list (ES match: the doc matches on >= 1 token and scores
+        the summed BM25 of its matched tokens), a plain string (single
+        term), or a nested node dict. `filter` elements may also use the
+        _parse_filters grammar (match / term / terms / range / exists
+        over doc-store columns). Lucene semantics: a node matches iff
+        every must and filter child matches, no must_not child matches,
+        and >= minimum_should_match should children match; its score is
+        the sum of its MATCHING must+should children's scores (filter /
+        must_not contribute none). A should child that matches
+        contributes even once msm is satisfied; a nested child's score
+        exists only when the CHILD matches as a whole (its own
+        must/msm gates) — the semantics a flat term-set bool cannot
+        express. A node with only must_not children matches every other
+        doc at score 0 (ES match_all-with-exclusions). Unsatisfiable
+        msm (> its node's should count) empties that node, never errors.
+
+        Plan (Spark-first, no driver loop): each leaf clause is ONE
+        complete (doc_id, score) relation off the pruned segment scan
+        (score_all — exact taat; per-doc ranges are disjoint so per-part
+        scores are complete); each bool node is a unionByName of its
+        role-tagged child relations + ONE hash aggregation (score sum +
+        per-role distinct-clause counts) + the match predicate. Catalyst
+        pipelines the whole tree into a single job with map-side partial
+        aggregation. At 100x scale a nested tree scores every posting of
+        its scoring terms — WAND/driver-pruned regimes stay on the flat
+        paths, which the DSL adapter still routes to whenever a body has
+        no nested bool. Rounded 6dp before the (score desc, doc_id asc)
+        top-k cut — the shared ranked-method tail.
+
+        Reference parity: the reference's ES backend accepts nested bool
+        bodies natively (es.search callers, e.g.
+        /root/reference/netzpolitik/experiments/keyword_match_recall.py:30);
+        its own experiments issue only flat shapes, so this closes the
+        switching-user ES surface rather than a reference test."""
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_bool_tree(
+                node, kk, _raw=True))
+        empty = self.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+        rel = self._bool_tree_rel(node)
+        if rel is None:
+            return empty
+        rounded = rel.select("doc_id", F.round("score", 6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+
+    def _bool_tree_rel(self, node: dict):
+        """Complete (doc_id, score) relation of one bool-tree node, or
+        None for a node with no effective clause (every child leniency-
+        dropped, same no-op rule as the flat adapters). See
+        search_bool_tree for the semantics and the plan shape."""
+        def term_clause(c) -> list:
+            toks = sorted({c} if isinstance(c, str) else set(c))
+            return [t for t in toks if t]
+
+        def scoring_rel(c):
+            if isinstance(c, dict):
+                return self._bool_tree_rel(c)
+            toks = term_clause(c)
+            if not toks:
+                return None
+            # absent terms keep the clause REAL: score_all returns the
+            # empty relation, which as a must child is unsatisfiable —
+            # matching search_bool's absent-term behavior
+            return self.score_all(toks).select("doc_id", "score")
+
+        def member_rel(c):
+            if isinstance(c, dict):
+                r = self._bool_tree_rel(c)
+                return None if r is None else r.select("doc_id")
+            toks = term_clause(c)
+            if not toks:
+                return None
+            return self._term_docs(toks).select("doc_id").distinct()
+
+        parts: list[DataFrame] = []
+        cid = 0
+
+        def tag(rel: DataFrame, role: str, scored: bool = True):
+            nonlocal cid
+            sc = F.col("score") if scored else F.lit(0.0)
+            parts.append(rel.select(
+                "doc_id", sc.cast("double").alias("score"),
+                F.lit(cid).alias("cid"), F.lit(role).alias("role")))
+            cid += 1
+
+        n_must = n_should = n_filt = 0
+        for c in (node.get("must") or []):
+            r = scoring_rel(c)
+            if r is not None:
+                tag(r, "m")
+                n_must += 1
+        for c in (node.get("should") or []):
+            r = scoring_rel(c)
+            if r is not None:
+                tag(r, "s")
+                n_should += 1
+        for c in (node.get("must_not") or []):
+            r = member_rel(c)
+            if r is not None:
+                tag(r, "n", scored=False)
+        # filter context: nested nodes recurse (score dropped); plain
+        # entries take the _parse_filters grammar. Metadata clauses AND
+        # together into ONE pushed-down doc_store scan.
+        plain = []
+        for f in (node.get("filter") or []):
+            if isinstance(f, dict) and any(
+                    kk in f for kk in ("must", "should", "must_not",
+                                       "filter")):
+                r = self._bool_tree_rel(f)
+                if r is not None:
+                    tag(r.select("doc_id"), "f", scored=False)
+                    n_filt += 1
+            else:
+                plain.append(f)
+        if plain:
+            filt_clauses, meta_clauses = self._parse_filters(plain)
+            for toks in filt_clauses:
+                tag(self._term_docs(toks).select("doc_id").distinct(),
+                    "f", scored=False)
+                n_filt += 1
+            if meta_clauses:
+                tag(self.doc_store()
+                        .filter(_meta_filter_pred(meta_clauses))
+                        .select("doc_id"),
+                    "f", scored=False)
+                n_filt += 1
+        if not parts:
+            return None
+        msm = int(node.get("minimum_should_match", 0))
+        if msm > n_should:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if n_must == 0 and n_should == 0 and n_filt == 0:
+            # only must_not children: every other doc matches at score 0
+            tag(self.doc_store().select("doc_id"), "f", scored=False)
+            n_filt = 1
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        g = u.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("role").isin("m", "s"), F.col("score"))
+                  .otherwise(0.0)).alias("score"),
+            F.countDistinct(
+                F.when(F.col("role") == "m", F.col("cid"))).alias("_mc"),
+            F.countDistinct(
+                F.when(F.col("role") == "s", F.col("cid"))).alias("_sc"),
+            F.countDistinct(
+                F.when(F.col("role") == "f", F.col("cid"))).alias("_fc"),
+            F.max(F.when(F.col("role") == "n", 1).otherwise(0))
+            .alias("_neg"),
+        )
+        return (g.filter((F.col("_mc") == F.lit(n_must))
+                         & (F.col("_fc") == F.lit(n_filt))
+                         & (F.col("_neg") == 0)
+                         & (F.col("_sc") >= F.lit(msm)))
+                .select("doc_id", "score"))
 
     def search_boosting(self, positive, negative, k: int, *,
                         negative_boost: float = 0.5,
