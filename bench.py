@@ -181,19 +181,18 @@ def main() -> None:
         shutil.rmtree(nopos_dir, ignore_errors=True)
 
     # 3) one representative per operator family (gate implementations)
-    for name in ("ft_bm25_topk", "ex_recall_at_k", "ex_ltr_rerank",
+    for name in ("ft_bm25_topk", "ft_bool_nested", "ex_recall_at_k",
+                 "ex_ltr_rerank",
                  "dd_minhash_lsh", "sim_knn_bruteforce", "sim_ivf_knn",
                  "tx_quality", "rel_topk_per_group",
                  "rel_sessionize", "dd_exact"):
         fn = REGISTRY[name].fn
-        # multi-job plans (feature persist + fit + rerank; batched recall;
-        # full scan + score) whipsaw with host load: 5 samples where 3
-        # left spread > value (VERDICT r4 #5 — spread must stay < 50%)
-        n = 5 if name in ("ex_ltr_rerank", "ex_recall_at_k",
-                          "ft_bm25_topk", "dd_exact",
-                          "dd_minhash_lsh") else 3
+        # 5 samples everywhere: multi-job plans whipsaw with host load,
+        # and the sub-second Catalyst entries are just as spread-prone
+        # relative to their tiny values (VERDICT r4 #5 — spread must
+        # stay < 50% of value)
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect(),
-              n=n, warmup=1)
+              n=5, warmup=1)
 
     # 4) IVF at DERIVED scale (the ~sqrt(N) sizing the gate's toy
     # n_cells=16 doesn't exercise): n_cells=None -> derive_n_cells(N),
@@ -247,14 +246,14 @@ def main() -> None:
         "hnsw_build",
         lambda: HN.hnsw_build(emb, n_shards=n_shards, m=16,
                               ef_construction=100).count(),
-        warmup=1)
+        n=5, warmup=1)
     graph = HN.hnsw_build(emb, n_shards=n_shards, m=16,
                           ef_construction=100).cache()
     graph.count()
     hrows = timed(
         "hnsw_query",
         lambda: HN.hnsw_knn(graph, emb, 0, 10, ef=64).collect(),
-        warmup=1)
+        n=5, warmup=1)
     got_h = {r["vec_id"] for r in hrows}
     qids = list(range(0, min(n_vec, 2000), max(1, min(n_vec, 2000) // 40)))[:40]
     t0 = time.time()

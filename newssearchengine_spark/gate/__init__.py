@@ -83,6 +83,9 @@ _PRIORITY = [
     # nested-bool tree evaluator (general composition; flat bool holds
     # the window slot)
     "ft_bool_nested",
+    # the full denorm backoff LOOP, hash-checked (the Porter-keyword
+    # variant tx_denorm_keywords stays rows-only: no stemmer in DuckDB)
+    "tx_denorm_backoff",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

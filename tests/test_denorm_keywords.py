@@ -91,3 +91,32 @@ def test_batch_over_corpus(spark, sf_tiny):
     assert len(rows) == 50
     for r in rows:
         assert r["denormalized"] == oracle_denorm(r["text"], r["keywords"])
+
+
+def test_backoff_gate_keywords_force_backoff(sf_tiny):
+    """Tripwire for the tx_denorm_backoff gate's claim: its mutated
+    keywords (last char -> 'q') must FAIL their first regex probe on
+    most docs, so the entry actually exercises the shrink loop (if the
+    corpus ever changed such that 'q'-mutants match directly, the entry
+    would silently degrade to the no-backoff case)."""
+    import re
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_tiny}/documents.parquet')").fetchall()
+    probed = forced = 0
+    for _, text in rows:
+        words = [w for w in text.split(" ")[:3]
+                 if re.fullmatch(r"[a-z0-9]{2,}", w)]
+        for kw in (w[:-1] + "q" for w in words):
+            probed += 1
+            if not re.search(rf"\b{re.escape(kw)}([\wöüäß]+)?\b", text,
+                             flags=re.IGNORECASE):
+                forced += 1
+    assert probed > 100
+    assert forced / probed > 0.9, (
+        f"only {forced}/{probed} gate keywords force backoff; "
+        "the tx_denorm_backoff entry no longer tests the loop"
+    )
