@@ -86,6 +86,8 @@ _PRIORITY = [
     # the full denorm backoff LOOP, hash-checked (the Porter-keyword
     # variant tx_denorm_keywords stays rows-only: no stemmer in DuckDB)
     "tx_denorm_backoff",
+    # body-level ES highlight end to end (query + _source fetch + tag)
+    "ft_es_highlight",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -824,6 +824,44 @@ def ft_mixed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return si.search_mixed(groups, TOP_K).select("rank", "doc_id", "score")
 
 
+# ES body-level highlight: the whole es.search round trip — ranked match
+# query off the index, _source fetch (broadcast join of the k hits
+# against the corpus scan; the index stores only the content sha256),
+# term tagging + first-match fragment. Oracle = the BM25 top-k CTE
+# joined to documents with the same (DuckDB-validated) regexes.
+_ESHL_TERMS = ["merge", "table"]
+
+
+def _es_highlight_sql(k: int) -> str:
+    alt = "|".join(sorted(_ESHL_TERMS))
+    return rf"""SELECT tk.rank, tk.doc_id, tk.score,
+       regexp_replace(d.text, '(?i)\b({alt})\b', '<em>\1</em>', 'g')
+         AS highlighted,
+       regexp_extract(d.text,
+         '(?i)((?:\S+\s+){{0,3}}(?:{alt})(?:\s+\S+){{0,3}})', 1)
+         AS fragment
+FROM ({_bm25_sql(_ESHL_TERMS, k)}) tk
+JOIN documents d USING (doc_id)
+ORDER BY tk.rank"""
+
+
+@gate_query("ft_es_highlight", _es_highlight_sql(TOP_K))
+def ft_es_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `highlight` through the whole adapter: a match body with a
+    top-level highlight key runs the indexed BM25 top-k, broadcast-joins
+    the k hits against the corpus (_source fetch), and appends
+    `highlighted` (every whole-word term occurrence tagged) and
+    `fragment` (first match ± 3 words of context) via the Catalyst
+    regex operator (operators.text.highlight)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"match": {"text": " ".join(_ESHL_TERMS)}},
+            "highlight": {"fields": {"text": {}}}}
+    return es_search(si, body, size=TOP_K, source=docs)
+
+
 # NESTED bool: bool clauses inside must/should at depth — the general ES
 # composition (a nested child scores only when the CHILD matches as a
 # whole). must = table AND (spark OR window); should-booster = (merge AND

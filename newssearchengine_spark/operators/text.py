@@ -232,6 +232,13 @@ def highlight(
     `context_words` words of context on each side. Pure Catalyst regex
     expressions — codegen'd, runs on the top-k join output (k rows), not
     the corpus. Adds `highlighted` and `fragment` columns.
+
+    Contract note: tags fire on WHOLE words (\\b-delimited), the right
+    semantics for natural-language fields (the reference's news domain).
+    A camelCase/snake_case identifier is one \\b-word, so an analyzed
+    SUB-token (e.g. 'node' from 'nodeCursor') never tags inside it —
+    ES's offset-bearing highlighter would; reproducing that would need
+    lookaround regexes RE2 (and so the DuckDB oracle) can't express.
     """
     import re as _re
 

@@ -130,8 +130,35 @@ def _parse_boosts(fields: list[str]) -> tuple[list[str], dict[str, float]]:
     return names, boosts
 
 
+def _highlight_terms(si, q: dict) -> list[str]:
+    """The analyzed SCORING terms of a query body — what ES's highlighter
+    tags (filter/must_not never highlight). Supports the OR-matching
+    kinds plus (possibly nested) bool; other kinds raise."""
+    kind, spec = next(iter(q.items()))
+    if kind == "match":
+        _, text = _field_text(spec)
+        return sorted(set(si.analyze_query(text)))
+    if kind in ("query_string", "multi_match", "simple_query_string"):
+        toks = [t for t in str(spec["query"]).split()
+                if t not in ("AND", "OR")]
+        return sorted({t for tok in toks
+                       for t in si.analyze_query(tok)})
+    if kind == "term":
+        _, v = _field_text(spec)
+        return [str(v)]
+    if kind == "bool":
+        out: set[str] = set()
+        for role in ("must", "should"):
+            cl = spec.get(role, [])
+            for c in (cl if isinstance(cl, list) else [cl]):
+                out.update(_highlight_terms(si, c))
+        return sorted(out)
+    raise ValueError(f"highlight unsupported for query kind: {kind}")
+
+
 def es_search(indexes, body: dict, size: int = 10, *,
-              tie_breaker: float = 0.0, mode: str = "taat") -> DataFrame:
+              tie_breaker: float = 0.0, mode: str = "taat",
+              source: DataFrame | None = None) -> DataFrame:
     """Evaluate an es.search body against the engine.
 
     indexes: a single SegmentIndex (one indexed field) or a
@@ -143,8 +170,53 @@ def es_search(indexes, body: dict, size: int = 10, *,
     ES pagination: a top-level `from` in the body (or a `from_` key)
     skips that many hits — the engine evaluates top-(from+size) and
     drops the first `from` ranks, re-ranking from 0 like an ES page.
+
+    ES highlight: a top-level `highlight` in the body tags the query
+    terms in the hit field and extracts a first-match fragment
+    (operators.text.highlight) — appended as `highlighted`/`fragment`
+    columns. `source` must be the corpus DataFrame carrying (doc_id,
+    <field>): the index stores only the content sha256, not the text
+    (ES keeps _source in the index; this engine keeps it in the lake),
+    so the fetch phase is a broadcast join of the k hits against the
+    source scan.
     """
     q = body.get("query", body)
+    hl = body.get("highlight") if "query" in body else None
+    if hl is not None:
+        inner = {k: v for k, v in body.items() if k != "highlight"}
+        hits = es_search(indexes, inner, size=size,
+                         tie_breaker=tie_breaker, mode=mode)
+        if source is None:
+            raise ValueError(
+                "highlight needs source= (the corpus DataFrame with "
+                "doc_id + the highlighted field; the index stores only "
+                "the content sha256)")
+        if "rank" not in hits.columns:
+            raise ValueError("highlight needs a ranked query")
+        fields = hl.get("fields") or {}
+        fname, fopts = (next(iter(fields.items())) if fields
+                        else ("text", {}))
+        si_hl = (indexes[fname] if isinstance(indexes, dict)
+                 and fname in indexes
+                 else indexes if not isinstance(indexes, dict)
+                 else next(iter(indexes.values())))
+        terms = _highlight_terms(si_hl, body.get("query", inner))
+        if not terms:
+            return hits
+        pre = (fopts.get("pre_tags") or hl.get("pre_tags")
+               or ["<em>"])[0]
+        post = (fopts.get("post_tags") or hl.get("post_tags")
+                or ["</em>"])[0]
+        from ..operators.text import highlight as _hl_op
+
+        joined = (source.select("doc_id", fname)
+                  .join(F.broadcast(hits), "doc_id"))
+        out = _hl_op(joined, terms, text_col=fname, pre_tag=pre,
+                     post_tag=post,
+                     context_words=int(fopts.get("context_words", 3)))
+        return (out.orderBy(F.asc("rank"))
+                .select("rank", "doc_id", "score",
+                        "highlighted", "fragment"))
     offset = int(body.get("from", body.get("from_", 0)) or 0)
     if offset:
         inner = {"query": q} if "query" not in body else dict(body)

@@ -1008,3 +1008,61 @@ def test_es_sort_field_order(two_field):
     with pytest.raises(ValueError, match="sort supports"):
         es_search(si, {"query": {"match_phrase": {"text": "node cursor"}},
                        "sort": [{"content_len": "asc"}]}, size=5)
+
+
+@pytest.fixture(scope="module")
+def prose_idx(spark, tmp_path_factory):
+    """A small PLAIN-WORD corpus: highlight's whole-word contract is for
+    natural-language fields (the reference's news domain); the code
+    corpus's camelCase identifiers never contain standalone analyzed
+    sub-tokens, so tags can't fire there (documented operator limit)."""
+    from newssearchengine_spark.plans.index_build import build_index
+
+    words = ["merge", "table", "window", "stream", "hash", "sort",
+             "probe", "spill", "scan", "join"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(12)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = str(tmp_path_factory.mktemp("hl") / "idx")
+    build_index(docs, d, CFG, text_col="text", resume=False)
+    return docs, SegmentIndex(spark, d)
+
+
+def test_es_highlight_body(prose_idx):
+    """A top-level highlight key appends highlighted/fragment columns:
+    hits identical to the un-highlighted body, tags exactly the
+    operators.text.highlight composition over the analyzed terms."""
+    from newssearchengine_spark.operators.text import highlight as hl_op
+
+    docs, si = prose_idx
+    base = {"query": {"match": {"text": "merge table"}}}
+    body = dict(base, highlight={"fields": {"text": {}}})
+    got = es_search(si, body, size=10, source=docs).collect()
+    plain = es_search(si, base, size=10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == \
+        [(r["rank"], r["doc_id"], r["score"]) for r in plain]
+    assert got, "highlight test needs hits"
+    terms = sorted(set(si.analyze_query("merge table")))
+    ids = [r["doc_id"] for r in got]
+    want = {
+        r["doc_id"]: (r["highlighted"], r["fragment"])
+        for r in hl_op(
+            docs.filter(F.col("doc_id").isin(ids)).select("doc_id", "text"),
+            terms).collect()
+    }
+    assert all((r["highlighted"], r["fragment"]) == want[r["doc_id"]]
+               for r in got)
+    assert all("<em>" in r["highlighted"] and r["fragment"]
+               for r in got)
+
+
+def test_es_highlight_custom_tags_and_errors(prose_idx):
+    docs, si = prose_idx
+    body = {"query": {"match": {"text": "window"}},
+            "highlight": {"fields": {"text": {
+                "pre_tags": ["<b>"], "post_tags": ["</b>"]}}}}
+    got = es_search(si, body, size=5, source=docs).collect()
+    assert got and all("<b>" in r["highlighted"] for r in got)
+    with pytest.raises(ValueError, match="source"):
+        es_search(si, body, size=5)  # no source DataFrame
