@@ -88,6 +88,8 @@ _PRIORITY = [
     "tx_denorm_backoff",
     # body-level ES highlight end to end (query + _source fetch + tag)
     "ft_es_highlight",
+    # ES _msearch -> one search_many batch job
+    "ft_es_msearch",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

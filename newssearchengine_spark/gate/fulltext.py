@@ -862,6 +862,35 @@ def ft_es_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search(si, body, size=TOP_K, source=docs)
 
 
+# ES _msearch: N bodies -> ONE search_many pass (postings decoded once
+# per term across the whole batch). Oracle = per-body BM25 top-k CTEs
+# labeled by the responses-array position and unioned.
+_MS_Q = [["merge", "table"], ["spark", "window"], ["hash"]]
+
+
+def _es_msearch_sql(k: int) -> str:
+    parts = [
+        f"SELECT '{i}' AS query_id, rank, doc_id, score "
+        f"FROM ({_bm25_sql(terms, k)})"
+        for i, terms in enumerate(_MS_Q)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@gate_query("ft_es_msearch", _es_msearch_sql(TOP_K))
+def ft_es_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_msearch` through the adapter: three match bodies evaluated
+    in ONE SegmentIndex.search_many job (per-part postings decoded once
+    for the whole batch), each query's block rank/score-identical to
+    its own single search."""
+    from ..plans.dsl import es_msearch
+
+    si = _gate_index(spark, sf_dir)
+    bodies = [{"query": {"match": {"text": " ".join(t)}}} for t in _MS_Q]
+    return es_msearch(si, bodies, size=TOP_K).select(
+        "query_id", "rank", "doc_id", "score")
+
+
 # NESTED bool: bool clauses inside must/should at depth — the general ES
 # composition (a nested child scores only when the CHILD matches as a
 # whole). must = table AND (spark OR window); should-booster = (merge AND

@@ -716,6 +716,60 @@ def es_search(indexes, body: dict, size: int = 10, *,
     raise ValueError(f"unsupported query kind: {kind}")
 
 
+def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
+               mode: str = "taat") -> DataFrame:
+    """ES `_msearch`: evaluate MANY search bodies in ONE engine pass.
+
+    The reference's experiment loops issue one es.search per topic and
+    pay a full scatter-gather round trip each
+    (netzpolitik/experiments/keyword_match_recall.py:30-43 inside a
+    topic loop); ES's own batching answer is the _msearch endpoint. Here
+    the batch routes to SegmentIndex.search_many — one Spark job, each
+    doc_part decodes every posting ONCE and scores all queries,
+    duplicate bodies deduped and fanned back out — so per-query job
+    overhead amortizes across the batch (the scale throughput shape).
+
+    Supported bodies: the single-field OR-matching kinds (match /
+    pure-OR query_string / multi_match), all targeting the same field —
+    the shape every reference batch loop issues. Returns (query_id,
+    rank, doc_id, score); query_id is the body's 0-based position as a
+    string (the ES responses-array order), each query's block identical
+    to its own es_search (pytest-pinned)."""
+    if not bodies:
+        raise ValueError("msearch needs at least one body")
+    texts: dict[str, str] = {}
+    field = None
+    for i, b in enumerate(bodies):
+        q = b.get("query", b)
+        kind, spec = next(iter(q.items()))
+        if kind == "match":
+            f, text = _field_text(spec)
+        elif kind in ("query_string", "multi_match"):
+            op, parts = _parse_query_string(str(spec["query"]))
+            if op != "or":
+                raise ValueError(
+                    "msearch bodies must be OR-matching (use es_search "
+                    "per body for boolean grammars)")
+            names, boosts = _parse_boosts(list(spec.get("fields") or []))
+            if len(names) > 1 or boosts:
+                raise ValueError(
+                    "msearch bodies must target ONE unboosted field")
+            f = names[0] if names else None
+            text = parts[0]
+        else:
+            raise ValueError(f"unsupported msearch body kind: {kind}")
+        if field is None:
+            field = f
+        elif f is not None and f != field:
+            raise ValueError("msearch bodies must target the same field")
+        texts[str(i)] = text
+    si = (indexes[field]
+          if isinstance(indexes, dict) and field in indexes
+          else indexes if not isinstance(indexes, dict)
+          else next(iter(indexes.values())))
+    return si.search_many(texts, size, mode=mode)
+
+
 def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     """ES aggregations over an index: ``{"query": ..., "aggs": {...}}``.
 

@@ -1066,3 +1066,42 @@ def test_es_highlight_custom_tags_and_errors(prose_idx):
     assert got and all("<b>" in r["highlighted"] for r in got)
     with pytest.raises(ValueError, match="source"):
         es_search(si, body, size=5)  # no source DataFrame
+
+
+def test_es_msearch_matches_per_body_search(two_field):
+    """_msearch == a loop of es_search per body, in one job; duplicate
+    bodies ride the search_many dedup and still fan out per position."""
+    from newssearchengine_spark.plans.dsl import es_msearch
+
+    _, idxs = two_field
+    bodies = [
+        {"query": {"match": {"text": "nodeCursor shardGroup"}}},
+        {"query": {"query_string": {"fields": ["text"],
+                                    "query": "protoShard OR closeNode"}}},
+        {"query": {"match": {"text": "nodeCursor shardGroup"}}},  # dup
+    ]
+    got = es_msearch(idxs["text"], bodies, size=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert set(by_q) == {"0", "1", "2"}
+    for i, b in enumerate(bodies):
+        want = [(r["rank"], r["doc_id"], r["score"])
+                for r in es_search(idxs["text"], b, size=8).collect()]
+        assert sorted(by_q[str(i)]) == sorted(want) and want
+    assert by_q["0"] == by_q["2"]  # the dedup fan-out
+
+
+def test_es_msearch_rejections(two_field):
+    from newssearchengine_spark.plans.dsl import es_msearch
+
+    _, idxs = two_field
+    with pytest.raises(ValueError, match="at least one"):
+        es_msearch(idxs["text"], [])
+    with pytest.raises(ValueError, match="same field"):
+        es_msearch(idxs, [{"query": {"match": {"title": "nodeCursor"}}},
+                          {"query": {"match": {"text": "nodeCursor"}}}])
+    with pytest.raises(ValueError, match="OR-matching"):
+        es_msearch(idxs["text"], [{"query": {"query_string": {
+            "fields": ["text"], "query": "a AND b"}}}])
