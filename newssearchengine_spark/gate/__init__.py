@@ -90,6 +90,8 @@ _PRIORITY = [
     "ft_es_highlight",
     # ES _msearch -> one search_many batch job
     "ft_es_msearch",
+    # ES two-phase re-rank, field collapsing, and the term suggester
+    "ft_es_rescore", "ft_es_collapse", "ft_es_suggest",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -891,6 +891,159 @@ def ft_es_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank", "doc_id", "score")
 
 
+# ES rescore: cheap base retrieval re-ranked by a second query over the
+# top window only (qw*base + rw*rescore), ES's two-phase ranking shape.
+_RES_BASE = ["merge", "table"]
+_RES_RQ = ["spark", "window"]
+_RES_WINDOW = 15
+_RES_QW, _RES_RW = 1.0, 2.0
+
+
+def _es_rescore_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    bt = ", ".join(f"'{t}'" for t in sorted(set(_RES_BASE)))
+    rt = ", ".join(f"'{t}'" for t in sorted(set(_RES_RQ)))
+    return f"""WITH {TOKENS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q0 AS (SELECT unnest([{bt}]) AS term),
+ts0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q0 USING (term) GROUP BY term),
+p0 AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - ts0.df + 0.5) / (ts0.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf JOIN ts0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+base AS (
+  SELECT doc_id, round(sum(p), 6) AS score FROM p0 GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {_RES_WINDOW}
+),
+q1 AS (SELECT unnest([{rt}]) AS term),
+ts1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q1 USING (term) GROUP BY term),
+p1 AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - ts1.df + 0.5) / (ts1.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf JOIN ts1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+rp AS (SELECT p1.doc_id, sum(p1.p) AS s FROM p1
+       JOIN base USING (doc_id) GROUP BY p1.doc_id),
+comb AS (
+  SELECT b.doc_id,
+         round({_RES_QW} * b.score + {_RES_RW} * coalesce(rp.s, 0), 6)
+           AS score
+  FROM base b LEFT JOIN rp USING (doc_id)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_es_rescore", _es_rescore_sql(_RES_WINDOW))
+def ft_es_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rescore` through the adapter: base BM25 top-window re-ranked
+    by qw*base + rw*rescore_query — the rescoring restricted to the
+    window's docs via the rank-safe pruned-scan primitive, never the
+    full match set."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(_RES_BASE)}},
+        "rescore": {
+            "window_size": _RES_WINDOW,
+            "query": {
+                "rescore_query": {"match": {"text": " ".join(_RES_RQ)}},
+                "query_weight": _RES_QW,
+                "rescore_query_weight": _RES_RW,
+            },
+        },
+    }
+    return es_search(si, body, size=_RES_WINDOW)
+
+
+# ES collapse: one hit per distinct doc-store field value (best of each
+# group), exact over the ENTIRE match set.
+_COL_TERMS = ["merge", "table"]
+
+
+def _es_collapse_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    ct = ", ".join(f"'{t}'" for t in sorted(set(_COL_TERMS)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{ct}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf JOIN tstats USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id),
+j AS (SELECT sc.doc_id, sc.score, d.lang FROM sc
+      JOIN documents d USING (doc_id)),
+best AS (
+  SELECT doc_id, score, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY score DESC, doc_id ASC) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score, lang
+FROM best ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_es_collapse", _es_collapse_sql(TOP_K))
+def ft_es_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `collapse` through the adapter: best hit per `lang` value over
+    the whole match set (complete score relation + doc_store (doc_id,
+    lang) projection + one window per group), top-k of the winners."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match": {"text": " ".join(_COL_TERMS)}},
+            "collapse": {"field": "lang"}}
+    return es_search(si, body, size=TOP_K)
+
+
+# ES term suggester: dictionary spell correction by edit distance.
+_SUG_TEXT = "tble mrge"
+
+
+def _es_suggest_sql() -> str:
+    return f"""WITH {TOKENS_CTE},
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+tok AS (SELECT unnest(['mrge', 'tble']) AS token),
+cand AS (
+  SELECT t.token, d.term AS option,
+         levenshtein(d.term, t.token)::INT AS dist, d.df AS freq
+  FROM dict d CROSS JOIN tok t
+  WHERE levenshtein(d.term, t.token) <= 1 AND d.term <> t.token
+)
+SELECT 'fix' AS suggest, token, option, dist, freq FROM (
+  SELECT *, row_number() OVER (PARTITION BY token
+            ORDER BY dist ASC, freq DESC, option ASC) AS rn
+  FROM cand) WHERE rn <= 5"""
+
+
+@gate_query("ft_es_suggest", _es_suggest_sql())
+def ft_es_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester: misspelled tokens ('tble', 'mrge') corrected
+    from the index dictionary by Levenshtein distance (dist asc, doc
+    freq desc), suggest_mode 'missing' — the es.suggest endpoint as one
+    relation off the term_stats scan."""
+    from ..plans.dsl import es_suggest
+
+    si = _gate_index(spark, sf_dir)
+    body = {"suggest": {"fix": {"text": _SUG_TEXT,
+                                "term": {"field": "text", "max_edits": 1,
+                                         "size": 5}}}}
+    return es_suggest(si, body)
+
+
 # NESTED bool: bool clauses inside must/should at depth — the general ES
 # composition (a nested child scores only when the CHILD matches as a
 # whole). must = table AND (spark OR window); should-booster = (merge AND

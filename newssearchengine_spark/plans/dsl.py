@@ -43,7 +43,7 @@ equivalent of an ES index's bound analyzer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .search import SegmentIndex, search_dismax
@@ -181,6 +181,13 @@ def es_search(indexes, body: dict, size: int = 10, *,
     source scan.
     """
     q = body.get("query", body)
+    rs = body.get("rescore") if "query" in body else None
+    if rs is not None:
+        return _es_rescore(indexes, body, rs, size,
+                           tie_breaker=tie_breaker, mode=mode)
+    col_spec = body.get("collapse") if "query" in body else None
+    if col_spec is not None:
+        return _es_collapse(indexes, body, col_spec, size)
     hl = body.get("highlight") if "query" in body else None
     if hl is not None:
         inner = {k: v for k, v in body.items() if k != "highlight"}
@@ -714,6 +721,173 @@ def es_search(indexes, body: dict, size: int = 10, *,
         return one()._exclude_dead(one().doc_store().filter(pred))
 
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _es_terms_and_index(indexes, q: dict):
+    """(SegmentIndex, analyzed OR terms) of a single-field OR-matching
+    query dict — the sub-shape rescore/collapse accept."""
+    kind, spec = next(iter(q.items()))
+    if kind == "match":
+        field, text = _field_text(spec)
+    elif kind in ("query_string", "multi_match"):
+        op, parts = _parse_query_string(str(spec["query"]))
+        if op != "or":
+            raise ValueError("this clause must be OR-matching")
+        names, boosts = _parse_boosts(list(spec.get("fields") or []))
+        if len(names) > 1 or boosts:
+            raise ValueError("this clause must target ONE unboosted field")
+        field, text = (names[0] if names else None), parts[0]
+    else:
+        raise ValueError(f"unsupported query kind here: {kind}")
+    si = (indexes[field]
+          if isinstance(indexes, dict) and field in indexes
+          else indexes if not isinstance(indexes, dict)
+          else next(iter(indexes.values())))
+    return si, sorted(set(si.analyze_query(text)))
+
+
+def _es_rescore(indexes, body: dict, rs: dict, size: int, *,
+                tie_breaker: float, mode: str) -> DataFrame:
+    """ES `rescore`: re-rank the top `window_size` hits of the base query
+    by query_weight * base + rescore_query_weight * rescore (the classic
+    cheap-retrieve / precise-re-rank split); hits past the window keep
+    their base order below the rescored block, exactly ES's concat.
+
+    Plan: the base query runs as usual; the window is k-bounded (the ES
+    contract — rescore NEVER touches the full match set), so the
+    re-scoring is one pruned-scan job restricted to the window's
+    doc_parts (_scores_for_docs, the same rank-safe-pruning primitive
+    the phrase/bool driver regimes use) and the merge is O(window) on
+    the driver. Combined scores round 6dp like every ranked method."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # F.round / DuckDB round semantics (HALF_UP), not python's
+        # half-even — scores compare 6dp-rounded everywhere in the gate
+        return float(Decimal(repr(float(x)))
+                     .quantize(Decimal("0.000001"),
+                               rounding=ROUND_HALF_UP))
+
+    rq = rs["query"]
+    window = int(rs.get("window_size", max(size, 10)))
+    qw = float(rq.get("query_weight", 1.0))
+    rw = float(rq.get("rescore_query_weight", 1.0))
+    inner = {k: v for k, v in body.items() if k != "rescore"}
+    base = es_search(indexes, inner, size=max(window, size),
+                     tie_breaker=tie_breaker, mode=mode)
+    if "rank" not in base.columns:
+        raise ValueError("rescore needs a ranked base query")
+    si, terms = _es_terms_and_index(indexes, rq["rescore_query"])
+    rows = sorted(base.collect(), key=lambda r: r["rank"])
+    win, tail = rows[:window], rows[window:size]
+    import numpy as np
+
+    ids = np.array([r["doc_id"] for r in win], dtype=np.int64)
+    sp = si._scores_for_docs(terms, ids) if len(win) and terms else None
+    rmap = (dict(zip(sp["doc_id"].tolist(), sp["score"].tolist()))
+            if sp is not None else {})
+    # the base leg combines at its PUBLIC 6dp precision (what any pager
+    # of the base query sees), the rescore leg raw — then one final 6dp
+    combined = sorted(
+        ((r6(qw * r6(r["score"]) + rw * rmap.get(r["doc_id"], 0.0)),
+          r["doc_id"]) for r in win),
+        key=lambda t: (-t[0], t[1]))
+    out = [(i, d, s) for i, (s, d) in enumerate(combined)][:size]
+    out += [(len(out) + j, r["doc_id"], r6(r["score"]))
+            for j, r in enumerate(tail)]
+    spark = si.spark
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["rank", "doc_id", "score"])
+        if out else [],
+        "rank bigint, doc_id bigint, score double")
+
+
+def _es_collapse(indexes, body: dict, col_spec: dict,
+                 size: int) -> DataFrame:
+    """ES `collapse`: field collapsing — one hit per distinct value of a
+    doc-store column, each group represented by its best hit, top-k over
+    the group winners. Returns (rank, doc_id, score, <field>).
+
+    Plan: complete score relation off the pruned segment scan
+    (score_all) joined to the doc_store's (doc_id, field) projection
+    (pushed-down two-column scan), one window per field value, one
+    global top-k — exact over the ENTIRE match set, not a re-grouped
+    top-window approximation. Tombstoned docs drop before grouping, so
+    a dead group-winner never shadows its group."""
+    fld = str(col_spec["field"])
+    si, terms = _es_terms_and_index(indexes, body["query"])
+    if not terms:
+        return si.spark.createDataFrame(
+            [], f"rank bigint, doc_id bigint, score double, {fld} string")
+    rel = si.score_all(terms)
+    store = si._exclude_dead(si.doc_store()).select("doc_id", fld)
+    j = rel.join(store, "doc_id").select(
+        "doc_id", fld, F.round("score", 6).alias("score"))
+    wg = Window.partitionBy(fld).orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (j.withColumn("_rn", F.row_number().over(wg))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score", fld)
+
+
+def es_suggest(index: SegmentIndex, body: dict) -> DataFrame:
+    """ES term suggester (`suggest` bodies): spell-correction candidates
+    from the INDEX DICTIONARY by Levenshtein distance — the es.suggest
+    endpoint surface. Each named suggester takes {"text": ...,
+    "term": {max_edits, size, suggest_mode}}; suggest_mode 'missing'
+    (the ES default) only corrects analyzed tokens absent from the
+    dictionary, 'always' corrects every token.
+
+    Returns one relation: (suggest, token, option, dist, freq) — freq is
+    the option's doc freq, options ranked (dist asc, freq desc, option
+    asc) per token, `size` per token. Plan: the token list broadcasts
+    against the term_stats dictionary scan, distance JVM-side
+    (F.levenshtein), one window per token — no corpus scan."""
+    sugg = body.get("suggest", body)
+    spark = index.spark
+    schema = ("suggest string, token string, option string, "
+              "dist int, freq bigint")
+    outs = []
+    for name, spec in sugg.items():
+        text = str(spec["text"])
+        tspec = spec.get("term") or {}
+        max_edits = int(tspec.get("max_edits", 1))
+        per = int(tspec.get("size", 5))
+        smode = tspec.get("suggest_mode", "missing")
+        toks = sorted(set(index.analyze_query(text)))
+        if smode == "missing":
+            dfs = index.term_dfs(toks)
+            toks = [t for t in toks if dfs.get(t, 0) == 0]
+        elif smode != "always":
+            raise ValueError(f"unsupported suggest_mode: {smode}")
+        if not toks:
+            continue
+        tok_df = spark.createDataFrame([(t,) for t in toks],
+                                       "token string")
+        cand = (index._tstats.crossJoin(F.broadcast(tok_df))
+                .withColumn("dist",
+                            F.levenshtein(F.col("term"), F.col("token")))
+                .filter((F.col("dist") <= max_edits)
+                        & (F.col("term") != F.col("token"))))
+        wt = Window.partitionBy("token").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term"))
+        outs.append(
+            cand.withColumn("_rn", F.row_number().over(wt))
+            .filter(F.col("_rn") <= per)
+            .select(F.lit(name).alias("suggest"), "token",
+                    F.col("term").alias("option"),
+                    F.col("dist").cast("int").alias("dist"),
+                    F.col("df").cast("bigint").alias("freq")))
+    if not outs:
+        return spark.createDataFrame([], schema)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def es_msearch(indexes, bodies: list[dict], size: int = 10, *,

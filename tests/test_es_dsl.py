@@ -1019,7 +1019,7 @@ def prose_idx(spark, tmp_path_factory):
     from newssearchengine_spark.plans.index_build import build_index
 
     words = ["merge", "table", "window", "stream", "hash", "sort",
-             "probe", "spill", "scan", "join"]
+             "probe", "spill", "scan", "join", "tables"]
     rows = [(i, " ".join(words[(i + j) % len(words)]
                          for j in range(12)))
             for i in range(40)]
@@ -1105,3 +1105,128 @@ def test_es_msearch_rejections(two_field):
     with pytest.raises(ValueError, match="OR-matching"):
         es_msearch(idxs["text"], [{"query": {"query_string": {
             "fields": ["text"], "query": "a AND b"}}}])
+
+
+def test_es_rescore_semantics(prose_idx):
+    """rescore == python recomputation from the engine's own base hits
+    and rescore leaf scores; rw=0 degenerates to the base ranking."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs, si = prose_idx
+
+    def r6(x):
+        return float(Decimal(repr(float(x)))
+                     .quantize(Decimal("0.000001"),
+                               rounding=ROUND_HALF_UP))
+
+    base_body = {"query": {"match": {"text": "merge table"}}}
+    body = dict(base_body, rescore={
+        "window_size": 8,
+        "query": {"rescore_query": {"match": {"text": "window stream"}},
+                  "query_weight": 1.0, "rescore_query_weight": 2.0}})
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in es_search(si, body, size=8).collect()]
+    base = sorted(es_search(si, base_body, size=8).collect(),
+                  key=lambda r: r["rank"])
+    rterms = sorted(set(si.analyze_query("window stream")))
+    rmap = {r["doc_id"]: r["score"]
+            for r in si.score_all(rterms).collect()}
+    want = sorted(((r6(r6(r["score"]) + 2.0 * rmap.get(r["doc_id"], 0.0)),
+                    r["doc_id"]) for r in base),
+                  key=lambda t: (-t[0], t[1]))
+    assert got == [(i, d, s) for i, (s, d) in enumerate(want)] and got
+    # rw=0: ranking collapses back to the base order
+    body0 = dict(base_body, rescore={
+        "window_size": 8,
+        "query": {"rescore_query": {"match": {"text": "window stream"}},
+                  "query_weight": 1.0, "rescore_query_weight": 0.0}})
+    got0 = [(r["rank"], r["doc_id"]) for r in
+            es_search(si, body0, size=8).collect()]
+    assert got0 == [(r["rank"], r["doc_id"]) for r in base]
+
+
+def test_es_rescore_tail_keeps_base_order(prose_idx):
+    """size > window: ranks past the window keep the base ordering and
+    base (6dp) scores below the rescored block — the ES concat."""
+    _, si = prose_idx
+    base_body = {"query": {"match": {"text": "merge table"}}}
+    body = dict(base_body, rescore={
+        "window_size": 4,
+        "query": {"rescore_query": {"match": {"text": "window"}},
+                  "rescore_query_weight": 3.0}})
+    got = sorted(es_search(si, body, size=10).collect(),
+                 key=lambda r: r["rank"])
+    base = sorted(es_search(si, base_body, size=10).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got[4:]] == [r["doc_id"] for r in base[4:]]
+    assert {r["doc_id"] for r in got[:4]} == {r["doc_id"] for r in base[:4]}
+
+
+def test_es_collapse_semantics(two_field):
+    """collapse == best hit per field value over the COMPLETE match set,
+    recomputed in python from the engine's own leaf relations."""
+    two, idxs = two_field
+    si = idxs["text"]
+    body = {"query": {"match": {"text": "nodeCursor shardGroup"}},
+            "collapse": {"field": "repo"}}
+    got = [(r["rank"], r["doc_id"], r["score"], r["repo"])
+           for r in es_search(idxs, body, size=6).collect()]
+    terms = sorted(set(si.analyze_query("nodeCursor shardGroup")))
+    scores = {r["doc_id"]: round(r["score"], 6)
+              for r in si.score_all(terms).collect()}
+    repo_of = {r["doc_id"]: r["repo"]
+               for r in two.select("doc_id", "repo").collect()}
+    best: dict[str, tuple] = {}
+    for d, s in scores.items():
+        key = repo_of[d]
+        cand = (-s, d)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    want = sorted(((-s, d, repo) for repo, (s, d) in
+                   ((k, v) for k, v in best.items())),
+                  key=lambda t: (-t[0], t[1]))[:6]
+    assert got == [(i, d, s, repo)
+                   for i, (s, d, repo) in enumerate(want)] and got
+    assert len({r[3] for r in got}) == len(got)  # one hit per repo
+
+
+def test_es_suggest_semantics(prose_idx):
+    """term suggester == python Levenshtein over the index dictionary;
+    suggest_mode 'missing' skips in-dictionary tokens."""
+    import os
+
+    from newssearchengine_spark.plans.dsl import es_suggest
+
+    _, si = prose_idx
+    stats = {r["term"]: r["df"] for r in si.spark.read.parquet(
+        os.path.join(si.index_dir, "term_stats")).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    body = {"suggest": {"fix": {"text": "tble mrge",
+                                "term": {"max_edits": 1, "size": 3}}}}
+    got = [(r["token"], r["option"], r["dist"], r["freq"])
+           for r in es_suggest(si, body).collect()]
+    want = []
+    for tok in ("mrge", "tble"):
+        cand = sorted(
+            ((lev(t, tok), -df, t) for t, df in stats.items()
+             if t != tok and lev(t, tok) <= 1),
+        )[:3]
+        want += [(tok, t, d, -ndf) for d, ndf, t in cand]
+    assert sorted(got) == sorted(want) and got
+    # in-dictionary token with a 1-edit neighbor ('tables'): 'missing'
+    # (the ES default) skips it, 'always' corrects it anyway
+    body_in = {"suggest": {"fix": {"text": "table",
+                                   "term": {"max_edits": 1, "size": 3}}}}
+    assert es_suggest(si, body_in).count() == 0
+    body_in["suggest"]["fix"]["term"]["suggest_mode"] = "always"
+    opts = {r["option"] for r in es_suggest(si, body_in).collect()}
+    assert "tables" in opts
