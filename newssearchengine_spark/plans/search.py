@@ -1632,18 +1632,24 @@ class SegmentIndex:
         doc at score 0 (ES match_all-with-exclusions). Unsatisfiable
         msm (> its node's should count) empties that node, never errors.
 
-        Plan (Spark-first, no driver loop): each leaf clause is ONE
-        complete (doc_id, score) relation off the pruned segment scan
-        (score_all — exact taat; per-doc ranges are disjoint so per-part
-        scores are complete); each bool node is a unionByName of its
-        role-tagged child relations + ONE hash aggregation (score sum +
-        per-role distinct-clause counts) + the match predicate. Catalyst
-        pipelines the whole tree into a single job with map-side partial
-        aggregation. At 100x scale a nested tree scores every posting of
-        its scoring terms — WAND/driver-pruned regimes stay on the flat
-        paths, which the DSL adapter still routes to whenever a body has
-        no nested bool. Rounded 6dp before the (score desc, doc_id asc)
-        top-k cut — the shared ranked-method tail.
+        Plan (Spark-first, ONE scan + ONE shuffle for the WHOLE tree,
+        any depth): every distinct term clause in the tree shares a
+        single pruned segment scan emitting per-term BM25 partials
+        (_term_scores), fanned to its clauses by a broadcast term->
+        clause map join; metadata filter clauses ride the same union as
+        pushed-down doc_store id streams. ONE hash aggregation per
+        query produces each clause's match flag and score sum per doc,
+        and the ENTIRE node tree — every level — compiles to Catalyst
+        column expressions over those flags (matched = musts AND
+        filters AND NOT must_nots AND >= msm shoulds; score = sum of
+        matching scoring children, a nested child gated by its own
+        matched expression). No per-node aggregation, no per-leaf
+        re-scan. At 100x scale a nested tree still scores every posting
+        of its scoring terms exactly once — WAND/driver-pruned regimes
+        stay on the flat paths, which the DSL adapter still routes to
+        whenever a body has no nested bool. Rounded 6dp before the
+        (score desc, doc_id asc) top-k cut — the shared ranked-method
+        tail.
 
         Reference parity: the reference's ES backend accepts nested bool
         bodies natively (es.search callers, e.g.
@@ -1667,116 +1673,210 @@ class SegmentIndex:
             "doc_id", "score",
         )
 
+    def _term_scores(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, score) BM25-partial relation for the given
+        terms — ONE pruned segment scan shared by every clause of a
+        bool tree (each posting decoded and scored exactly once, however
+        many clauses reference its term). Absent terms emit no rows."""
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        schema = "term string, doc_id bigint, score double"
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        idf_map = {t: float(lucene_idf(n_docs, float(dfs[t])))
+                   for t in terms}
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        seg = (
+            self._segments
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("doc_part", "term", "docs", "tfs", "dls")
+        )
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_postings(row.docs, row.tfs,
+                                                row.dls)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                sc = (idf_map[row.term] * (tf * (k1 + 1.0))
+                      / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                outs.append(pd.DataFrame(
+                    {"term": row.term, "doc_id": ids, "score": sc}))
+            if not outs:
+                return pd.DataFrame({
+                    "term": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        return self._by_part(seg).applyInPandas(emit, schema)
+
     def _bool_tree_rel(self, node: dict):
-        """Complete (doc_id, score) relation of one bool-tree node, or
-        None for a node with no effective clause (every child leniency-
-        dropped, same no-op rule as the flat adapters). See
-        search_bool_tree for the semantics and the plan shape."""
+        """Complete (doc_id, score) relation of a bool tree, or None for
+        a tree with no effective clause (every child leniency-dropped,
+        same no-op rule as the flat adapters). See search_bool_tree for
+        semantics; this is the single-scan/single-shuffle compiler:
+        clause rows -> one aggregation -> the tree as expressions."""
+        from functools import reduce
+        from operator import and_, or_
+
         def term_clause(c) -> list:
             toks = sorted({c} if isinstance(c, str) else set(c))
             return [t for t in toks if t]
 
-        def scoring_rel(c):
-            if isinstance(c, dict):
-                return self._bool_tree_rel(c)
-            toks = term_clause(c)
-            if not toks:
+        cids: list[tuple] = []          # term clauses (token tuples)
+        cid_of: dict[tuple, int] = {}   # dedup identical clauses
+        metas: list[list[tuple]] = []   # meta clause groups
+
+        def term_leaf(toks):
+            key = tuple(toks)
+            if key not in cid_of:
+                cid_of[key] = len(cids)
+                cids.append(key)
+            return ("t", cid_of[key])
+
+        def norm(nd: dict):
+            """Normalize to {"must"/"should"/"must_not"/"filter":
+            [("t",i) | ("meta",j) | node], "msm": int}; None = no-op."""
+            out = {"must": [], "should": [], "must_not": [],
+                   "filter": [],
+                   "msm": int(nd.get("minimum_should_match", 0))}
+
+            def child(c):
+                if isinstance(c, dict):
+                    return norm(c)
+                toks = term_clause(c)
+                return term_leaf(toks) if toks else None
+
+            for role in ("must", "should", "must_not"):
+                for c in (nd.get(role) or []):
+                    x = child(c)
+                    if x is not None:
+                        out[role].append(x)
+            plain = []
+            for f in (nd.get("filter") or []):
+                if isinstance(f, dict) and any(
+                        kk in f for kk in ("must", "should", "must_not",
+                                           "filter")):
+                    x = norm(f)
+                    if x is not None:
+                        out["filter"].append(x)
+                else:
+                    plain.append(f)
+            if plain:
+                fcl, mcl = self._parse_filters(plain)
+                for toks in fcl:
+                    out["filter"].append(term_leaf(toks))
+                if mcl:
+                    metas.append(mcl)
+                    out["filter"].append(("meta", len(metas) - 1))
+            if not (out["must"] or out["should"] or out["must_not"]
+                    or out["filter"]):
                 return None
-            # absent terms keep the clause REAL: score_all returns the
-            # empty relation, which as a must child is unsatisfiable —
-            # matching search_bool's absent-term behavior
-            return self.score_all(toks).select("doc_id", "score")
+            return out
 
-        def member_rel(c):
-            if isinstance(c, dict):
-                r = self._bool_tree_rel(c)
-                return None if r is None else r.select("doc_id")
-            toks = term_clause(c)
-            if not toks:
-                return None
-            return self._term_docs(toks).select("doc_id").distinct()
+        root = norm(node)
+        if root is None:
+            return None
 
-        parts: list[DataFrame] = []
-        cid = 0
+        # a node whose only children are must_nots matches every OTHER
+        # doc (ES match_all-with-exclusions) — those docs may have no
+        # clause row at all, so the union needs a doc_store row source
+        def needs_all(x) -> bool:
+            if isinstance(x, tuple):
+                return False
+            if (x["must_not"] and not x["must"] and not x["should"]
+                    and not x["filter"]):
+                return True
+            return any(needs_all(c) for role in
+                       ("must", "should", "must_not", "filter")
+                       for c in x[role])
 
-        def tag(rel: DataFrame, role: str, scored: bool = True):
-            nonlocal cid
-            sc = F.col("score") if scored else F.lit(0.0)
-            parts.append(rel.select(
-                "doc_id", sc.cast("double").alias("score"),
-                F.lit(cid).alias("cid"), F.lit(role).alias("role")))
-            cid += 1
-
-        n_must = n_should = n_filt = 0
-        for c in (node.get("must") or []):
-            r = scoring_rel(c)
-            if r is not None:
-                tag(r, "m")
-                n_must += 1
-        for c in (node.get("should") or []):
-            r = scoring_rel(c)
-            if r is not None:
-                tag(r, "s")
-                n_should += 1
-        for c in (node.get("must_not") or []):
-            r = member_rel(c)
-            if r is not None:
-                tag(r, "n", scored=False)
-        # filter context: nested nodes recurse (score dropped); plain
-        # entries take the _parse_filters grammar. Metadata clauses AND
-        # together into ONE pushed-down doc_store scan.
-        plain = []
-        for f in (node.get("filter") or []):
-            if isinstance(f, dict) and any(
-                    kk in f for kk in ("must", "should", "must_not",
-                                       "filter")):
-                r = self._bool_tree_rel(f)
-                if r is not None:
-                    tag(r.select("doc_id"), "f", scored=False)
-                    n_filt += 1
-            else:
-                plain.append(f)
-        if plain:
-            filt_clauses, meta_clauses = self._parse_filters(plain)
-            for toks in filt_clauses:
-                tag(self._term_docs(toks).select("doc_id").distinct(),
-                    "f", scored=False)
-                n_filt += 1
-            if meta_clauses:
-                tag(self.doc_store()
-                        .filter(_meta_filter_pred(meta_clauses))
-                        .select("doc_id"),
-                    "f", scored=False)
-                n_filt += 1
+        # ---- clause rows: ONE scan + broadcast fan-out + meta streams
+        all_terms = sorted({t for key in cids for t in key})
+        parts = []
+        if all_terms:
+            fan = self.spark.createDataFrame(
+                [(t, i) for i, key in enumerate(cids) for t in key],
+                "term string, cid int")
+            parts.append(
+                self._term_scores(all_terms)
+                .join(F.broadcast(fan), "term")
+                .select("doc_id", "cid", "score"))
+        for j, mcl in enumerate(metas):
+            parts.append(
+                self.doc_store().filter(_meta_filter_pred(mcl))
+                .select("doc_id", F.lit(-(j + 1)).alias("cid"),
+                        F.lit(0.0).alias("score")))
+        if needs_all(root):
+            parts.append(self.doc_store().select(
+                "doc_id", F.lit(-1000000).alias("cid"),
+                F.lit(0.0).alias("score")))
         if not parts:
             return None
-        msm = int(node.get("minimum_should_match", 0))
-        if msm > n_should:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
-        if n_must == 0 and n_should == 0 and n_filt == 0:
-            # only must_not children: every other doc matches at score 0
-            tag(self.doc_store().select("doc_id"), "f", scored=False)
-            n_filt = 1
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        g = u.groupBy("doc_id").agg(
-            F.sum(F.when(F.col("role").isin("m", "s"), F.col("score"))
-                  .otherwise(0.0)).alias("score"),
-            F.countDistinct(
-                F.when(F.col("role") == "m", F.col("cid"))).alias("_mc"),
-            F.countDistinct(
-                F.when(F.col("role") == "s", F.col("cid"))).alias("_sc"),
-            F.countDistinct(
-                F.when(F.col("role") == "f", F.col("cid"))).alias("_fc"),
-            F.max(F.when(F.col("role") == "n", 1).otherwise(0))
-            .alias("_neg"),
-        )
-        return (g.filter((F.col("_mc") == F.lit(n_must))
-                         & (F.col("_fc") == F.lit(n_filt))
-                         & (F.col("_neg") == 0)
-                         & (F.col("_sc") >= F.lit(msm)))
-                .select("doc_id", "score"))
+
+        # ---- ONE aggregation: per-clause match flag + score sum
+        aggs = []
+        for i in range(len(cids)):
+            c = F.col("cid") == i
+            aggs.append(F.max(F.when(c, 1)).alias(f"_m{i}"))
+            aggs.append(F.sum(F.when(c, F.col("score")))
+                        .alias(f"_s{i}"))
+        for j in range(len(metas)):
+            aggs.append(F.max(F.when(F.col("cid") == -(j + 1), 1))
+                        .alias(f"_f{j}"))
+        g = u.groupBy("doc_id").agg(*aggs)
+
+        # ---- the tree as Catalyst expressions over the flags
+        def matched(x):
+            if isinstance(x, tuple):
+                kind, i = x
+                col = f"_m{i}" if kind == "t" else f"_f{i}"
+                return F.coalesce(F.col(col), F.lit(0)) == 1
+            sh = [matched(c) for c in x["should"]]
+            msm = x["msm"]
+            if msm > len(sh):
+                return F.lit(False)  # ES: unsatisfiable msm, not error
+            conds = ([matched(c) for c in x["must"]]
+                     + [matched(c) for c in x["filter"]]
+                     + [~matched(c) for c in x["must_not"]])
+            # ES default: with no must/filter, >= 1 should must match
+            eff = msm if msm > 0 else (
+                0 if (x["must"] or x["filter"]) else (1 if sh else 0))
+            if eff == 1 and sh:
+                conds.append(reduce(or_, sh))
+            elif eff > 1:
+                conds.append(reduce(
+                    lambda a, b: a + b,
+                    [c.cast("int") for c in sh]) >= F.lit(eff))
+            return reduce(and_, conds) if conds else F.lit(True)
+
+        def score(x):
+            if isinstance(x, tuple):
+                kind, i = x
+                return (F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+                        if kind == "t" else F.lit(0.0))
+            kids = x["must"] + x["should"]
+            if not kids:
+                return F.lit(0.0)
+            return reduce(
+                lambda a, b: a + b,
+                [F.when(matched(c), score(c)).otherwise(0.0)
+                 for c in kids])
+
+        return (g.filter(matched(root))
+                .select("doc_id", score(root).alias("score")))
 
     def search_boosting(self, positive, negative, k: int, *,
                         negative_boost: float = 0.5,
