@@ -181,14 +181,18 @@ def es_search(indexes, body: dict, size: int = 10, *,
     source scan.
     """
     q = body.get("query", body)
-    rs = body.get("rescore") if "query" in body else None
-    if rs is not None:
-        return _es_rescore(indexes, body, rs, size,
-                           tie_breaker=tie_breaker, mode=mode)
-    col_spec = body.get("collapse") if "query" in body else None
-    if col_spec is not None:
-        return _es_collapse(indexes, body, col_spec, size)
+    # highlight is checked FIRST so it wraps rescore/collapse: the inner
+    # recursion produces the FINAL ranked hits, then tags them (ES
+    # highlights the response hits, whatever ranking produced them)
     hl = body.get("highlight") if "query" in body else None
+    if hl is None:
+        rs = body.get("rescore") if "query" in body else None
+        if rs is not None:
+            return _es_rescore(indexes, body, rs, size,
+                               tie_breaker=tie_breaker, mode=mode)
+        col_spec = body.get("collapse") if "query" in body else None
+        if col_spec is not None:
+            return _es_collapse(indexes, body, col_spec, size)
     if hl is not None:
         inner = {k: v for k, v in body.items() if k != "highlight"}
         hits = es_search(indexes, inner, size=size,

@@ -1230,3 +1230,21 @@ def test_es_suggest_semantics(prose_idx):
     body_in["suggest"]["fix"]["term"]["suggest_mode"] = "always"
     opts = {r["option"] for r in es_suggest(si, body_in).collect()}
     assert "tables" in opts
+
+
+def test_es_highlight_composes_with_rescore(prose_idx):
+    """highlight wraps rescore: the tagged hits carry the RESCORED
+    ranking, not the base one."""
+    docs, si = prose_idx
+    body = {"query": {"match": {"text": "merge table"}},
+            "rescore": {"window_size": 8,
+                        "query": {"rescore_query":
+                                  {"match": {"text": "window stream"}},
+                                  "rescore_query_weight": 2.0}},
+            "highlight": {"fields": {"text": {}}}}
+    got = es_search(si, body, size=8, source=docs).collect()
+    plain = {k: v for k, v in body.items() if k != "highlight"}
+    want = es_search(si, plain, size=8).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == \
+        [(r["rank"], r["doc_id"], r["score"]) for r in want] and got
+    assert all("<em>" in r["highlighted"] for r in got)
