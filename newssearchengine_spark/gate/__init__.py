@@ -92,6 +92,8 @@ _PRIORITY = [
     "ft_es_msearch",
     # ES two-phase re-rank, field collapsing, and the term suggester
     "ft_es_rescore", "ft_es_collapse", "ft_es_suggest",
+    # ES _count off the complete tree relation
+    "ft_es_count",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -891,6 +891,35 @@ def ft_es_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank", "doc_id", "score")
 
 
+# ES _count: matched-doc count, no ranking — membership sets only.
+def _es_count_sql() -> str:
+    return f"""WITH {TOKENS_CTE},
+m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+m2 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('spark', 'window'))
+SELECT count(*)::BIGINT AS count
+FROM m1 JOIN m2 USING (doc_id)
+WHERE doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM tf WHERE term = 'customer')"""
+
+
+@gate_query("ft_es_count", _es_count_sql())
+def ft_es_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_count` for a nested bool body: docs with 'table' AND
+    ('spark' OR 'window'), NOT 'customer'. The count reads the COMPLETE
+    single-scan tree relation (no top-k truncation, no scoring tail) —
+    postings membership only."""
+    from ..plans.dsl import es_count
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "table"}},
+                 {"bool": {"should": [{"match": {"text": "spark"}},
+                                      {"match": {"text": "window"}}],
+                           "minimum_should_match": 1}}],
+        "must_not": [{"match": {"text": "customer"}}]}}}
+    return es_count(si, body)
+
+
 # ES rescore: cheap base retrieval re-ranked by a second query over the
 # top window only (qw*base + rw*rescore), ES's two-phase ranking shape.
 _RES_BASE = ["merge", "table"]

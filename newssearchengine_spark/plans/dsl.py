@@ -130,6 +130,48 @@ def _parse_boosts(fields: list[str]) -> tuple[list[str], dict[str, float]]:
     return names, boosts
 
 
+def _as_list(v):
+    return v if isinstance(v, list) else [v]
+
+
+def _bool_is_nested(bspec: dict) -> bool:
+    for role in ("must", "should", "must_not"):
+        for c in _as_list(bspec.get(role, [])):
+            if isinstance(c, dict) and next(iter(c)) == "bool":
+                return True
+    return any(isinstance(f, dict) and "bool" in f
+               for f in _as_list(bspec.get("filter", [])))
+
+
+def _bool_to_tree(si, bspec: dict) -> dict:
+    """Translate a (possibly nested) ES bool body into the engine's
+    search_bool_tree node: match clauses analyze to token lists, term
+    stays a literal token, bool recurses; filter entries pass through
+    (the engine's _parse_filters grammar) except nested bools, which
+    recurse."""
+    def conv(c):
+        ck, cs = next(iter(c.items()))
+        if ck == "bool":
+            return _bool_to_tree(si, cs)
+        if ck not in ("match", "term"):
+            raise ValueError(f"unsupported bool clause: {ck}")
+        _, text = _field_text(cs)
+        return si.analyze_query(text) if ck == "match" else [text]
+
+    out = {
+        role: [conv(c) for c in _as_list(bspec.get(role, []))]
+        for role in ("must", "should", "must_not")
+    }
+    out["filter"] = [
+        _bool_to_tree(si, f["bool"])
+        if isinstance(f, dict) and "bool" in f else f
+        for f in _as_list(bspec.get("filter", []))
+    ]
+    out["minimum_should_match"] = int(
+        bspec.get("minimum_should_match", 0))
+    return out
+
+
 def _highlight_terms(si, q: dict) -> list[str]:
     """The analyzed SCORING terms of a query body — what ES's highlighter
     tags (filter/must_not never highlight). Supports the OR-matching
@@ -416,51 +458,10 @@ def es_search(indexes, body: dict, size: int = 10, *,
 
     if kind == "bool":
         si = one()
-
-        def _as_list(v):
-            return v if isinstance(v, list) else [v]
-
-        def _is_nested(bspec: dict) -> bool:
-            for role in ("must", "should", "must_not"):
-                for c in _as_list(bspec.get(role, [])):
-                    if isinstance(c, dict) and next(iter(c)) == "bool":
-                        return True
-            return any(isinstance(f, dict) and "bool" in f
-                       for f in _as_list(bspec.get("filter", [])))
-
-        def _to_tree(bspec: dict) -> dict:
-            """Translate a (possibly nested) ES bool body into the
-            engine's search_bool_tree node: match clauses analyze to
-            token lists, term stays a literal token, bool recurses;
-            filter entries pass through (the engine's _parse_filters
-            grammar) except nested bools, which recurse."""
-            def conv(c):
-                ck, cs = next(iter(c.items()))
-                if ck == "bool":
-                    return _to_tree(cs)
-                if ck not in ("match", "term"):
-                    raise ValueError(f"unsupported bool clause: {ck}")
-                _, text = _field_text(cs)
-                return (si.analyze_query(text) if ck == "match"
-                        else [text])
-            out = {
-                role: [conv(c) for c in _as_list(bspec.get(role, []))]
-                for role in ("must", "should", "must_not")
-            }
-            out["filter"] = [
-                _to_tree(f["bool"])
-                if isinstance(f, dict) and "bool" in f else f
-                for f in _as_list(bspec.get("filter", []))
-            ]
-            out["minimum_should_match"] = int(
-                bspec.get("minimum_should_match", 0))
-            return out
-
-        if _is_nested(spec):
-            # nested bool: the general tree evaluator (union + one hash
-            # aggregation per node); flat bodies keep the WAND/driver-
-            # pruned fast path below
-            return si.search_bool_tree(_to_tree(spec), k=size)
+        if _bool_is_nested(spec):
+            # nested bool: the general single-scan tree evaluator; flat
+            # bodies keep the WAND/driver-pruned fast path below
+            return si.search_bool_tree(_bool_to_tree(si, spec), k=size)
 
         def clauses_of(clauses) -> list[list[str]]:
             """One analyzed term list PER CLAUSE: a multi-token match
@@ -892,6 +893,53 @@ def es_suggest(index: SegmentIndex, body: dict) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def es_count(indexes, body: dict) -> DataFrame:
+    """ES `_count`: the number of docs matching a query, no ranking.
+
+    Returns a one-row (count bigint) relation. Match sets come from the
+    cheapest complete source per kind: postings MEMBERSHIP for the
+    OR-matching kinds (no scoring pass at all — _term_docs), the
+    single-scan tree relation for bool (complete by construction,
+    nested or flat), and a pushed-down doc_store predicate for the
+    metadata lookup kinds (term / terms / range / exists). Tombstoned
+    docs are excluded, matching every query surface."""
+    q = body.get("query", body)
+    kind, spec = next(iter(q.items()))
+    if kind == "bool":
+        # the tree relation is COMPLETE by construction (no top-k),
+        # flat bodies included — count it directly, no ranking pass
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        rel = si._bool_tree_rel(_bool_to_tree(si, spec))
+        if rel is None:
+            rel = si.spark.createDataFrame([], "doc_id bigint, score double")
+        rel = si._exclude_dead(rel.select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind in ("match", "query_string", "multi_match"):
+        si, terms = _es_terms_and_index(indexes, q)
+        if not terms:
+            rel = si.spark.createDataFrame([], "doc_id bigint")
+        else:
+            rel = si._exclude_dead(
+                si._term_docs(terms).select("doc_id").distinct())
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind in ("term", "terms", "range", "exists"):
+        from .search import _meta_filter_pred
+
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        if kind == "exists":
+            mc = [("exists", spec["field"], None)]
+        else:
+            col, sp = next(iter(spec.items()))
+            mc = [(kind, col, sp)]
+        rel = si._exclude_dead(
+            si.doc_store().filter(_meta_filter_pred(mc))
+            .select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    raise ValueError(f"unsupported count query kind: {kind}")
 
 
 def es_msearch(indexes, bodies: list[dict], size: int = 10, *,

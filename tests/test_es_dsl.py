@@ -1248,3 +1248,32 @@ def test_es_highlight_composes_with_rescore(prose_idx):
     assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == \
         [(r["rank"], r["doc_id"], r["score"]) for r in want] and got
     assert all("<em>" in r["highlighted"] for r in got)
+
+
+def test_es_count_semantics(prose_idx):
+    """_count == the distinct matched-doc count, per kind: OR match
+    (postings membership), nested bool (the complete tree relation),
+    and a metadata range predicate."""
+    from newssearchengine_spark.plans.dsl import es_count
+
+    docs, si = prose_idx
+    texts = {r["doc_id"]: set(r["text"].split())
+             for r in docs.collect()}
+    # OR match
+    n = es_count(si, {"query": {"match": {"text": "merge table"}}}
+                 ).collect()[0]["count"]
+    assert n == sum(1 for ts in texts.values()
+                    if ts & {"merge", "table"})
+    # nested bool: merge AND (window OR stream), NOT hash
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "merge"}},
+                 {"bool": {"should": [{"match": {"text": "window"}},
+                                      {"match": {"text": "stream"}}]}}],
+        "must_not": [{"match": {"text": "hash"}}]}}}
+    n2 = es_count(si, body).collect()[0]["count"]
+    assert n2 == sum(
+        1 for ts in texts.values()
+        if "merge" in ts and (ts & {"window", "stream"})
+        and "hash" not in ts)
+    with pytest.raises(ValueError, match="unsupported count"):
+        es_count(si, {"query": {"span_near": {}}})
