@@ -94,6 +94,8 @@ _PRIORITY = [
     "ft_es_rescore", "ft_es_collapse", "ft_es_suggest",
     # ES _count off the complete tree relation
     "ft_es_count",
+    # function_score FUNCTIONS list (filter+weight, score_mode/max_boost)
+    "ft_function_score_fns",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

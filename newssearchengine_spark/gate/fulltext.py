@@ -1910,6 +1910,79 @@ def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search(si, body, size=TOP_K)
 
 
+# -- ES function_score (functions list: filter + weight) ------------------
+_FSF_LEN = 200          # range-filter threshold on n_chars
+_FSF_TERM = "window"    # postings-membership filter term
+_FSF_W1, _FSF_W2 = 1.5, 2.0
+_FSF_MAX_BOOST = 2.5
+
+
+def _function_score_fns_sql(terms: list[str], k: int,
+                            bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+raw AS (SELECT doc_id, sum(p) AS s FROM parts GROUP BY doc_id),
+f2 AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_FSF_TERM}'),
+sc AS (
+  SELECT r.doc_id,
+         round(r.s * least({_FSF_MAX_BOOST},
+             (CASE WHEN d2.n_chars >= {_FSF_LEN} THEN {_FSF_W1} ELSE 1.0 END)
+           * (CASE WHEN f2.doc_id IS NOT NULL THEN {_FSF_W2} ELSE 1.0 END)),
+           6) AS score
+  FROM raw r
+  JOIN documents d2 USING (doc_id)
+  LEFT JOIN f2 ON f2.doc_id = r.doc_id
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_function_score_fns",
+            _function_score_fns_sql(_FS_QUERY, TOP_K))
+def ft_function_score_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score with a FUNCTIONS list through the REAL engine:
+    two filter+weight functions (a doc-store range pushdown on n_chars
+    and a postings-membership match), score_mode=multiply combining the
+    firing weights, capped at max_boost, boost_mode=multiply applying
+    the cap to BM25 — docs matched by no function keep their query
+    score (the ES no-match contract; the oracle's CASE product is 1
+    there and the cap >= 1 never touches it). The engine's WAND-probed
+    bound (unscanned final <= s_m * max combined weight) proves the
+    rounded top-k without scoring the full match set; the oracle scores
+    everything. Regime parity + all five score_modes pinned against a
+    pure-python oracle in tests/test_es_dsl.py."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(_FS_QUERY)}},
+        "functions": [
+            {"filter": {"range": {"n_chars": {"gte": _FSF_LEN}}},
+             "weight": _FSF_W1},
+            {"filter": {"match": {"text": _FSF_TERM}}, "weight": _FSF_W2},
+        ],
+        "score_mode": "multiply",
+        "boost_mode": "multiply",
+        "max_boost": _FSF_MAX_BOOST,
+    }}}
+    return es_search(si, body, size=TOP_K)
+
+
 # -- explicit ES dis_max (per-sub-query texts) ----------------------------
 _DMQ_TITLE_Q = ["join", "query"]
 _DMQ_TEXT_Q = ["hash", "window"]

@@ -598,17 +598,27 @@ def es_search(indexes, body: dict, size: int = 10, *,
                                      negative_boost=nb)
 
     if kind == "function_score":
-        # relevance combined with a per-doc field factor (the ES
-        # boost-by-popularity/recency shape) — exact over the full
-        # match set via search_function_score's bounded probe
-        fvf = spec.get("field_value_factor")
-        if not isinstance(fvf, dict) or "field" not in fvf:
-            raise ValueError(
-                "function_score supports field_value_factor with a "
-                "field (the functions list form is not implemented)")
+        # relevance combined with per-doc boosts — exact over the full
+        # match set via the engine's bounded probes. Two ES shapes:
+        # a functions LIST of filter+weight functions (score_mode /
+        # boost_mode / max_boost), or a single field_value_factor.
         inner = spec.get("query")
         if not inner:
             raise ValueError("function_score needs an inner query")
+        fns = spec.get("functions")
+        if fns is not None:
+            mb = spec.get("max_boost")
+            return one().search_function_score_fns(
+                _or_query_text(inner), list(fns), size,
+                score_mode=str(spec.get("score_mode", "multiply")),
+                boost_mode=str(spec.get("boost_mode", "multiply")),
+                max_boost=float(mb) if mb is not None else None)
+        fvf = spec.get("field_value_factor")
+        if not isinstance(fvf, dict) or "field" not in fvf:
+            raise ValueError(
+                "function_score supports a functions list of "
+                "filter+weight functions, or field_value_factor "
+                "with a field")
         return one().search_function_score(
             _or_query_text(inner), fvf["field"], size,
             factor=float(fvf.get("factor", 1.0)),

@@ -2083,6 +2083,263 @@ class SegmentIndex:
             (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
             "doc_id", "score")
 
+    def search_function_score_fns(self, query, functions, k: int, *,
+                                  score_mode: str = "multiply",
+                                  boost_mode: str = "multiply",
+                                  max_boost=None,
+                                  _raw: bool = False) -> DataFrame:
+        """ES `function_score` with a FUNCTIONS list of filter+weight
+        functions (the other canonical function_score shape next to
+        field_value_factor): each function fires on the docs matching
+        its filter-context clause (no filter = every doc), the firing
+        functions' weights combine under `score_mode`
+        {multiply, sum, max, min, first}, the combination is capped at
+        `max_boost`, and `boost_mode` {multiply, sum} applies it to the
+        BM25 query score. A doc matched by NO function keeps its query
+        score unchanged (the documented ES behavior), so the cap never
+        touches unboosted docs. `score_mode: "avg"` is rejected: ES
+        computes a weighted average there (weights double as both value
+        and averaging weight), a semantics nobody should get silently.
+
+        Filters reuse the bool filter-context grammar (_parse_filters):
+        {"match": ...} clauses are postings MEMBERSHIP (no scoring
+        pass), {"term"|"terms"|"range"|"exists": ...} push down to the
+        doc_store parquet. A match clause whose text analyzes to
+        nothing matches ALL docs (same leniency as the bool adapter).
+
+        Like field_value_factor, a weight can promote docs from
+        arbitrarily deep in the BM25 ranking, so regimes mirror
+        search_function_score:
+
+        - pruned (pos_bound <= BOOL_DRIVER_CAP and every weight >= 0):
+          WAND-probed candidate loop; the max achievable combined
+          factor F_hi is computed from the weights alone on the driver
+          (multiply: product of weights > 1; sum: total; max/min/first:
+          max weight — all upper bounds over non-empty firing subsets
+          when weights are non-negative, then capped at max_boost and
+          floored at the no-match factor), so every unscanned doc's
+          final <= s_m * max(F_hi, 1) (multiply) or s_m + max(F_hi, 0)
+          (sum) — once that falls 1e-6 below the k-th candidate final
+          the rounded top-k is proven. Candidate membership arrives via
+          broadcast semi-joins of <= m ids against the pruned postings
+          scan / doc_store.
+        - distributed fallback: complete score_all(query) left-joined
+          to each function's full membership relation.
+
+        Both regimes share one Catalyst tail (_functions_tail) so
+        scores and 6dp rounding are bit-identical (pytest-pinned).
+        """
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be multiply or sum")
+        if score_mode == "avg":
+            raise ValueError(
+                "score_mode 'avg' is not supported: ES averages weighted "
+                "by the weights themselves (a weighted mean, not an "
+                "arithmetic one) — use sum/multiply/max/min/first")
+        if score_mode not in ("multiply", "sum", "max", "min", "first"):
+            raise ValueError(
+                "score_mode must be multiply, sum, max, min or first")
+        if not functions:
+            raise ValueError("function_score needs a non-empty "
+                             "functions list")
+        parsed = []  # (weight, filt_clauses, meta_clauses)
+        for fn in functions:
+            if not isinstance(fn, dict):
+                raise ValueError("each function must be a dict")
+            extra = set(fn) - {"filter", "weight"}
+            if extra:
+                raise ValueError(
+                    f"unsupported function keys {sorted(extra)}: only "
+                    "weight functions with an optional filter are "
+                    "supported")
+            w = float(fn.get("weight", 1.0))
+            if "filter" in fn:
+                fc, mc = self._parse_filters([fn["filter"]])
+            else:
+                fc, mc = [], []
+            parsed.append((w, fc, mc))
+        ws = [p[0] for p in parsed]
+        mb = float(max_boost) if max_boost is not None else None
+        if not _raw and self.n_deleted():
+            return self._live(k, lambda kk: self.search_function_score_fns(
+                query, functions, kk, score_mode=score_mode,
+                boost_mode=boost_mode, max_boost=max_boost, _raw=True))
+        terms = (self.analyze_query(query) if isinstance(query, str)
+                 else list(query))
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+        n = len(parsed)
+        pos_bound = sum(int(dfs[t]) for t in terms)
+        prunable = (pos_bound <= BOOL_DRIVER_CAP
+                    and all(w >= 0.0 for w in ws))
+        if prunable:
+            if score_mode == "multiply":
+                gt1 = [w for w in ws if w > 1.0]
+                f_hi = max(ws)
+                if gt1:
+                    f_hi = 1.0
+                    for w in gt1:
+                        f_hi *= w
+            elif score_mode == "sum":
+                f_hi = sum(ws)
+            else:
+                f_hi = max(ws)
+            if mb is not None:
+                f_hi = min(f_hi, mb)
+            hi_eff = (max(f_hi, 1.0) if boost_mode == "multiply"
+                      else max(f_hi, 0.0))
+            m = min(max(4 * k, 64), pos_bound)
+            while m > 0:
+                cand = (self.search(terms, m, mode="wand", _raw=True)
+                        .toPandas().sort_values("rank"))
+                exhausted = len(cand) < m or m >= pos_bound
+                ids = cand["doc_id"].to_numpy(np.int64)
+                raw = cand["score"].to_numpy(np.float64)
+                cdf = F.broadcast(self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": ids}), "doc_id bigint"))
+                flags = []
+                for w, fc, mc in parsed:
+                    if not fc and not mc:
+                        flags.append(np.ones(len(ids), dtype=bool))
+                        continue
+                    member = None
+                    for toks in fc:
+                        got = {r["doc_id"] for r in self._term_docs(toks)
+                               .select("doc_id").distinct()
+                               .join(cdf, "doc_id", "left_semi").collect()}
+                        member = got if member is None else (member & got)
+                    if mc:
+                        got = {r["doc_id"] for r in self.doc_store()
+                               .filter(_meta_filter_pred(mc))
+                               .select("doc_id")
+                               .join(cdf, "doc_id", "left_semi").collect()}
+                        member = got if member is None else (member & got)
+                    if member:
+                        arr = np.fromiter(member, np.int64, len(member))
+                        flags.append(np.isin(ids, arr))
+                    else:
+                        flags.append(np.zeros(len(ids), dtype=bool))
+                matched = np.zeros(len(ids), dtype=bool)
+                for f in flags:
+                    matched |= f
+                if score_mode == "multiply":
+                    comb = np.ones(len(ids))
+                    for f, w in zip(flags, ws):
+                        comb *= np.where(f, w, 1.0)
+                elif score_mode == "sum":
+                    comb = np.zeros(len(ids))
+                    for f, w in zip(flags, ws):
+                        comb += np.where(f, w, 0.0)
+                elif score_mode == "max":
+                    comb = np.full(len(ids), -np.inf)
+                    for f, w in zip(flags, ws):
+                        comb = np.maximum(comb, np.where(f, w, -np.inf))
+                elif score_mode == "min":
+                    comb = np.full(len(ids), np.inf)
+                    for f, w in zip(flags, ws):
+                        comb = np.minimum(comb, np.where(f, w, np.inf))
+                else:  # first
+                    comb = np.zeros(len(ids))
+                    assigned = np.zeros(len(ids), dtype=bool)
+                    for f, w in zip(flags, ws):
+                        take = f & ~assigned
+                        comb[take] = w
+                        assigned |= f
+                if mb is not None:
+                    comb = np.minimum(comb, mb)
+                final = np.where(
+                    matched,
+                    raw * comb if boost_mode == "multiply" else raw + comb,
+                    raw)
+                if len(final) >= k:
+                    theta = np.partition(
+                        final, len(final) - k)[len(final) - k]
+                    bound = (raw[-1] * hi_eff
+                             if boost_mode == "multiply"
+                             else raw[-1] + hi_eff)
+                    proven = bound < theta - 1e-6
+                else:
+                    proven = False
+                if exhausted or proven:
+                    pdf = pd.DataFrame({"doc_id": ids, "score": raw})
+                    for i, f in enumerate(flags):
+                        pdf[f"f{i}"] = f
+                    schema = ("doc_id bigint, score double, "
+                              + ", ".join(f"f{i} boolean"
+                                          for i in range(n)))
+                    rel = self.spark.createDataFrame(pdf, schema)
+                    return self._functions_tail(
+                        rel, ws, score_mode, boost_mode, mb, k)
+                if m >= pos_bound:
+                    break
+                m = min(m * 8, pos_bound)
+        rel = self.score_all(terms)
+        for i, (w, fc, mc) in enumerate(parsed):
+            if not fc and not mc:
+                rel = rel.withColumn(f"f{i}", F.lit(True))
+                continue
+            mem = None
+            for toks in fc:
+                r = self._term_docs(toks).select("doc_id").distinct()
+                mem = r if mem is None else mem.join(r, "doc_id",
+                                                     "left_semi")
+            if mc:
+                r = (self.doc_store().filter(_meta_filter_pred(mc))
+                     .select("doc_id"))
+                mem = r if mem is None else mem.join(r, "doc_id",
+                                                     "left_semi")
+            rel = rel.join(mem.withColumn(f"f{i}", F.lit(True)),
+                           "doc_id", "left")
+        return self._functions_tail(rel, ws, score_mode, boost_mode, mb, k)
+
+    def _functions_tail(self, rel: DataFrame, ws: list, score_mode: str,
+                        boost_mode: str, mb, k: int) -> DataFrame:
+        """Shared combine + round + top-k tail over (doc_id, score,
+        f0..f{n-1} boolean) — both search_function_score_fns regimes run
+        these exact expressions, so scores are bit-identical across
+        regimes. A doc with no firing function keeps its query score
+        (uncapped — the ES no-match contract)."""
+        n = len(ws)
+        flags = [F.coalesce(F.col(f"f{i}"), F.lit(False)) for i in range(n)]
+        wl = [F.lit(float(w)) for w in ws]
+        matched = flags[0]
+        for fl in flags[1:]:
+            matched = matched | fl
+        if score_mode == "multiply":
+            combined = F.lit(1.0)
+            for fl, w in zip(flags, wl):
+                combined = combined * F.when(fl, w).otherwise(F.lit(1.0))
+        elif score_mode == "sum":
+            combined = F.lit(0.0)
+            for fl, w in zip(flags, wl):
+                combined = combined + F.when(fl, w).otherwise(F.lit(0.0))
+        elif score_mode == "max":
+            parts = [F.when(fl, w) for fl, w in zip(flags, wl)]
+            combined = parts[0] if n == 1 else F.greatest(*parts)
+        elif score_mode == "min":
+            parts = [F.when(fl, w) for fl, w in zip(flags, wl)]
+            combined = parts[0] if n == 1 else F.least(*parts)
+        else:  # first: the first firing function in list order
+            combined = F.coalesce(
+                *[F.when(fl, w) for fl, w in zip(flags, wl)], F.lit(0.0))
+        if mb is not None:
+            combined = F.least(combined, F.lit(float(mb)))
+        op = (F.col("score") * combined if boost_mode == "multiply"
+              else F.col("score") + combined)
+        rounded = rel.select(
+            "doc_id",
+            F.round(F.when(matched, op).otherwise(F.col("score")),
+                    6).alias("score"))
+        topk = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
+
     def _boosting_tail(self, rel: DataFrame, nb: float, k: int) -> DataFrame:
         """Shared demote + round + top-k tail over (doc_id, score, neg) —
         both search_boosting regimes run these exact expressions."""

@@ -810,6 +810,127 @@ def test_function_score_and_exists(two_field, monkeypatch):
         si.search_function_score("node", "content_len", 5, boost_mode="max")
 
 
+def test_function_score_functions_list(two_field, monkeypatch):
+    """function_score FUNCTIONS list (filter+weight): every score_mode
+    matches an independent pure-python oracle (pure.OracleIndex BM25 +
+    python membership + python combine), the pruned WAND-probe regime
+    is row-identical to the forced-distributed regime, docs matched by
+    no function keep their query score, and the rejection surface
+    (avg / bad keys / bad boost_mode) raises."""
+    from newssearchengine_spark.oracle import pure
+    from newssearchengine_spark.plans import search as search_mod
+
+    two, idxs = two_field
+    si = idxs["text"]
+    raw = {r["doc_id"]: r["text"]
+           for r in two.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    qterms = sorted(set(pure.analyze("node cursor", si.analyzer)))
+    match = sorted(d for d in raw
+                   if set(qterms) & set(pure.analyze(raw[d], si.analyzer)))
+    assert len(match) > 30
+    base = {d: oidx.score(qterms, d) for d in match}
+    # function 0: length range (metadata pushdown); threshold at the
+    # median so the filter genuinely splits the match set
+    med = sorted(len(raw[d]) for d in match)[len(match) // 2]
+    # function 1: postings membership on a term some-but-not-all docs
+    # contain
+    mtok = sorted(set(pure.analyze("shard", si.analyzer)))
+    members1 = {d for d in raw
+                if set(mtok) & set(pure.analyze(raw[d], si.analyzer))}
+    assert 0 < len(members1 & set(match)) < len(match)
+    fns = [
+        {"filter": {"range": {"content_len": {"gte": med}}}, "weight": 1.5},
+        {"filter": {"match": {"text": "shard"}}, "weight": 2.0},
+    ]
+    k = 15
+    mb = 2.5
+    for score_mode in ("multiply", "sum", "max", "min", "first"):
+        for boost_mode in ("multiply", "sum"):
+            body = {"query": {"function_score": {
+                "query": {"match": {"text": "node cursor"}},
+                "functions": fns,
+                "score_mode": score_mode,
+                "boost_mode": boost_mode,
+                "max_boost": mb,
+            }}}
+            got = es_search(si, body, size=k).collect()
+            # forced-distributed regime: identical rows
+            monkeypatch.setattr(search_mod, "BOOL_DRIVER_CAP", -1)
+            dist = es_search(si, body, size=k).collect()
+            monkeypatch.undo()
+            assert [tuple(r) for r in got] == [tuple(r) for r in dist], \
+                (score_mode, boost_mode)
+            # pure-python oracle
+            want = []
+            for d in match:
+                firing = []
+                if len(raw[d]) >= med:
+                    firing.append(1.5)
+                if d in members1:
+                    firing.append(2.0)
+                if not firing:
+                    fin = base[d]
+                else:
+                    if score_mode == "multiply":
+                        comb = 1.0
+                        for w in firing:
+                            comb *= w
+                    elif score_mode == "sum":
+                        comb = sum(firing)
+                    elif score_mode == "max":
+                        comb = max(firing)
+                    elif score_mode == "min":
+                        comb = min(firing)
+                    else:
+                        comb = firing[0]
+                    comb = min(comb, mb)
+                    fin = (base[d] * comb if boost_mode == "multiply"
+                           else base[d] + comb)
+                want.append((d, fin))
+            want.sort(key=lambda t: (-round(t[1], 6), t[0]))
+            assert [r["doc_id"] for r in got] == [d for d, _ in want[:k]], \
+                (score_mode, boost_mode)
+            for r, (_, fin) in zip(got, want[:k]):
+                assert r["score"] == pytest.approx(fin, abs=2e-6)
+
+    # no firing function -> scores identical to the plain rounded search
+    body_nomatch = {"query": {"function_score": {
+        "query": {"match": {"text": "node cursor"}},
+        "functions": [
+            {"filter": {"range": {"content_len": {"gte": 10 ** 9}}},
+             "weight": 9.0}],
+    }}}
+    got = es_search(si, body_nomatch, size=k).collect()
+    plain = si.search(qterms, k).select(
+        "rank", "doc_id", F.round("score", 6).alias("score")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in plain]
+
+    # an always-firing function (no filter) through score_mode first
+    body_first = {"query": {"function_score": {
+        "query": {"match": {"text": "node cursor"}},
+        "functions": [{"filter": {"match": {"text": "shard"}},
+                       "weight": 3.0},
+                      {"weight": 0.5}],
+        "score_mode": "first",
+    }}}
+    got = {r["doc_id"]: r["score"]
+           for r in es_search(si, body_first, size=k).collect()}
+    for d, s in got.items():
+        w = 3.0 if d in members1 else 0.5
+        assert s == pytest.approx(base[d] * w, abs=2e-6)
+
+    with pytest.raises(ValueError, match="avg"):
+        si.search_function_score_fns("node", fns, 5, score_mode="avg")
+    with pytest.raises(ValueError, match="unsupported function keys"):
+        si.search_function_score_fns(
+            "node", [{"random_score": {}, "weight": 2.0}], 5)
+    with pytest.raises(ValueError, match="boost_mode"):
+        si.search_function_score_fns("node", fns, 5, boost_mode="max")
+    with pytest.raises(ValueError, match="non-empty"):
+        si.search_function_score_fns("node", [], 5)
+
+
 def test_dis_max_per_field_texts(two_field):
     """Explicit dis_max: each sub-query's text scores its own field
     (per-field query dict through search_dismax), boosts ride the match
