@@ -96,6 +96,8 @@ _PRIORITY = [
     "ft_es_count",
     # function_score FUNCTIONS list (filter+weight, score_mode/max_boost)
     "ft_function_score_fns",
+    # match object-form operator:'and' (every analyzed token required)
+    "ft_match_and",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

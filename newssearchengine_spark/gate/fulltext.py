@@ -764,6 +764,56 @@ def ft_bool_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# -- ES match with operator:'and' (every analyzed token required) --------
+_MAND_QUERY = "table merge"
+_MAND_TERMS = ["merge", "table"]
+
+
+def _match_and_sql(terms: list[str], k: int,
+                   bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    ts = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{ts}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc0 AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id),
+mok AS (
+  SELECT doc_id FROM tf WHERE term IN ({ts})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(terms))}
+),
+sc AS (SELECT s.doc_id, s.score FROM sc0 s JOIN mok USING (doc_id))
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_match_and", _match_and_sql(_MAND_TERMS, TOP_K))
+def ft_match_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match with operator:'and' through the adapter: the object-form
+    match option that changes the MATCH SET (every analyzed token
+    required; scoring stays the summed BM25 of all tokens). Routed to
+    search_bool with one must clause per token — dropping the operator
+    silently would return OR hits, a wrong answer, so the adapter now
+    honors it (object-form oracle parity in tests/test_es_dsl.py)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match": {"text": {
+        "query": _MAND_QUERY, "operator": "and"}}}}
+    return es_search(si, body, size=TOP_K)
+
+
 _MIXED_GROUPS = [["table", "merge"], ["window", "customer"]]
 
 

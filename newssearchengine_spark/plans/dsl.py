@@ -446,7 +446,52 @@ def es_search(indexes, body: dict, size: int = 10, *,
 
     if kind == "match":
         field, text = _field_text(spec)
-        return one(field).search(text, size, mode=mode)
+        si = one(field)
+        val = next(iter(spec.values()))
+        if isinstance(val, dict):
+            # the object form carries ES match options the tuple form
+            # can't: operator/minimum_should_match change the MATCH SET
+            # (dropping them silently would return wrong hits), boost
+            # scales the scores
+            op = str(val.get("operator", "or")).lower()
+            if op not in ("or", "and"):
+                raise ValueError(f"unsupported match operator: {op}")
+            msm = val.get("minimum_should_match")
+            boost = float(val.get("boost", 1.0))
+            toks = sorted(set(si.analyze_query(text)))
+            out = None
+            if op == "and":
+                if msm is not None:
+                    raise ValueError(
+                        "minimum_should_match is a no-op under "
+                        "operator:'and' (ES ignores it); drop one")
+                if not toks:
+                    return si.spark.createDataFrame(
+                        [], "rank bigint, doc_id bigint, score double")
+                # every token required, scored by the summed BM25 of
+                # all tokens — one must clause per token
+                out = si.search_bool(must=[[t] for t in toks], k=size)
+            elif msm is not None:
+                if isinstance(msm, str):
+                    raise ValueError(
+                        "percentage minimum_should_match is not "
+                        "supported (pass an integer)")
+                out = si.search_bool(should=toks,
+                                     minimum_should_match=int(msm),
+                                     k=size)
+            if out is not None:
+                if boost != 1.0:
+                    out = out.select(
+                        "rank", "doc_id",
+                        F.round(F.col("score") * F.lit(boost), 6)
+                        .alias("score"))
+                return out
+            if boost != 1.0:
+                return si.search(text, size, mode=mode).select(
+                    "rank", "doc_id",
+                    F.round(F.col("score") * F.lit(boost), 6)
+                    .alias("score"))
+        return si.search(text, size, mode=mode)
 
     if kind == "match_phrase":
         field, text = _field_text(spec)

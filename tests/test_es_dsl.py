@@ -810,6 +810,78 @@ def test_function_score_and_exists(two_field, monkeypatch):
         si.search_function_score("node", "content_len", 5, boost_mode="max")
 
 
+def test_match_operator_and_msm_boost(two_field):
+    """The ES match OBJECT form's semantics-changing options: operator
+    'and' requires EVERY analyzed token (scored by the same summed
+    BM25, matching a pure-python oracle), integer minimum_should_match
+    requires that many distinct tokens, boost scales the scores —
+    none of them may be silently dropped."""
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    si = idxs["text"]
+    raw = {r["doc_id"]: r["text"]
+           for r in two.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    qterms = sorted(set(pure.analyze("node cursor", si.analyzer)))
+    assert len(qterms) == 2
+    tokd = {d: set(pure.analyze(t, si.analyzer)) for d, t in raw.items()}
+    both = sorted(d for d in raw if set(qterms) <= tokd[d])
+    any_ = sorted(d for d in raw if set(qterms) & tokd[d])
+    assert 0 < len(both) < len(any_)
+
+    body_and = {"query": {"match": {"text": {
+        "query": "node cursor", "operator": "and"}}}}
+    got = es_search(si, body_and, size=400).collect()
+    assert sorted(r["doc_id"] for r in got) == both
+    for r in got:
+        assert r["score"] == pytest.approx(
+            oidx.score(qterms, r["doc_id"]), abs=2e-6)
+
+    # msm=2 over two tokens == operator and (same match set and scores)
+    body_msm = {"query": {"match": {"text": {
+        "query": "node cursor", "minimum_should_match": 2}}}}
+    got_msm = es_search(si, body_msm, size=400).collect()
+    assert [tuple(r) for r in got_msm] == [tuple(r) for r in got]
+
+    # msm=1 == the plain OR match
+    body_msm1 = {"query": {"match": {"text": {
+        "query": "node cursor", "minimum_should_match": 1}}}}
+    assert sorted(r["doc_id"] for r in
+                  es_search(si, body_msm1, size=400).collect()) == any_
+
+    # boost scales scores without reordering
+    body_boost = {"query": {"match": {"text": {
+        "query": "node cursor", "boost": 2.0}}}}
+    plain = es_search(si, {"query": {"match": {"text": "node cursor"}}},
+                      size=15).collect()
+    boosted = es_search(si, body_boost, size=15).collect()
+    assert [r["doc_id"] for r in boosted] == [r["doc_id"] for r in plain]
+    for b_, p in zip(boosted, plain):
+        assert b_["score"] == pytest.approx(2.0 * p["score"], abs=2e-6)
+
+    # boost composes with operator and
+    body_ab = {"query": {"match": {"text": {
+        "query": "node cursor", "operator": "and", "boost": 3.0}}}}
+    got_ab = es_search(si, body_ab, size=400).collect()
+    assert sorted(r["doc_id"] for r in got_ab) == both
+    for r in got_ab:
+        assert r["score"] == pytest.approx(
+            3.0 * oidx.score(qterms, r["doc_id"]), abs=2e-6)
+
+    with pytest.raises(ValueError, match="match operator"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node", "operator": "xor"}}}}, size=5)
+    with pytest.raises(ValueError, match="percentage"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node cursor", "minimum_should_match": "75%"}}}},
+            size=5)
+    with pytest.raises(ValueError, match="no-op"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node cursor", "operator": "and",
+            "minimum_should_match": 1}}}}, size=5)
+
+
 def test_function_score_functions_list(two_field, monkeypatch):
     """function_score FUNCTIONS list (filter+weight): every score_mode
     matches an independent pure-python oracle (pure.OracleIndex BM25 +
