@@ -495,10 +495,28 @@ def es_search(indexes, body: dict, size: int = 10, *,
 
     if kind == "match_phrase":
         field, text = _field_text(spec)
+        val = next(iter(spec.values()))
+        if isinstance(val, dict) and int(val.get("slop", 0)) != 0:
+            # sloppy phrases match MORE docs than exact adjacency —
+            # returning the exact-phrase subset would be a silently
+            # wrong answer, so the unimplemented option is loud
+            raise ValueError(
+                "match_phrase slop > 0 is not supported (Lucene sloppy "
+                "phrase matching); exact adjacency only")
         return one(field).search_phrase(text, size)
 
     if kind == "match_phrase_prefix":
         field, text = _field_text(spec)
+        val = next(iter(spec.values()))
+        if isinstance(val, dict):
+            if int(val.get("slop", 0)) != 0:
+                raise ValueError(
+                    "match_phrase_prefix slop > 0 is not supported "
+                    "(Lucene sloppy phrase matching); exact adjacency "
+                    "only")
+            return one(field).search_phrase_prefix(
+                text, size,
+                max_expansions=int(val.get("max_expansions", 50)))
         return one(field).search_phrase_prefix(text, size)
 
     if kind == "bool":
@@ -547,8 +565,27 @@ def es_search(indexes, body: dict, size: int = 10, *,
         return one(field).search_prefix(val, size)
 
     if kind == "fuzzy":
+        # the object form's options change the EXPANSION SET (and so the
+        # match set) — pass them through instead of dropping them.
+        # ES fuzziness "AUTO" is length-dependent (0/1/2 at 0-2/3-5/6+
+        # chars of the term); numeric fuzziness maps to max_edits.
         field, val = _field_text(spec)
-        return one(field).search_fuzzy(val, size)
+        fspec = next(iter(spec.values()))
+        max_edits, prefix_len, max_exp = 1, 0, 50
+        if isinstance(fspec, dict):
+            fz = fspec.get("fuzziness", 1)
+            if isinstance(fz, str):
+                if fz.upper() != "AUTO":
+                    raise ValueError(f"unsupported fuzziness: {fz}")
+                max_edits = 0 if len(val) < 3 else (1 if len(val) < 6
+                                                    else 2)
+            else:
+                max_edits = int(fz)
+            prefix_len = int(fspec.get("prefix_length", 0))
+            max_exp = int(fspec.get("max_expansions", 50))
+        return one(field).search_fuzzy(val, size, max_edits=max_edits,
+                                       prefix_len=prefix_len,
+                                       max_expansions=max_exp)
 
     if kind == "wildcard":
         field, val = _field_text(spec)

@@ -119,6 +119,32 @@ def test_dsl_single_index_forms(two_field):
     assert es_search(si, {"prefix": {"text": "curso"}}, 5).collect()
     with pytest.raises(ValueError, match="unsupported"):
         es_search(si, {"span_near": {}}, 5)
+    # fuzzy object-form options change the expansion set — they must
+    # reach search_fuzzy, not be dropped
+    got = es_search(si, {"fuzzy": {"text": {
+        "value": "cursor", "fuzziness": 2, "prefix_length": 1,
+        "max_expansions": 7}}}, 10).collect()
+    want = si.search_fuzzy("cursor", 10, max_edits=2, prefix_len=1,
+                           max_expansions=7).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # AUTO fuzziness: 1 edit at term length 3-5, 2 at 6+
+    got = es_search(si, {"fuzzy": {"text": {
+        "value": "node", "fuzziness": "AUTO"}}}, 10).collect()
+    want = si.search_fuzzy("node", 10, max_edits=1).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # sloppy phrases match MORE than exact adjacency: loud, not silent
+    with pytest.raises(ValueError, match="slop"):
+        es_search(si, {"match_phrase": {"text": {
+            "query": "node cursor", "slop": 2}}}, 5)
+    with pytest.raises(ValueError, match="slop"):
+        es_search(si, {"match_phrase_prefix": {"text": {
+            "query": "node curso", "slop": 1}}}, 5)
+    # match_phrase_prefix object form passes max_expansions through
+    got = es_search(si, {"match_phrase_prefix": {"text": {
+        "query": "node curso", "max_expansions": 3}}}, 10).collect()
+    want = si.search_phrase_prefix("node curso", 10,
+                                   max_expansions=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
 def test_bool_must_clause_is_or_of_tokens(spark, two_field):
