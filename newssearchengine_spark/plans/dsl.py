@@ -690,8 +690,15 @@ def es_search(indexes, body: dict, size: int = 10, *,
         fns = spec.get("functions")
         if fns is not None:
             mb = spec.get("max_boost")
-            return one().search_function_score_fns(
-                _or_query_text(inner), list(fns), size,
+            si = one()
+            ik, ispec = next(iter(inner.items()))
+            # a bool inner query routes as its tree (served exactly off
+            # the complete single-scan tree relation); OR-matching kinds
+            # keep the WAND-probed regime
+            iq = (_bool_to_tree(si, ispec) if ik == "bool"
+                  else _or_query_text(inner))
+            return si.search_function_score_fns(
+                iq, list(fns), size,
                 score_mode=str(spec.get("score_mode", "multiply")),
                 boost_mode=str(spec.get("boost_mode", "multiply")),
                 max_boost=float(mb) if mb is not None else None)
@@ -701,8 +708,12 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 "function_score supports a functions list of "
                 "filter+weight functions, or field_value_factor "
                 "with a field")
-        return one().search_function_score(
-            _or_query_text(inner), fvf["field"], size,
+        si = one()
+        ik, ispec = next(iter(inner.items()))
+        iq = (_bool_to_tree(si, ispec) if ik == "bool"
+              else _or_query_text(inner))
+        return si.search_function_score(
+            iq, fvf["field"], size,
             factor=float(fvf.get("factor", 1.0)),
             modifier=str(fvf.get("modifier", "none")),
             missing=float(fvf.get("missing", 1.0)),

@@ -2009,15 +2009,6 @@ class SegmentIndex:
             return self._live(k, lambda kk: self.search_function_score(
                 query, field, kk, factor=factor, modifier=modifier,
                 missing=missing, boost_mode=boost_mode, _raw=True))
-        terms = (self.analyze_query(query) if isinstance(query, str)
-                 else list(query))
-        terms = sorted(set(terms))
-        dfs = self.term_dfs(terms)
-        terms = [t for t in terms if dfs.get(t, 0) > 0]
-        if not terms:
-            return self.spark.createDataFrame(
-                [], "rank bigint, doc_id bigint, score double")
-
         fexpr = F.lit(float(factor)) * F.coalesce(
             F.col(field).cast("double"), F.lit(float(missing)))
         if modifier == "log1p":
@@ -2026,6 +2017,23 @@ class SegmentIndex:
             fexpr = F.sqrt(fexpr)
         store = self.doc_store().select(
             "doc_id", fexpr.alias("fval"))
+        if isinstance(query, dict):
+            # bool-TREE inner query: the complete single-scan tree
+            # relation joined to the factor column is exact — no probe
+            rel = self._bool_tree_rel(query)
+            if rel is None:
+                return self.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+            return self._function_tail(rel.join(store, "doc_id", "left"),
+                                       boost_mode, k)
+        terms = (self.analyze_query(query) if isinstance(query, str)
+                 else list(query))
+        terms = sorted(set(terms))
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
         pos_bound = sum(int(dfs[t]) for t in terms)
         if pos_bound <= BOOL_DRIVER_CAP:
             row = store.agg(F.min("fval").alias("lo"),
@@ -2164,6 +2172,19 @@ class SegmentIndex:
             return self._live(k, lambda kk: self.search_function_score_fns(
                 query, functions, kk, score_mode=score_mode,
                 boost_mode=boost_mode, max_boost=max_boost, _raw=True))
+        n = len(parsed)
+        if isinstance(query, dict):
+            # bool-TREE inner query (the ES function_score-over-bool
+            # composition): the single-scan tree relation is already the
+            # COMPLETE match set with exact scores, so the membership
+            # join + shared tail below is exact without any probe —
+            # no pruned regime needed
+            rel = self._bool_tree_rel(query)
+            if rel is None:
+                return self.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+            return self._functions_over_rel(rel, parsed, ws, score_mode,
+                                            boost_mode, mb, k)
         terms = (self.analyze_query(query) if isinstance(query, str)
                  else list(query))
         terms = sorted(set(terms))
@@ -2172,7 +2193,6 @@ class SegmentIndex:
         if not terms:
             return self.spark.createDataFrame(
                 [], "rank bigint, doc_id bigint, score double")
-        n = len(parsed)
         pos_bound = sum(int(dfs[t]) for t in terms)
         prunable = (pos_bound <= BOOL_DRIVER_CAP
                     and all(w >= 0.0 for w in ws))
@@ -2277,7 +2297,15 @@ class SegmentIndex:
                 if m >= pos_bound:
                     break
                 m = min(m * 8, pos_bound)
-        rel = self.score_all(terms)
+        return self._functions_over_rel(self.score_all(terms), parsed, ws,
+                                        score_mode, boost_mode, mb, k)
+
+    def _functions_over_rel(self, rel: DataFrame, parsed: list, ws: list,
+                            score_mode: str, boost_mode: str, mb,
+                            k: int) -> DataFrame:
+        """Exact function_score over a COMPLETE (doc_id, score) match
+        relation: left-join each function's full membership relation as
+        a boolean flag, then the shared Catalyst tail."""
         for i, (w, fc, mc) in enumerate(parsed):
             if not fc and not mc:
                 rel = rel.withColumn(f"f{i}", F.lit(True))

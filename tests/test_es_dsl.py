@@ -1018,6 +1018,52 @@ def test_function_score_functions_list(two_field, monkeypatch):
         w = 3.0 if d in members1 else 0.5
         assert s == pytest.approx(base[d] * w, abs=2e-6)
 
+    # bool INNER query: functions applied over the complete tree
+    # relation (must OR-clause + must_not exclusion), vs the same
+    # pure-python oracle
+    body_bool = {"query": {"function_score": {
+        "query": {"bool": {
+            "must": [{"match": {"text": "node cursor"}}],
+            "must_not": [{"match": {"text": "proto"}}],
+        }},
+        "functions": fns,
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+        "max_boost": mb,
+    }}}
+    got = es_search(si, body_bool, size=k).collect()
+    ptoks = set(pure.analyze("proto", si.analyzer))
+    bmatch = [d for d in match
+              if not (ptoks & set(pure.analyze(raw[d], si.analyzer)))]
+    assert 0 < len(bmatch) < len(match)
+    want = []
+    for d in bmatch:
+        firing = ([1.5] if len(raw[d]) >= med else []) + \
+                 ([2.0] if d in members1 else [])
+        fin = (base[d] * min(sum(firing), mb) if firing else base[d])
+        want.append((d, fin))
+    want.sort(key=lambda t: (-round(t[1], 6), t[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _ in want[:k]]
+    for r, (_, fin) in zip(got, want[:k]):
+        assert r["score"] == pytest.approx(fin, abs=2e-6)
+
+    # field_value_factor over the same bool inner query: final =
+    # tree_score * factor*content_len, checked against the oracle
+    body_fvf_bool = {"query": {"function_score": {
+        "query": {"bool": {
+            "must": [{"match": {"text": "node cursor"}}],
+            "must_not": [{"match": {"text": "proto"}}],
+        }},
+        "field_value_factor": {"field": "content_len", "factor": 0.01},
+        "boost_mode": "multiply",
+    }}}
+    got = es_search(si, body_fvf_bool, size=k).collect()
+    want = sorted(((d, base[d] * 0.01 * len(raw[d])) for d in bmatch),
+                  key=lambda t: (-round(t[1], 6), t[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _ in want[:k]]
+    for r, (_, fin) in zip(got, want[:k]):
+        assert r["score"] == pytest.approx(fin, abs=2e-6)
+
     with pytest.raises(ValueError, match="avg"):
         si.search_function_score_fns("node", fns, 5, score_mode="avg")
     with pytest.raises(ValueError, match="unsupported function keys"):
