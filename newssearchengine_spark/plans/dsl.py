@@ -1058,45 +1058,71 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
     duplicate bodies deduped and fanned back out — so per-query job
     overhead amortizes across the batch (the scale throughput shape).
 
-    Supported bodies: the single-field OR-matching kinds (match /
-    pure-OR query_string / multi_match), all targeting the same field —
-    the shape every reference batch loop issues. Returns (query_id,
-    rank, doc_id, score); query_id is the body's 0-based position as a
-    string (the ES responses-array order), each query's block identical
-    to its own es_search (pytest-pinned)."""
+    Any ranked body is accepted: plain single-field OR-matching kinds
+    (match / pure-OR query_string / multi_match) BATCH — grouped per
+    target field, one search_many job per group — and every other body
+    (bool, dis_max, function_score, expansions, boolean grammars,
+    wrapper keys like sort/rescore/collapse) falls back to its own
+    es_search, exactness unchanged. Returns (query_id, rank, doc_id,
+    score); query_id is the body's 0-based position as a string (the ES
+    responses-array order), each query's block identical to its own
+    es_search (pytest-pinned). Bodies whose es_search output is not the
+    ranked (rank, doc_id, score) shape (highlight's tagged column,
+    sort's sort-column output) are rejected: one relation, one schema."""
     if not bodies:
         raise ValueError("msearch needs at least one body")
-    texts: dict[str, str] = {}
-    field = None
+    _WRAPPERS = ("sort", "search_after", "rescore", "collapse",
+                 "highlight", "from", "from_", "suggest", "aggs",
+                 "aggregations")
+    groups: dict = {}               # field -> {qid: text}
+    rest: list[tuple[str, dict]] = []
     for i, b in enumerate(bodies):
         q = b.get("query", b)
         kind, spec = next(iter(q.items()))
-        if kind == "match":
+        f = text = None
+        batchable = not any(k in b for k in _WRAPPERS)
+        if batchable and kind == "match":
             f, text = _field_text(spec)
-        elif kind in ("query_string", "multi_match"):
+            val = next(iter(spec.values()))
+            if isinstance(val, dict):
+                batchable = (
+                    str(val.get("operator", "or")).lower() == "or"
+                    and val.get("minimum_should_match") is None
+                    and float(val.get("boost", 1.0)) == 1.0)
+        elif batchable and kind in ("query_string", "multi_match"):
             op, parts = _parse_query_string(str(spec["query"]))
-            if op != "or":
-                raise ValueError(
-                    "msearch bodies must be OR-matching (use es_search "
-                    "per body for boolean grammars)")
             names, boosts = _parse_boosts(list(spec.get("fields") or []))
-            if len(names) > 1 or boosts:
-                raise ValueError(
-                    "msearch bodies must target ONE unboosted field")
-            f = names[0] if names else None
-            text = parts[0]
+            if op == "or" and not boosts and len(names) <= 1:
+                f = names[0] if names else None
+                text = parts[0]
+            else:
+                batchable = False
         else:
-            raise ValueError(f"unsupported msearch body kind: {kind}")
-        if field is None:
-            field = f
-        elif f is not None and f != field:
-            raise ValueError("msearch bodies must target the same field")
-        texts[str(i)] = text
-    si = (indexes[field]
-          if isinstance(indexes, dict) and field in indexes
-          else indexes if not isinstance(indexes, dict)
-          else next(iter(indexes.values())))
-    return si.search_many(texts, size, mode=mode)
+            batchable = False
+        if batchable:
+            groups.setdefault(f, {})[str(i)] = text
+        else:
+            rest.append((str(i), b))
+    outs = []
+    for f, texts in groups.items():
+        si = (indexes[f]
+              if isinstance(indexes, dict) and f in indexes
+              else indexes if not isinstance(indexes, dict)
+              else next(iter(indexes.values())))
+        outs.append(si.search_many(texts, size, mode=mode))
+    for qid, b in rest:
+        out = es_search(indexes, b, size=size, mode=mode)
+        if set(out.columns) != {"rank", "doc_id", "score"}:
+            raise ValueError(
+                "msearch bodies must produce ranked (rank, doc_id, "
+                "score) responses — run highlight/sort bodies through "
+                "es_search directly")
+        outs.append(out.select(
+            F.lit(qid).alias("query_id"), "rank", "doc_id", "score"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:

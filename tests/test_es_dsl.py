@@ -1358,18 +1358,42 @@ def test_es_msearch_matches_per_body_search(two_field):
     assert by_q["0"] == by_q["2"]  # the dedup fan-out
 
 
-def test_es_msearch_rejections(two_field):
+def test_es_msearch_heterogeneous_bodies(two_field):
+    """_msearch accepts ANY ranked body: same-field OR bodies batch per
+    field group (one search_many job each), everything else — boolean
+    grammars, bool bodies, object-form match options — falls back to
+    its own es_search; every block equals the per-body run. Non-ranked
+    outputs (highlight) are rejected: one relation, one schema."""
     from newssearchengine_spark.plans.dsl import es_msearch
 
     _, idxs = two_field
     with pytest.raises(ValueError, match="at least one"):
         es_msearch(idxs["text"], [])
-    with pytest.raises(ValueError, match="same field"):
-        es_msearch(idxs, [{"query": {"match": {"title": "nodeCursor"}}},
-                          {"query": {"match": {"text": "nodeCursor"}}}])
-    with pytest.raises(ValueError, match="OR-matching"):
-        es_msearch(idxs["text"], [{"query": {"query_string": {
-            "fields": ["text"], "query": "a AND b"}}}])
+    bodies = [
+        {"query": {"match": {"title": "nodeCursor"}}},      # field group A
+        {"query": {"match": {"text": "nodeCursor"}}},       # field group B
+        {"query": {"query_string": {"fields": ["text"],
+                                    "query": "protoShard AND closeNode"}}},
+        {"query": {"bool": {
+            "must": [{"match": {"text": "nodeCursor shardGroup"}}],
+            "must_not": [{"match": {"text": "protoShard"}}]}}},
+        {"query": {"match": {"text": {"query": "node cursor",
+                                      "operator": "and"}}}},
+    ]
+    got = es_msearch(idxs, bodies, size=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert set(by_q) == {"0", "1", "2", "3", "4"}
+    for i, b in enumerate(bodies):
+        want = [(r["rank"], r["doc_id"], r["score"])
+                for r in es_search(idxs, b, size=8).collect()]
+        assert sorted(by_q[str(i)]) == sorted(want) and want, i
+    with pytest.raises(ValueError, match="highlight"):
+        es_msearch(idxs, [{
+            "query": {"match": {"text": "nodeCursor"}},
+            "highlight": {"fields": {"text": {}}}}], size=5)
 
 
 def test_es_rescore_semantics(prose_idx):
