@@ -1257,9 +1257,30 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                         "(metric kinds under terms)")
                 aggexprs.append(smap[skind].alias(f"_s_{len(snames)}"))
                 snames.append(sname)
+            # ES terms `order`: which buckets survive the size cut —
+            # _count (default), _key, or a sub-metric by name. Dropping
+            # it silently would return the wrong bucket set.
+            order = aspec.get("order")
+            okey, odir = ("_count", "desc")
+            if order is not None:
+                okey, odir = next(iter(order.items()))
+                odir = str(odir).lower()
+                if odir not in ("asc", "desc"):
+                    raise ValueError(f"unsupported order direction: {odir}")
+            if okey == "_count":
+                ocol = F.col("doc_count")
+            elif okey == "_key":
+                ocol = F.col("key")
+            elif okey in snames:
+                ocol = F.col(f"_s_{snames.index(okey)}")
+            else:
+                raise ValueError(
+                    f"unsupported terms order: {okey} (_count, _key, "
+                    "or a sub-aggregation name)")
             g = (store.groupBy(F.col(field).cast("string").alias("key"))
                  .agg(*aggexprs)
-                 .orderBy(F.desc("doc_count"), F.asc("key")).limit(size))
+                 .orderBy(ocol.desc() if odir == "desc" else ocol.asc(),
+                          F.asc("key")).limit(size))
             if snames:
                 rows = [f"'{name}', key, doc_count, CAST(NULL AS DOUBLE)"]
                 for i, sn in enumerate(snames):

@@ -1195,6 +1195,34 @@ def test_es_aggs_nested_sub_aggs(two_field):
             "stats": {"field": "content_len"},
             "aggs": {"x": {"avg": {"field": "content_len"}}}}}})
 
+    # `order` picks WHICH buckets survive the size cut: by a sub-metric
+    body_ord = {
+        "query": {"match": {"text": "node cursor"}},
+        "aggs": {"by_repo": {
+            "terms": {"field": "repo", "size": 3,
+                      "order": {"avg_len": "desc"}},
+            "aggs": {"avg_len": {"avg": {"field": "content_len"}}},
+        }},
+    }
+    got_ord = es_aggs(si, body_ord).collect()
+    want = sorted(
+        ((k, sum(r["content_len"] for r in v) / len(v))
+         for k, v in groups.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert {r["key"] for r in got_ord if r["agg"] == "by_repo"} == \
+        {k for k, _ in want}
+    # ...and by _key ascending
+    body_key = {
+        "query": {"match": {"text": "node cursor"}},
+        "aggs": {"by_repo": {"terms": {
+            "field": "repo", "size": 3, "order": {"_key": "asc"}}}},
+    }
+    got_key = es_aggs(si, body_key).collect()
+    assert sorted(r["key"] for r in got_key) == sorted(groups)[:3]
+    with pytest.raises(ValueError, match="unsupported terms order"):
+        es_aggs(si, {"aggs": {"t": {"terms": {
+            "field": "repo", "order": {"nosuch": "desc"}}}}})
+
 
 def test_es_aggs_filters_buckets(two_field):
     """filters agg: named predicate buckets over the match set — term,
