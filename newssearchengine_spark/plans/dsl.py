@@ -456,6 +456,13 @@ def es_search(indexes, body: dict, size: int = 10, *,
             op = str(val.get("operator", "or")).lower()
             if op not in ("or", "and"):
                 raise ValueError(f"unsupported match operator: {op}")
+            if "fuzziness" in val:
+                # fuzzy expansion widens the match set; ES blends the
+                # per-token expansions as synonyms — silently running
+                # the exact match would miss hits
+                raise ValueError(
+                    "match fuzziness is not supported; use the fuzzy "
+                    "query kind (or a bool of fuzzy clauses) instead")
             msm = val.get("minimum_should_match")
             boost = float(val.get("boost", 1.0))
             toks = sorted(set(si.analyze_query(text)))

@@ -898,6 +898,9 @@ def test_match_operator_and_msm_boost(two_field):
     with pytest.raises(ValueError, match="match operator"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node", "operator": "xor"}}}}, size=5)
+    with pytest.raises(ValueError, match="fuzziness"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node", "fuzziness": "AUTO"}}}}, size=5)
     with pytest.raises(ValueError, match="percentage"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node cursor", "minimum_should_match": "75%"}}}},
