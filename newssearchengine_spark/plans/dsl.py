@@ -195,6 +195,25 @@ def _highlight_terms(si, q: dict) -> list[str]:
             for c in (cl if isinstance(cl, list) else [cl]):
                 out.update(_highlight_terms(si, c))
         return sorted(out)
+    if kind in ("prefix", "fuzzy", "wildcard", "regexp"):
+        # expansion kinds highlight the terms the query actually
+        # matched: the same bounded dictionary expansion the search ran
+        _, v = _field_text(spec)
+        es = next(iter(spec.values()))
+        es = es if isinstance(es, dict) else {}
+        mx = int(es.get("max_expansions", 50))
+        if kind == "prefix":
+            return sorted(si.expand_prefix(v, max_expansions=mx))
+        if kind == "wildcard":
+            return sorted(si.expand_wildcard(v, max_expansions=mx))
+        if kind == "regexp":
+            return sorted(si.expand_regexp(v, max_expansions=mx))
+        fz = es.get("fuzziness", 1)
+        me = (0 if len(v) < 3 else (1 if len(v) < 6 else 2)) \
+            if isinstance(fz, str) else int(fz)
+        return sorted(si.expand_fuzzy(
+            v, max_edits=me, prefix_len=int(es.get("prefix_length", 0)),
+            max_expansions=mx))
     raise ValueError(f"highlight unsupported for query kind: {kind}")
 
 

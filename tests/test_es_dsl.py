@@ -1364,6 +1364,36 @@ def test_es_highlight_custom_tags_and_errors(prose_idx):
         es_search(si, body, size=5)  # no source DataFrame
 
 
+def test_es_highlight_expansion_kinds(prose_idx):
+    """Highlight over prefix/fuzzy/wildcard queries tags the DICTIONARY
+    EXPANSION the search actually ran (not the raw pattern): hits stay
+    identical to the un-highlighted body and every tagged token is one
+    of the engine's own expansion terms."""
+    import re
+
+    docs, si = prose_idx
+    for q in ({"prefix": {"text": "merg"}},
+              {"wildcard": {"text": "merg*"}},
+              {"fuzzy": {"text": {"value": "merge", "fuzziness": 1}}}):
+        body = {"query": q, "highlight": {"fields": {"text": {}}}}
+        got = es_search(si, body, size=8, source=docs).collect()
+        plain = es_search(si, {"query": q}, size=8).collect()
+        assert got and \
+            [(r["rank"], r["doc_id"], r["score"]) for r in got] == \
+            [(r["rank"], r["doc_id"], r["score"]) for r in plain]
+        kind, spec = next(iter(q.items()))
+        if kind == "prefix":
+            exp = set(si.expand_prefix("merg"))
+        elif kind == "wildcard":
+            exp = set(si.expand_wildcard("merg*"))
+        else:
+            exp = set(si.expand_fuzzy("merge", max_edits=1))
+        tagged = {t for r in got
+                  for t in re.findall(r"<em>([^<]+)</em>",
+                                      r["highlighted"])}
+        assert tagged and {t.lower() for t in tagged} <= exp
+
+
 def test_es_msearch_matches_per_body_search(two_field):
     """_msearch == a loop of es_search per body, in one job; duplicate
     bodies ride the search_many dedup and still fan out per position."""
