@@ -1187,22 +1187,45 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     """
     store = index._exclude_dead(index.doc_store())
     q = body.get("query")
+    terms: list = []
     if q:
         kind, spec = next(iter(q.items()))
-        if kind == "match":
-            _, text = _field_text(spec)
-        elif kind in ("query_string", "multi_match"):
-            text = str(spec["query"])
+        if kind == "bool":
+            # bool scope: the complete single-scan tree relation is the
+            # match set (same source es_count uses)
+            rel = index._bool_tree_rel(_bool_to_tree(index, spec))
+            if rel is None:
+                store = store.filter(F.lit(False))
+            else:
+                store = store.join(rel.select("doc_id"), "doc_id",
+                                   "left_semi")
+        elif kind in ("term", "terms", "range", "exists"):
+            # metadata scope: pushed-down doc_store predicate (the
+            # lookup kinds es_count accepts)
+            from .search import _meta_filter_pred
+            if kind == "exists":
+                mc = [("exists", spec["field"], None)]
+            else:
+                col, sp = next(iter(spec.items()))
+                mc = [(kind, col, sp)]
+            store = store.filter(_meta_filter_pred(mc))
+        elif kind in ("match", "query_string", "multi_match"):
+            if kind == "match":
+                _, text = _field_text(spec)
+            else:
+                text = str(spec["query"])
+            terms = index.analyze_query(str(text))
+            if terms:
+                match = index._term_docs(terms).select(
+                    "doc_id").distinct()
+                store = store.join(match, "doc_id", "left_semi")
+            else:
+                store = store.filter(F.lit(False))
         else:
             raise ValueError(
                 f"unsupported aggs query scope: {kind} (match / "
-                "query_string / multi_match OR-matching is supported)")
-        terms = index.analyze_query(str(text))
-        if terms:
-            match = index._term_docs(terms).select("doc_id").distinct()
-            store = store.join(match, "doc_id", "left_semi")
-        else:
-            store = store.filter(F.lit(False))
+                "query_string / multi_match / bool / term / terms / "
+                "range / exists)")
     aggs = body.get("aggs", body.get("aggregations") or {})
     if not aggs:
         raise ValueError("body has no aggs")
@@ -1222,8 +1245,9 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
             # the query's foreground (matching docs) vs the corpus
             # background — routed to the gated index operator. key =
             # term, doc_count = foreground df, value = JLH score.
-            if not q:
-                raise ValueError("significant_terms needs a query scope")
+            if not q or not terms:
+                raise ValueError("significant_terms needs an OR-matching "
+                                 "text query scope")
             st = index.significant_terms(
                 terms, top_n=int(aspec.get("size", 10)))
             outs.append(st.select(

@@ -1226,6 +1226,34 @@ def test_es_aggs_nested_sub_aggs(two_field):
         es_aggs(si, {"aggs": {"t": {"terms": {
             "field": "repo", "order": {"nosuch": "desc"}}}}})
 
+    # bool query scope: aggregate over the tree-relation match set
+    body_bool = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "node cursor"}}],
+            "must_not": [{"match": {"text": "protoShard"}}]}},
+        "aggs": {"by_repo": {"terms": {"field": "repo", "size": 100}}},
+    }
+    got_b = {r["key"]: r["doc_count"]
+             for r in es_aggs(si, body_bool).collect()}
+    nterms = set(si.analyze_query("protoShard"))
+    want_b = defaultdict(int)
+    for r in match:
+        if not (nterms & set(pure.analyze(r["text"], si.analyzer))):
+            want_b[r["repo"]] += 1
+    assert got_b == dict(want_b)
+
+    # metadata range scope: pushed-down doc_store predicate
+    body_rng = {
+        "query": {"range": {"content_len": {"gte": 300}}},
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+    }
+    got_r = es_aggs(si, body_rng).collect()
+    want_n = sum(1 for r in rows if r["content_len"] >= 300)
+    assert [r["value"] for r in got_r] == [float(want_n)]
+    with pytest.raises(ValueError, match="OR-matching text"):
+        es_aggs(si, {"query": {"range": {"content_len": {"gte": 1}}},
+                     "aggs": {"s": {"significant_terms": {}}}})
+
 
 def test_es_aggs_filters_buckets(two_field):
     """filters agg: named predicate buckets over the match set — term,
