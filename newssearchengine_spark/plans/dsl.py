@@ -362,6 +362,14 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if kind == "match_all":
             si = one()
             s = si._exclude_dead(si.doc_store())
+        elif kind == "bool":
+            # bool match set from the complete tree relation (the same
+            # source _count and es_aggs scope to)
+            si = one()
+            rel = si._bool_tree_rel(_bool_to_tree(si, spec))
+            s = si._exclude_dead(si.doc_store())
+            s = (s.filter(F.lit(False)) if rel is None
+                 else s.join(rel.select("doc_id"), "doc_id", "left_semi"))
         elif kind in ("match", "term", "terms", "range", "exists"):
             from .search import _meta_filter_pred
             si = one(next(iter(spec)) if kind == "match" else None)
@@ -375,8 +383,8 @@ def es_search(indexes, body: dict, size: int = 10, *,
                     "doc_id", "left_semi")
         else:
             raise ValueError(
-                "sort supports match / match_all / term / terms / "
-                "range / exists queries")
+                "sort supports match / match_all / bool / term / "
+                "terms / range / exists queries")
         order = [(F.col(f).desc_nulls_last() if o == "desc"
                   else F.col(f).asc_nulls_last()) for f, o in cols]
         order.append(F.col("doc_id").asc())
@@ -1067,6 +1075,40 @@ def es_count(indexes, body: dict) -> DataFrame:
         rel = si._exclude_dead(
             si.doc_store().filter(_meta_filter_pred(mc))
             .select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind == "match_all":
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        rel = si._exclude_dead(si.doc_store().select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind in ("prefix", "fuzzy", "wildcard", "regexp"):
+        # expansion kinds count postings MEMBERSHIP of the same bounded
+        # dictionary expansion the ranked query runs
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        _, v = _field_text(spec)
+        es = next(iter(spec.values()))
+        es = es if isinstance(es, dict) else {}
+        mx = int(es.get("max_expansions", 50))
+        if kind == "prefix":
+            exp = si.expand_prefix(v, max_expansions=mx)
+        elif kind == "wildcard":
+            exp = si.expand_wildcard(v, max_expansions=mx)
+        elif kind == "regexp":
+            exp = si.expand_regexp(v, max_expansions=mx)
+        else:
+            fz = es.get("fuzziness", 1)
+            me = (0 if len(v) < 3 else (1 if len(v) < 6 else 2)) \
+                if isinstance(fz, str) else int(fz)
+            exp = si.expand_fuzzy(
+                v, max_edits=me,
+                prefix_len=int(es.get("prefix_length", 0)),
+                max_expansions=mx)
+        if not exp:
+            rel = si.spark.createDataFrame([], "doc_id bigint")
+        else:
+            rel = si._exclude_dead(
+                si._term_docs(exp).select("doc_id").distinct())
         return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
     raise ValueError(f"unsupported count query kind: {kind}")
 

@@ -1315,6 +1315,20 @@ def test_es_sort_field_order(two_field):
     assert [(r["doc_id"], r["content_len"], r["repo"]) for r in got] == \
         [(r["doc_id"], r["content_len"], r["repo"]) for r in want]
 
+    # bool scope: sort the tree-relation match set
+    got_b = es_search(si, {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+        "must_not": [{"match": {"text": "protoShard"}}]}},
+        "sort": [{"content_len": "desc"}]}, size=12).collect()
+    nterms = set(si.analyze_query("protoShard"))
+    bmatch = [r for r in match
+              if not (nterms & set(pure.analyze(r["text"], si.analyzer)))]
+    want_b = sorted(bmatch,
+                    key=lambda r: (-r["content_len"], r["doc_id"]))[:12]
+    assert [(r["doc_id"], r["content_len"]) for r in got_b] == \
+        [(r["doc_id"], r["content_len"]) for r in want_b]
+    assert len(bmatch) < len(match)
+
     # lookup-kind scope + pagination over the sorted order
     page = es_search(si, {"query": {"range": {"content_len": {"gte": 100}}},
                           "sort": [{"content_len": "asc"}],
@@ -1653,5 +1667,19 @@ def test_es_count_semantics(prose_idx):
         1 for ts in texts.values()
         if "merge" in ts and (ts & {"window", "stream"})
         and "hash" not in ts)
+    # match_all == the live corpus size
+    assert es_count(si, {"query": {"match_all": {}}}
+                    ).collect()[0]["count"] == len(texts)
+    # expansion kinds count the expansion's postings membership
+    np_ = es_count(si, {"query": {"prefix": {"text": "merg"}}}
+                   ).collect()[0]["count"]
+    exp = set(si.expand_prefix("merg"))
+    assert exp and np_ == sum(1 for ts in texts.values()
+                              if {t.lower() for t in ts} & exp)
+    nf = es_count(si, {"query": {"fuzzy": {"text": {
+        "value": "merge", "fuzziness": 1}}}}).collect()[0]["count"]
+    expf = set(si.expand_fuzzy("merge", max_edits=1))
+    assert expf and nf == sum(1 for ts in texts.values()
+                              if {t.lower() for t in ts} & expf)
     with pytest.raises(ValueError, match="unsupported count"):
         es_count(si, {"query": {"span_near": {}}})
