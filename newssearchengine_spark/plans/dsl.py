@@ -134,12 +134,27 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
+def _match_needs_tree(c) -> bool:
+    """An object-form match clause carrying operator:'and' or
+    minimum_should_match can't ride the flat bool path (one OR token
+    list per clause) — it compiles to a nested tree node instead."""
+    if not isinstance(c, dict) or next(iter(c)) != "match":
+        return False
+    v = next(iter(c["match"].values()))
+    return isinstance(v, dict) and (
+        str(v.get("operator", "or")).lower() == "and"
+        or v.get("minimum_should_match") is not None)
+
+
 def _bool_is_nested(bspec: dict) -> bool:
     for role in ("must", "should", "must_not"):
         for c in _as_list(bspec.get(role, [])):
             if isinstance(c, dict) and next(iter(c)) == "bool":
                 return True
-    return any(isinstance(f, dict) and "bool" in f
+            if _match_needs_tree(c):
+                return True
+    return any((isinstance(f, dict) and "bool" in f) or
+               _match_needs_tree(f)
                for f in _as_list(bspec.get("filter", [])))
 
 
@@ -149,12 +164,40 @@ def _bool_to_tree(si, bspec: dict) -> dict:
     stays a literal token, bool recurses; filter entries pass through
     (the engine's _parse_filters grammar) except nested bools, which
     recurse."""
+    def node(must=(), should=(), msm=0):
+        return {"must": list(must), "should": list(should),
+                "must_not": [], "filter": [],
+                "minimum_should_match": int(msm)}
+
     def conv(c):
         ck, cs = next(iter(c.items()))
         if ck == "bool":
             return _bool_to_tree(si, cs)
         if ck not in ("match", "term"):
             raise ValueError(f"unsupported bool clause: {ck}")
+        if ck == "match":
+            v = next(iter(cs.values()))
+            if isinstance(v, dict):
+                # object-form options that change the clause's MATCH SET
+                # compile to a nested node (operator 'and' = AND of its
+                # tokens; msm = at-least-m-of-its-tokens) — both score
+                # the summed BM25 of the clause's matched tokens, the
+                # ES match contract
+                if "boost" in v:
+                    raise ValueError(
+                        "per-clause boost inside bool is not supported")
+                _, text = _field_text(cs)
+                toks = sorted(set(si.analyze_query(text)))
+                if str(v.get("operator", "or")).lower() == "and":
+                    return node(must=[[t] for t in toks])
+                msm = v.get("minimum_should_match")
+                if isinstance(msm, str):
+                    raise ValueError(
+                        "percentage minimum_should_match is not "
+                        "supported (pass an integer)")
+                if msm:  # 0/None = the plain OR match below
+                    return node(should=[[t] for t in toks],
+                                msm=int(msm))
         _, text = _field_text(cs)
         return si.analyze_query(text) if ck == "match" else [text]
 
@@ -162,11 +205,28 @@ def _bool_to_tree(si, bspec: dict) -> dict:
         role: [conv(c) for c in _as_list(bspec.get(role, []))]
         for role in ("must", "should", "must_not")
     }
-    out["filter"] = [
-        _bool_to_tree(si, f["bool"])
-        if isinstance(f, dict) and "bool" in f else f
-        for f in _as_list(bspec.get("filter", []))
-    ]
+
+    def conv_filter(f):
+        if isinstance(f, dict) and "bool" in f:
+            return _bool_to_tree(si, f["bool"])
+        if _match_needs_tree(f):
+            v = next(iter(f["match"].values()))
+            _, text = _field_text(f["match"])
+            toks = sorted(set(si.analyze_query(text)))
+            if str(v.get("operator", "or")).lower() == "and":
+                return node(must=[[t] for t in toks])
+            msm = v.get("minimum_should_match")
+            if isinstance(msm, str):
+                raise ValueError(
+                    "percentage minimum_should_match is not supported "
+                    "(pass an integer)")
+            if not msm:
+                return f
+            return node(should=[[t] for t in toks], msm=int(msm))
+        return f
+
+    out["filter"] = [conv_filter(f)
+                     for f in _as_list(bspec.get("filter", []))]
     out["minimum_should_match"] = int(
         bspec.get("minimum_should_match", 0))
     return out
@@ -569,6 +629,11 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 ck, cs = next(iter(c.items()))
                 if ck not in ("match", "term"):
                     raise ValueError(f"unsupported bool clause: {ck}")
+                v = next(iter(cs.values()))
+                if isinstance(v, dict) and "boost" in v:
+                    # silently dropping it would mis-rank
+                    raise ValueError(
+                        "per-clause boost inside bool is not supported")
                 _, text = _field_text(cs)
                 toks = si.analyze_query(text) if ck == "match" else [text]
                 if toks:  # a clause analyzed to nothing is a no-op

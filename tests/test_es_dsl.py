@@ -911,6 +911,73 @@ def test_match_operator_and_msm_boost(two_field):
             "minimum_should_match": 1}}}}, size=5)
 
 
+def test_bool_clause_object_form_options(two_field):
+    """match clauses INSIDE bool bodies honor their object-form options
+    by compiling to nested tree nodes: operator 'and' = AND of the
+    clause's tokens, minimum_should_match = at-least-m of them, both
+    scoring the summed BM25 of the clause's present tokens; must_not
+    and filter contexts get the same treatment (membership only).
+    Checked against a pure-python oracle; per-clause boost rejects."""
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    si = idxs["text"]
+    raw = {r["doc_id"]: r["text"]
+           for r in two.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    dt = {d: set(pure.analyze(t, si.analyzer)) for d, t in raw.items()}
+    m_toks = sorted(set(pure.analyze("node cursor", si.analyzer)))
+    s_toks = sorted(set(pure.analyze("shard stream merge", si.analyzer)))
+    n_toks = sorted(set(pure.analyze("proto group", si.analyzer)))
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {
+            "query": "node cursor", "operator": "and"}}}],
+        "should": [{"match": {"text": {
+            "query": "shard stream merge", "minimum_should_match": 2}}}],
+        "must_not": [{"match": {"text": {
+            "query": "proto group", "operator": "and"}}}],
+    }}}
+    got = es_search(si, body, size=400).collect()
+    want = {}
+    for d in raw:
+        if not set(m_toks) <= dt[d]:
+            continue
+        if set(n_toks) <= dt[d]:
+            continue
+        s = oidx.score(m_toks, d)
+        if sum(1 for t in s_toks if t in dt[d]) >= 2:
+            s += oidx.score(s_toks, d)
+        want[d] = s
+    assert want and sorted(r["doc_id"] for r in got) == sorted(want)
+    # the msm should-child genuinely fires for some docs
+    assert any(sum(1 for t in s_toks if t in dt[d]) >= 2 for d in want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], abs=2e-6)
+
+    # filter context: operator-and membership, no score contribution
+    body_f = {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+        "filter": [{"match": {"text": {
+            "query": "shard stream", "operator": "and"}}}],
+    }}}
+    got_f = es_search(si, body_f, size=400).collect()
+    f_toks = sorted(set(pure.analyze("shard stream", si.analyzer)))
+    want_f = {d: oidx.score(m_toks, d) for d in raw
+              if (set(m_toks) & dt[d]) and set(f_toks) <= dt[d]}
+    assert want_f and sorted(r["doc_id"] for r in got_f) == sorted(want_f)
+    for r in got_f:
+        assert r["score"] == pytest.approx(want_f[r["doc_id"]], abs=2e-6)
+
+    with pytest.raises(ValueError, match="boost"):
+        es_search(si, {"query": {"bool": {"must": [{"match": {"text": {
+            "query": "node", "boost": 2.0}}}]}}}, size=5)
+    with pytest.raises(ValueError, match="percentage"):
+        es_search(si, {"query": {"bool": {"must": [{"match": {"text": {
+            "query": "node cursor",
+            "minimum_should_match": "50%"}}}]}}}, size=5)
+
+
 def test_function_score_functions_list(two_field, monkeypatch):
     """function_score FUNCTIONS list (filter+weight): every score_mode
     matches an independent pure-python oracle (pure.OracleIndex BM25 +
