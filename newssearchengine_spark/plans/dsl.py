@@ -650,12 +650,21 @@ def es_search(indexes, body: dict, size: int = 10, *,
         filt = spec.get("filter", [])
         if isinstance(filt, dict):
             filt = [filt]
+        msm = int(spec.get("minimum_should_match", 0))
+        should_clauses = clauses_of(spec.get("should", []))
+        if msm > 0 and any(len(c) > 1 for c in should_clauses):
+            # ES counts should CLAUSES toward minimum_should_match; the
+            # flat engine path counts distinct should TERMS — identical
+            # only when every should clause is a single token. Multi-
+            # token should clauses under msm route through the tree
+            # evaluator, whose msm is per-child (the ES semantics).
+            return si.search_bool_tree(_bool_to_tree(si, spec), k=size)
         return si.search_bool(
             must=clauses_of(spec.get("must", [])),
             should=flat(spec.get("should", [])),
             must_not=flat(spec.get("must_not", [])),
             k=size,
-            minimum_should_match=int(spec.get("minimum_should_match", 0)),
+            minimum_should_match=msm,
             filter=filt,
         )
 

@@ -969,6 +969,29 @@ def test_bool_clause_object_form_options(two_field):
     for r in got_f:
         assert r["score"] == pytest.approx(want_f[r["doc_id"]], abs=2e-6)
 
+    # body-level minimum_should_match counts should CLAUSES (ES), not
+    # distinct terms: a doc matching both tokens of ONE clause but not
+    # the other clause must NOT satisfy msm=2
+    body_msm = {"query": {"bool": {
+        "should": [{"match": {"text": "node cursor"}},
+                   {"match": {"text": "shard"}}],
+        "minimum_should_match": 2,
+    }}}
+    got_m = es_search(si, body_msm, size=400).collect()
+    c1 = set(m_toks)            # node cursor
+    c2 = set(pure.analyze("shard", si.analyzer))
+    want_m = {}
+    for d in raw:
+        matched = (1 if c1 & dt[d] else 0) + (1 if c2 & dt[d] else 0)
+        if matched >= 2:
+            want_m[d] = oidx.score(sorted(c1 | c2), d)
+    # the discriminator: some doc matches BOTH tokens of clause 1 but
+    # not clause 2 — distinct-term counting would wrongly admit it
+    assert any(c1 <= dt[d] and not (c2 & dt[d]) for d in raw)
+    assert want_m and sorted(r["doc_id"] for r in got_m) == sorted(want_m)
+    for r in got_m:
+        assert r["score"] == pytest.approx(want_m[r["doc_id"]], abs=2e-6)
+
     with pytest.raises(ValueError, match="boost"):
         es_search(si, {"query": {"bool": {"must": [{"match": {"text": {
             "query": "node", "boost": 2.0}}}]}}}, size=5)
