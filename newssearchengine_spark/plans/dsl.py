@@ -387,7 +387,8 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if kind in ("query_string", "multi_match"):
             op, parts = _parse_query_string(str(spec["query"]))
             names, boosts = _parse_boosts(list(spec.get("fields") or []))
-            if (op == "or" and not boosts
+            dop = str(spec.get("default_operator", "or")).lower()
+            if (op == "or" and dop == "or" and not boosts
                     and (multi is None or not names or len(names) == 1)):
                 si = one(names[0] if names else None)
                 return si.search(parts[0], size, mode=mode, after=cursor)
@@ -472,6 +473,20 @@ def es_search(indexes, body: dict, size: int = 10, *,
                     f"unsupported multi_match type: {mtype} "
                     "(best_fields / most_fields)")
         op, parts = _parse_query_string(str(spec["query"]))
+        if (kind == "query_string"
+                and str(spec.get("default_operator", "or")).lower()
+                == "and"):
+            # default_operator AND makes bare terms conjunctive —
+            # dropping it silently would run the OR match set. With
+            # explicit AND/OR also present ES applies the default only
+            # between unoperated terms; that mix is rejected honestly.
+            qtoks = str(spec["query"]).split()
+            if any(t in ("AND", "OR") for t in qtoks):
+                raise ValueError(
+                    "default_operator:'and' combined with explicit "
+                    "AND/OR operators is not supported")
+            if op == "or" and len(qtoks) > 1:
+                op, parts = "and", qtoks
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
         if op == "mixed":
             # OR of AND-groups under ES precedence; single-field only
@@ -1234,7 +1249,9 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
         elif batchable and kind in ("query_string", "multi_match"):
             op, parts = _parse_query_string(str(spec["query"]))
             names, boosts = _parse_boosts(list(spec.get("fields") or []))
-            if op == "or" and not boosts and len(names) <= 1:
+            dop = str(spec.get("default_operator", "or")).lower()
+            if (op == "or" and dop == "or" and not boosts
+                    and len(names) <= 1):
                 f = names[0] if names else None
                 text = parts[0]
             else:

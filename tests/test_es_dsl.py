@@ -911,6 +911,28 @@ def test_match_operator_and_msm_boost(two_field):
             "minimum_should_match": 1}}}}, size=5)
 
 
+def test_query_string_default_operator_and(two_field):
+    """default_operator:'and' makes bare query_string terms conjunctive
+    (== the explicit pure-AND grammar); mixing it with explicit AND/OR
+    rejects; the OR default is unchanged."""
+    _, idxs = two_field
+    si = idxs["text"]
+    got = es_search(si, {"query": {"query_string": {
+        "fields": ["text"], "query": "nodeCursor shardGroup",
+        "default_operator": "AND"}}}, size=400).collect()
+    want = es_search(si, {"query": {"query_string": {
+        "fields": ["text"],
+        "query": "nodeCursor AND shardGroup"}}}, size=400).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+    plain_or = es_search(si, {"query": {"query_string": {
+        "fields": ["text"], "query": "nodeCursor shardGroup"}}},
+        size=400).collect()
+    assert len(got) < len(plain_or)
+    with pytest.raises(ValueError, match="default_operator"):
+        es_search(si, {"query": {"query_string": {
+            "query": "a AND b c", "default_operator": "AND"}}}, size=5)
+
+
 def test_bool_clause_object_form_options(two_field):
     """match clauses INSIDE bool bodies honor their object-form options
     by compiling to nested tree nodes: operator 'and' = AND of the
