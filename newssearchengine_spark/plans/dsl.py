@@ -460,6 +460,13 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
             raise ValueError("only operator:'or' multi_match is supported "
                              "(the only form the reference issues)")
+        if spec.get("minimum_should_match") is not None:
+            # ES applies it to the generated per-field boolean — a
+            # match-set change this adapter doesn't model; dropping it
+            # silently would return extra hits
+            raise ValueError(
+                f"minimum_should_match on {kind} is not supported "
+                "(express it as a bool body with should clauses)")
         tb = float(spec.get("tie_breaker", tie_breaker))
         if kind == "multi_match":
             mtype = spec.get("type", "best_fields")
@@ -630,10 +637,22 @@ def es_search(indexes, body: dict, size: int = 10, *,
 
     if kind == "bool":
         si = one()
+        bboost = float(spec.get("boost", 1.0))
+
+        def _bscale(out: DataFrame) -> DataFrame:
+            # body-level bool boost scales every hit's score (rank
+            # order unchanged — uniform positive scale)
+            if bboost == 1.0:
+                return out
+            return out.select(
+                "rank", "doc_id",
+                F.round(F.col("score") * F.lit(bboost), 6).alias("score"))
+
         if _bool_is_nested(spec):
             # nested bool: the general single-scan tree evaluator; flat
             # bodies keep the WAND/driver-pruned fast path below
-            return si.search_bool_tree(_bool_to_tree(si, spec), k=size)
+            return _bscale(
+                si.search_bool_tree(_bool_to_tree(si, spec), k=size))
 
         def clauses_of(clauses) -> list[list[str]]:
             """One analyzed term list PER CLAUSE: a multi-token match
@@ -673,15 +692,16 @@ def es_search(indexes, body: dict, size: int = 10, *,
             # only when every should clause is a single token. Multi-
             # token should clauses under msm route through the tree
             # evaluator, whose msm is per-child (the ES semantics).
-            return si.search_bool_tree(_bool_to_tree(si, spec), k=size)
-        return si.search_bool(
+            return _bscale(
+                si.search_bool_tree(_bool_to_tree(si, spec), k=size))
+        return _bscale(si.search_bool(
             must=clauses_of(spec.get("must", [])),
             should=flat(spec.get("should", [])),
             must_not=flat(spec.get("must_not", [])),
             k=size,
             minimum_should_match=msm,
             filter=filt,
-        )
+        ))
 
     if kind == "prefix":
         field, val = _field_text(spec)

@@ -1022,6 +1022,21 @@ def test_bool_clause_object_form_options(two_field):
             "query": "node cursor",
             "minimum_should_match": "50%"}}}]}}}, size=5)
 
+    # body-level bool boost scales scores uniformly (rank preserved)
+    bb = {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}], "boost": 2.0}}}
+    got_bb = es_search(si, bb, size=10).collect()
+    plain_bb = es_search(si, {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}]}}}, size=10).collect()
+    assert [r["doc_id"] for r in got_bb] == [r["doc_id"] for r in plain_bb]
+    for b_, p in zip(got_bb, plain_bb):
+        assert b_["score"] == pytest.approx(2.0 * p["score"], abs=2e-6)
+    # msm on multi_match / query_string rejects instead of extra hits
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        es_search(si, {"query": {"query_string": {
+            "fields": ["text"], "query": "node cursor",
+            "minimum_should_match": 2}}}, size=5)
+
 
 def test_function_score_functions_list(two_field, monkeypatch):
     """function_score FUNCTIONS list (filter+weight): every score_mode
