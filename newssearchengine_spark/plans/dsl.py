@@ -802,6 +802,16 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if not filt:
             raise ValueError("constant_score needs a filter clause")
         boost = float(spec.get("boost", 1.0))
+        if isinstance(filt, dict) and "bool" in filt:
+            # a bool FILTER (the canonical cacheable-filter shape):
+            # evaluate it as a filter-only tree node — membership at
+            # score 0, every nesting level, then the constant boost
+            tree = {"must": [], "should": [], "must_not": [],
+                    "filter": [_bool_to_tree(si, filt["bool"])],
+                    "minimum_should_match": 0}
+            out = si.search_bool_tree(tree, k=size)
+            return out.select("rank", "doc_id",
+                              F.lit(boost).alias("score"))
         out = si.search_bool(
             k=size,
             filter=[filt] if isinstance(filt, dict) else list(filt))

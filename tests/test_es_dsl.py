@@ -911,6 +911,32 @@ def test_match_operator_and_msm_boost(two_field):
             "minimum_should_match": 1}}}}, size=5)
 
 
+def test_constant_score_bool_filter(two_field):
+    """constant_score over a bool FILTER: membership from the filter-only
+    tree node (nested bool, must/must_not), every hit at score=boost,
+    doc_id-asc rank order."""
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    si = idxs["text"]
+    raw = {r["doc_id"]: r["text"]
+           for r in two.select("doc_id", "text").collect()}
+    dt = {d: set(pure.analyze(t, si.analyzer)) for d, t in raw.items()}
+    s_toks = set(pure.analyze("shard", si.analyzer))
+    n_toks = set(pure.analyze("proto", si.analyzer))
+    body = {"query": {"constant_score": {
+        "filter": {"bool": {
+            "must": [{"match": {"text": "shard"}}],
+            "must_not": [{"match": {"text": "proto"}}]}},
+        "boost": 3.0}}}
+    got = es_search(si, body, size=400).collect()
+    want = sorted(d for d in raw
+                  if (s_toks & dt[d]) and not (n_toks & dt[d]))
+    assert want and [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 3.0 for r in got)
+    assert [r["rank"] for r in got] == list(range(len(want)))
+
+
 def test_query_string_default_operator_and(two_field):
     """default_operator:'and' makes bare query_string terms conjunctive
     (== the explicit pure-AND grammar); mixing it with explicit AND/OR
