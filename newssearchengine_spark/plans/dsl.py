@@ -1428,6 +1428,20 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
             from .search import _meta_filter_pred
             parts = []
             for bname, fq in aspec["filters"].items():
+                if isinstance(fq, dict) and "bool" in fq:
+                    # bool bucket predicate: membership from the
+                    # complete tree relation
+                    rel = index._bool_tree_rel(
+                        _bool_to_tree(index, fq["bool"]))
+                    s = (store.filter(F.lit(False)) if rel is None
+                         else store.join(rel.select("doc_id"),
+                                         "doc_id", "left_semi"))
+                    parts.append(s.agg(
+                        F.count(F.lit(1)).alias("doc_count")).select(
+                        F.lit(name).alias("agg"),
+                        F.lit(bname).alias("key"),
+                        "doc_count", F.lit(None).alias("value")))
+                    continue
                 fc, mc = index._parse_filters([fq])
                 s = store
                 if mc:

@@ -1423,12 +1423,16 @@ def test_es_aggs_filters_buckets(two_field):
             "py": {"term": {"path": "src/module_0.py"}},
             "big": {"range": {"content_len": {"gte": 200}}},
             "has_shard": {"match": {"text": "shard"}},
+            "combo": {"bool": {
+                "must": [{"match": {"text": "shard"}}],
+                "must_not": [{"match": {"text": "proto"}}]}},
         }}}},
     }
     got = {r["key"]: r["doc_count"] for r in es_aggs(si, body).collect()}
 
     qterms = set(si.analyze_query("node cursor"))
     shard = set(si.analyze_query("shard"))
+    proto = set(si.analyze_query("proto"))
     rows = two.select("doc_id", "path", "text",
                       F.length("text").alias("content_len")).collect()
     match = [r for r in rows
@@ -1440,7 +1444,13 @@ def test_es_aggs_filters_buckets(two_field):
     assert got["has_shard"] == sum(
         1 for r in match
         if shard & set(pure.analyze(r["text"], si.analyzer)))
-    assert set(got) == {"py", "big", "has_shard"}
+    # bool bucket predicate: must AND must_not over the match set
+    assert got["combo"] == sum(
+        1 for r in match
+        if (shard & set(pure.analyze(r["text"], si.analyzer)))
+        and not (proto & set(pure.analyze(r["text"], si.analyzer))))
+    assert got["combo"] < got["has_shard"]
+    assert set(got) == {"py", "big", "has_shard", "combo"}
 
 
 def test_es_sort_field_order(two_field):
