@@ -749,14 +749,33 @@ def es_search(indexes, body: dict, size: int = 10, *,
         fields = list(spec.get("fields") or [])
         si = one(fields[0] if fields else None)
         like = spec.get("like", [])
-        if isinstance(like, dict):
+        if isinstance(like, (dict, str)):
             like = [like]
         ids = [int(l["_id"]) for l in like
                if isinstance(l, dict) and "_id" in l]
+        texts = [l for l in like if isinstance(l, str)]
+        if ids and texts:
+            raise ValueError(
+                "more_like_this with BOTH id and text likes is not "
+                "supported (ES merges their term budgets; issue one "
+                "source per body)")
+        if texts:
+            # free-text like: keywords from analyzing the text against
+            # the index's df statistics (driver-side — one short
+            # string), then the usual OR retrieval; nothing to exclude
+            terms = si.keywords_from_text(
+                " ".join(texts),
+                min_tf=int(spec.get("min_term_freq", 2)),
+                min_df=int(spec.get("min_doc_freq", 5)),
+                top_n=int(spec.get("max_query_terms", 25)))
+            if not terms:
+                return si.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+            return si.search(sorted(set(terms)), size, mode=mode)
         if not ids:
             raise ValueError(
-                "more_like_this needs like: [{'_id': ...}] docs "
-                "(the only form the reference's flow produces)")
+                "more_like_this needs like: [{'_id': ...}] docs or "
+                "free-text strings")
         kw = si.keywords_tf_idf(
             ids,
             min_tf=int(spec.get("min_term_freq", 2)),

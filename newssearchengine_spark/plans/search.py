@@ -1149,6 +1149,30 @@ class SegmentIndex:
             .select("doc_id", "term", "kscore")
         )
 
+    def keywords_from_text(self, text: str, *, min_tf: int = 2,
+                           min_df: int = 5, top_n: int = 25) -> list[str]:
+        """tf-idf top terms of FREE TEXT against this index's statistics
+        — the ES more_like_this `like: "raw text"` form (keywords come
+        from analyzing the text, df from the term dictionary; same
+        thresholds and tie-break as keywords_tf_idf). Driver-side by
+        design: the like-text is one short string (ES analyzes it on the
+        coordinating node), and df resolves via the driver-local pruned
+        term_stats read — no Spark job until the retrieval itself."""
+        from collections import Counter
+
+        tf = Counter(self.analyze_query(text))
+        cand = sorted(t for t, c in tf.items() if c >= min_tf)
+        if not cand:
+            return []
+        dfs = self.term_dfs(cand)
+        n_docs = float(self.stats["n_docs"])
+        scored = [
+            (t, round(tf[t] * float(lucene_idf(n_docs, float(dfs[t]))), 6))
+            for t in cand if dfs.get(t, 0) >= min_df
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in scored[:top_n]]
+
     def significant_terms(self, query_terms: list[str],
                           top_n: int) -> DataFrame:
         """ES significant_terms from the INDEX (compositional form:

@@ -568,8 +568,44 @@ def test_more_like_this_body(spark, tmp_path):
         "min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 8}}}
     got2 = ess(si, body2, size=12).collect()
     assert not {like, 23} & {r["doc_id"] for r in got2}
-    with pytest.raises(ValueError, match="more_like_this"):
-        ess(si, {"more_like_this": {"like": ["raw text"]}}, 5)
+
+    # free-text like: keywords from analyzing the TEXT against the
+    # index's df statistics, then the usual OR retrieval — vs a python
+    # tf*idf oracle over the raw corpus
+    import math
+    from collections import Counter
+
+    from newssearchengine_spark.oracle import pure
+
+    raw = {r["doc_id"]: r["content"]
+           for r in docs.select("doc_id", "content").collect()}
+    like_text = raw[like] + " " + raw[23]
+    body3 = {"query": {"more_like_this": {
+        "fields": ["content"], "like": like_text,
+        "min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 8}}}
+    got3 = ess(si, body3, size=12).collect()
+    tfc = Counter(pure.analyze(like_text, si.analyzer))
+    dtoks = {d: set(pure.analyze(t, si.analyzer)) for d, t in raw.items()}
+    n = float(len(raw))
+    cand = []
+    for t, c in tfc.items():
+        if c < 2:
+            continue
+        df = sum(1 for ts in dtoks.values() if t in ts)
+        if df < 3:
+            continue
+        cand.append((t, round(c * math.log(1 + (n - df + 0.5)
+                                           / (df + 0.5)), 6)))
+    cand.sort(key=lambda kv: (-kv[1], kv[0]))
+    kw3 = sorted(t for t, _ in cand[:8])
+    assert kw3
+    want3 = si.search(kw3, 12).collect()
+    assert [(r["doc_id"], r["score"]) for r in got3] == \
+        [(r["doc_id"], r["score"]) for r in want3]
+    # mixed id+text likes reject (term budgets diverge from ES)
+    with pytest.raises(ValueError, match="BOTH"):
+        ess(si, {"more_like_this": {
+            "like": [{"_id": like}, "raw text"]}}, 5)
 
 
 def test_es_lookup_kinds_and_cardinality(two_field):
