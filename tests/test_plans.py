@@ -233,3 +233,35 @@ def test_nonphrase_scan_prunes_positions(spark, tmp_path):
     phr = scan_schemas(
         si._pos_segments().select("doc_part", "term", "positions"))
     assert phr and any("positions" in s for s in phr), phr
+
+
+def test_function_score_fns_distributed_plan(spark, tmp_path, monkeypatch):
+    """The function_score functions-list DISTRIBUTED regime keeps the
+    100-TB shape: exactly three parquet scans (postings scoring +
+    postings membership + doc_store), the metadata function's range
+    predicate PUSHED to the doc_store scan, both membership joins
+    broadcast — never a corpus scan."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans import search as search_mod
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    d = str(tmp_path / "idx_fsf")
+    corpus = assign_doc_ids(source_files(spark, 150, seed=41, partitions=2),
+                            num_partitions=2)
+    build_index(corpus, d, IndexConfig(n_buckets=4, doc_range=128),
+                resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    monkeypatch.setattr(search_mod, "BOOL_DRIVER_CAP", -1)
+    out = si.search_function_score_fns(
+        "node cursor",
+        [{"filter": {"range": {"content_len": {"gte": 150}}},
+          "weight": 1.5},
+         {"filter": {"match": {"content": "shard"}}, "weight": 2.0}],
+        10)
+    p = plan(out, mode="simple")
+    assert p.count("FileScan parquet") == 3, p
+    assert "GreaterThanOrEqual(content_len,150)" in p, p
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert out.count() > 0
