@@ -1291,10 +1291,14 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
             f, text = _field_text(spec)
             val = next(iter(spec.values()))
             if isinstance(val, dict):
+                # any semantics-bearing option -> per-body es_search
+                # (which honors or rejects it; batching would silently
+                # run the plain OR)
                 batchable = (
                     str(val.get("operator", "or")).lower() == "or"
                     and val.get("minimum_should_match") is None
-                    and float(val.get("boost", 1.0)) == 1.0)
+                    and float(val.get("boost", 1.0)) == 1.0
+                    and "fuzziness" not in val)
         elif batchable and kind in ("query_string", "multi_match"):
             op, parts = _parse_query_string(str(spec["query"]))
             names, boosts = _parse_boosts(list(spec.get("fields") or []))

@@ -1696,6 +1696,11 @@ def test_es_msearch_heterogeneous_bodies(two_field):
         es_msearch(idxs, [{
             "query": {"match": {"text": "nodeCursor"}},
             "highlight": {"fields": {"text": {}}}}], size=5)
+    # a fuzziness-carrying match must NOT silently batch as plain OR —
+    # the per-body path rejects it, so msearch does too
+    with pytest.raises(ValueError, match="fuzziness"):
+        es_msearch(idxs, [{"query": {"match": {"text": {
+            "query": "nodeCursor", "fuzziness": 1}}}}], size=5)
 
 
 def test_es_rescore_semantics(prose_idx):
