@@ -194,6 +194,13 @@ def main() -> None:
                     lambda: si.search_phrase(["table", "scan"],
                                              100).collect())
 
+        # sloppy phrase (r5): transposed pair at slop 2 — the window
+        # sweep over the same positional scan; candidates bounded by the
+        # min term df exactly like the exact matcher
+        timed_inner("phrase_slop_query",
+                    lambda: si.search_phrase(["scan", "table"], 100,
+                                             slop=2).collect())
+
         # 2b) document deletes: tombstone 1% of the corpus, then time the
         # full physical compaction (chunk-local re-encode, no shuffle —
         # the expungeDeletes analog; runs LAST against idx_dir so the

@@ -602,6 +602,95 @@ def ft_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idxp.unionByName(taat)
 
 
+def _phrase_slop_sql(phrase: list[str], slop: int, k: int,
+                     bm25: BM25Config = BM25Config()) -> str:
+    """DuckDB oracle for SLOPPY phrase BM25 (distinct terms): a doc
+    matches iff some per-term position choice has offset-shifted span
+    <= slop; tf = count of DISTINCT term-0 positions with a completing
+    choice (the engine's participating-start convention); scoring =
+    the exact-phrase BM25 (idf over phrase df)."""
+    m = len(phrase)
+    k1, b = bm25.k1, bm25.b
+    pos_cols = ",\n         ".join(
+        f"list_filter(range(1, len(toks)+1), i -> toks[i] = '{t}') AS pos{j}"
+        for j, t in enumerate(phrase))
+    unnests = "\n".join(
+        f"p{j} AS (SELECT doc_id, unnest(pos{j}) AS p FROM posl),"
+        for j in range(m))
+    joins = " ".join(f"JOIN p{j} a{j} ON a0.doc_id = a{j}.doc_id"
+                     for j in range(1, m))
+    shifted = ", ".join(f"a{j}.p - {j}" for j in range(m))
+    return f"""WITH tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace(text,
+          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+      t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+           AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM documents
+),
+posl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, {pos_cols}
+  FROM tokl WHERE len(toks) > 0
+),
+{unnests}
+starts AS (
+  SELECT DISTINCT a0.doc_id, a0.p
+  FROM p0 a0 {joins}
+  WHERE greatest({shifted}) - least({shifted}) <= {slop}
+),
+occ AS (
+  SELECT s.doc_id, any_value(pl.dl) AS dl, count(*)::BIGINT AS occ
+  FROM starts s JOIN posl pl USING (doc_id) GROUP BY s.doc_id
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM posl),
+dfp AS (SELECT count(*)::DOUBLE AS v FROM occ),
+sc AS (
+  SELECT o.doc_id,
+         round(ln(1 + (s.n - d.v + 0.5) / (d.v + 0.5))
+               * (o.occ * ({k1} + 1)) /
+                 (o.occ + {k1} * (1 - {b} + {b} * o.dl / s.avgdl)), 6) AS score
+  FROM occ o CROSS JOIN stats s CROSS JOIN dfp d
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_SLOP_2T = (["scan", "table"], 2)   # transposed pair — slop pays the
+                                    # Lucene transposition cost of 2
+_SLOP_3T = (["sort", "merge", "join"], 3)  # m=3 exercises the m-way sweep
+
+
+@gate_query(
+    "ft_phrase_slop",
+    f"""SELECT 'scan_table_s2' AS case, * FROM ({_phrase_slop_sql(*_SLOP_2T, TOP_K)})
+UNION ALL
+SELECT 'sort_merge_join_s3' AS case, * FROM ({_phrase_slop_sql(*_SLOP_3T, TOP_K)})""",
+)
+def ft_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOPPY phrase retrieval (ES match_phrase slop>0 — the r4 adapter
+    rejection retired): Lucene's acceptance (offset-shifted span <=
+    slop; a transposed pair costs 2) over the positional sidecar, tf =
+    the engine's closed-form participating-start convention
+    (plans/search.py:_make_sloppy_phrase_matcher — equals the exact
+    count at slop=0, pytest-pinned vs a product-enumeration oracle).
+    Two cases in one hash: the TRANSPOSED pair 'scan table'~2 (matches
+    docs saying 'table scan') and a 3-term 'sort merge join'~3
+    (exercises the m-way window sweep)."""
+    si = _gate_index(spark, sf_dir)
+    a = _rounded_topk(
+        si.search_phrase(_SLOP_2T[0], TOP_K, slop=_SLOP_2T[1])
+        .select("doc_id", "score"), TOP_K
+    ).select(F.lit("scan_table_s2").alias("case"), "rank", "doc_id", "score")
+    b = _rounded_topk(
+        si.search_phrase(_SLOP_3T[0], TOP_K, slop=_SLOP_3T[1])
+        .select("doc_id", "score"), TOP_K
+    ).select(F.lit("sort_merge_join_s3").alias("case"),
+             "rank", "doc_id", "score")
+    return a.unionByName(b)
+
+
 @gate_query("ft_phrase_bm25_indexed", _phrase_sql(_PHRASE, TOP_K))
 def ft_phrase_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase retrieval as an INDEX operation: consecutive-position
@@ -2235,3 +2324,129 @@ def ft_es_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = es_search(si, body, size=TOP_K)
     return out.select("rank", "doc_id",
                       F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+# -- ES bool with per-clause boosts (r5: the r4 rejection retired) --------
+_CB_MUST = "table merge"          # one match clause (OR of its tokens)
+_CB_MUST_BOOST = 2.5
+_CB_S1, _CB_S1_BOOST = "hash", 0.5
+_CB_S2 = "window"
+
+
+def _bool_boosted_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    all_terms = ", ".join(f"'{t}'" for t in
+                          sorted({"table", "merge", _CB_S1, _CB_S2}))
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{all_terms}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc0 AS (
+  SELECT doc_id,
+         round({_CB_MUST_BOOST} * sum(CASE WHEN term IN ('merge', 'table')
+                                      THEN p ELSE 0 END)
+               + {_CB_S1_BOOST} * sum(CASE WHEN term = '{_CB_S1}'
+                                      THEN p ELSE 0 END)
+               + sum(CASE WHEN term = '{_CB_S2}' THEN p ELSE 0 END),
+               6) AS score,
+         max(CASE WHEN term IN ('merge', 'table') THEN 1 ELSE 0 END) AS mok
+  FROM parts GROUP BY doc_id
+),
+sc AS (SELECT doc_id, score FROM sc0 WHERE mok = 1)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bool_boosted", _bool_boosted_sql(TOP_K))
+def ft_bool_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool with PER-CLAUSE boosts (r4 adapter rejection retired):
+    the must clause's summed-BM25 contribution scales by its boost
+    (2.5), one should clause by 0.5, the other unboosted — ES clause
+    semantics (each clause's score is the summed BM25 of its matched
+    tokens x its boost; the match set is unchanged). Runs through
+    es_search onto the single-scan bool-tree compiler with weighted
+    leaves (plans/search.py:_bool_tree_rel)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": _CB_MUST,
+                                     "boost": _CB_MUST_BOOST}}}],
+        "should": [{"match": {"text": {"query": _CB_S1,
+                                       "boost": _CB_S1_BOOST}}},
+                   {"match": {"text": _CB_S2}}],
+    }}}
+    return es_search(si, body, size=TOP_K)
+
+
+# -- multi-field AND query_string (per-field DisMax of conjunctions) -----
+_MFA_TERMS = ["scan", "table"]
+_MFA_TIE = 0.3
+_MFA_TITLE_BOOST = 2.0
+
+
+def _qs_multifield_and_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    ts = ", ".join(f"'{t}'" for t in sorted(set(_MFA_TERMS)))
+    fields = (_field_ctes(_DISMAX_TITLE, "t_") + "," +
+              _field_ctes("text", "b_"))
+    fields = fields.replace("{k1}", str(bm25.k1)).replace("{b}", str(bm25.b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+q AS (SELECT unnest([{ts}]) AS term),{fields},
+t_ok AS (
+  SELECT doc_id FROM t_tf JOIN q USING (term)
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_MFA_TERMS))}
+),
+b_ok AS (
+  SELECT doc_id FROM b_tf JOIN q USING (term)
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_MFA_TERMS))}
+),
+t_m AS (SELECT s.doc_id, s.score * {_MFA_TITLE_BOOST} AS score
+        FROM t_sc s JOIN t_ok USING (doc_id)),
+b_m AS (SELECT s.doc_id, s.score FROM b_sc s JOIN b_ok USING (doc_id)),
+allsc AS (
+  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+         coalesce(a.score, 0) AS s_t, coalesce(c.score, 0) AS s_b
+  FROM t_m a FULL OUTER JOIN b_m c ON a.doc_id = c.doc_id
+),
+fin AS (
+  SELECT doc_id,
+         round(greatest(s_t, s_b)
+               + {_MFA_TIE} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+  FROM allsc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_qs_multifield_and", _qs_multifield_and_sql(TOP_K))
+def ft_qs_multifield_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field AND query_string (the last r4 adapter rejection
+    retired): 'scan AND table' over fields [title^2, text] — the WHOLE
+    conjunction evaluates per field against that field's own index
+    (ES best_fields: a doc must satisfy every operand in ONE field to
+    score there), per-field summed BM25 x field boost, DisMax combine
+    max + tie_breaker * (sum - max). Engine path: es_search ->
+    search_dismax_bool -> per-field single-scan tree relations +
+    the shared _combine_dismax Catalyst tail."""
+    from ..plans.dsl import es_search
+
+    fidx = {"title": _gate_title_index(spark, sf_dir),
+            "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"query_string": {
+        "fields": [f"title^{_MFA_TITLE_BOOST}", "text"],
+        "query": " AND ".join(_MFA_TERMS),
+        "tie_breaker": _MFA_TIE,
+    }}}
+    return es_search(fidx, body, size=TOP_K)

@@ -134,14 +134,49 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
+def _resolve_msm(raw, total: int) -> int:
+    """Resolve an ES/Lucene minimum_should_match VALUE against `total`
+    optional clauses: positive integer n => n; negative integer -n =>
+    total - n; 'P%' => floor(total * P / 100) (Lucene rounds the
+    percentage computation DOWN); '-P%' => total minus that floor.
+    Conditional forms ('3<90%') are rejected loudly. Results clamp at 0
+    (Lucene: a spec computing to nothing leaves the normal bool rules —
+    a should-only query still needs one match)."""
+    if raw is None:
+        return 0
+    if isinstance(raw, int):
+        return max(0, raw if raw >= 0 else total + raw)
+    s = str(raw).strip()
+    if "<" in s:
+        raise ValueError(
+            "conditional minimum_should_match ('3<90%') is not supported")
+    try:
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            part = (abs(pct) * total) // 100
+            return max(0, part if pct >= 0 else total - part)
+        n = int(s)
+    except ValueError:
+        raise ValueError(f"bad minimum_should_match value: {raw!r}")
+    return max(0, n if n >= 0 else total + n)
+
+
 def _match_needs_tree(c) -> bool:
-    """An object-form match clause carrying operator:'and' or
-    minimum_should_match can't ride the flat bool path (one OR token
-    list per clause) — it compiles to a nested tree node instead."""
-    if not isinstance(c, dict) or next(iter(c)) != "match":
+    """An object-form match/term clause carrying operator:'and',
+    minimum_should_match, or a per-clause boost can't ride the flat
+    bool path (one unweighted OR token list per clause) — it compiles
+    to a (possibly weighted) tree node instead."""
+    if not isinstance(c, dict):
         return False
-    v = next(iter(c["match"].values()))
-    return isinstance(v, dict) and (
+    ck = next(iter(c))
+    if ck not in ("match", "term"):
+        return False
+    v = next(iter(c[ck].values()))
+    if not isinstance(v, dict):
+        return False
+    if "boost" in v:
+        return True
+    return ck == "match" and (
         str(v.get("operator", "or")).lower() == "and"
         or v.get("minimum_should_match") is not None)
 
@@ -164,42 +199,50 @@ def _bool_to_tree(si, bspec: dict) -> dict:
     stays a literal token, bool recurses; filter entries pass through
     (the engine's _parse_filters grammar) except nested bools, which
     recurse."""
-    def node(must=(), should=(), msm=0):
+    def node(must=(), should=(), msm=0, boost=1.0):
         return {"must": list(must), "should": list(should),
                 "must_not": [], "filter": [],
-                "minimum_should_match": int(msm)}
+                "minimum_should_match": int(msm),
+                "boost": float(boost)}
 
     def conv(c):
         ck, cs = next(iter(c.items()))
         if ck == "bool":
-            return _bool_to_tree(si, cs)
+            sub = _bool_to_tree(si, cs)
+            # ES per-clause boost on a nested bool scales ITS total;
+            # the parent applies it here (the root body's own boost is
+            # the caller's _bscale, never double-counted)
+            sub["boost"] = float(cs.get("boost", 1.0))
+            return sub
         if ck not in ("match", "term"):
             raise ValueError(f"unsupported bool clause: {ck}")
-        if ck == "match":
-            v = next(iter(cs.values()))
-            if isinstance(v, dict):
-                # object-form options that change the clause's MATCH SET
-                # compile to a nested node (operator 'and' = AND of its
-                # tokens; msm = at-least-m-of-its-tokens) — both score
-                # the summed BM25 of the clause's matched tokens, the
-                # ES match contract
-                if "boost" in v:
-                    raise ValueError(
-                        "per-clause boost inside bool is not supported")
-                _, text = _field_text(cs)
-                toks = sorted(set(si.analyze_query(text)))
-                if str(v.get("operator", "or")).lower() == "and":
-                    return node(must=[[t] for t in toks])
-                msm = v.get("minimum_should_match")
-                if isinstance(msm, str):
-                    raise ValueError(
-                        "percentage minimum_should_match is not "
-                        "supported (pass an integer)")
-                if msm:  # 0/None = the plain OR match below
-                    return node(should=[[t] for t in toks],
-                                msm=int(msm))
+        v = next(iter(cs.values()))
+        boost = (float(v.get("boost", 1.0))
+                 if isinstance(v, dict) else 1.0)
+        if ck == "match" and isinstance(v, dict):
+            # object-form options that change the clause's MATCH SET
+            # compile to a nested node (operator 'and' = AND of its
+            # tokens; msm = at-least-m-of-its-tokens) — both score
+            # the summed BM25 of the clause's matched tokens, the
+            # ES match contract; a boost scales the clause total
+            _, text = _field_text(cs)
+            toks = sorted(set(si.analyze_query(text)))
+            if str(v.get("operator", "or")).lower() == "and":
+                return node(must=[[t] for t in toks], boost=boost)
+            # integer / percentage / negative forms (Lucene spec);
+            # total = the clause's analyzed tokens (the optional
+            # clauses of the boolean a match generates)
+            msm = _resolve_msm(v.get("minimum_should_match"),
+                               len(toks))
+            if msm:  # 0 = the plain OR match below
+                return node(should=[[t] for t in toks], msm=msm,
+                            boost=boost)
         _, text = _field_text(cs)
-        return si.analyze_query(text) if ck == "match" else [text]
+        toks = si.analyze_query(text) if ck == "match" else [text]
+        if boost != 1.0:
+            # weighted term clause — same match set, score scaled
+            return {"terms": toks, "boost": boost}
+        return toks
 
     out = {
         role: [conv(c) for c in _as_list(bspec.get(role, []))]
@@ -210,25 +253,33 @@ def _bool_to_tree(si, bspec: dict) -> dict:
         if isinstance(f, dict) and "bool" in f:
             return _bool_to_tree(si, f["bool"])
         if _match_needs_tree(f):
-            v = next(iter(f["match"].values()))
+            fk = next(iter(f))
+            v = next(iter(f[fk].values()))
+            if fk == "term" or (isinstance(v, dict)
+                                and set(v) <= {"query", "value", "boost"}
+                                and "boost" in v):
+                # a boost in FILTER CONTEXT is a no-op (ES filters never
+                # score) — strip it and keep the plain filter grammar
+                col, val = _field_text(f[fk])
+                return {fk: {col: val}}
             _, text = _field_text(f["match"])
             toks = sorted(set(si.analyze_query(text)))
             if str(v.get("operator", "or")).lower() == "and":
                 return node(must=[[t] for t in toks])
-            msm = v.get("minimum_should_match")
-            if isinstance(msm, str):
-                raise ValueError(
-                    "percentage minimum_should_match is not supported "
-                    "(pass an integer)")
+            msm = _resolve_msm(v.get("minimum_should_match"), len(toks))
             if not msm:
                 return f
-            return node(should=[[t] for t in toks], msm=int(msm))
+            return node(should=[[t] for t in toks], msm=msm)
         return f
 
     out["filter"] = [conv_filter(f)
                      for f in _as_list(bspec.get("filter", []))]
-    out["minimum_should_match"] = int(
-        bspec.get("minimum_should_match", 0))
+    # body-level msm counts SHOULD CLAUSES; Lucene's total excludes
+    # clauses that analyzed to nothing (they never reach the boolean)
+    n_should = sum(1 for c in out["should"]
+                   if (isinstance(c, dict) or c))
+    out["minimum_should_match"] = _resolve_msm(
+        bspec.get("minimum_should_match"), n_should)
     return out
 
 
@@ -496,14 +547,14 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 op, parts = "and", qtoks
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
         if op == "mixed":
-            # OR of AND-groups under ES precedence; single-field only
-            # (like the pure-AND case — per-field DisMax of conjunctions
-            # has no engine form)
+            # OR of AND-groups under ES precedence. Multiple fields run
+            # the best_fields shape: the WHOLE grammar per field,
+            # per-field scores DisMax-combined (search_dismax_bool)
             if multi is not None and names and len(names) > 1:
-                raise ValueError(
-                    "query_string with AND over multiple fields is not "
-                    "supported (per-field DisMax of conjunctions)"
-                )
+                from .search import search_dismax_bool
+                return search_dismax_bool(
+                    {f: multi[f] for f in names}, parts, size,
+                    tie_breaker=tb, boosts=boosts or None)
             si = one(names[0] if names else None)
             groups = [[si.analyze_query(p) for p in g] for g in parts]
             out = si.search_mixed(groups, k=size)
@@ -516,12 +567,14 @@ def es_search(indexes, body: dict, size: int = 10, *,
         if op == "and":
             # pure conjunction: every AND operand is a required clause
             # (an operand's analyzed tokens keep ES match OR-semantics);
-            # scoring = summed BM25 of all terms = bool must
+            # scoring = summed BM25 of all terms = bool must. Multiple
+            # fields: the whole conjunction per field, DisMax-combined
+            # (ES best_fields)
             if multi is not None and names and len(names) > 1:
-                raise ValueError(
-                    "query_string AND over multiple fields is not "
-                    "supported (per-field DisMax of conjunctions)"
-                )
+                from .search import search_dismax_bool
+                return search_dismax_bool(
+                    {f: multi[f] for f in names}, [parts], size,
+                    tie_breaker=tb, boosts=boosts or None)
             si = one(names[0] if names else None)
             clauses = [si.analyze_query(p) for p in parts]
             clauses = [c for c in clauses if c]
@@ -565,19 +618,66 @@ def es_search(indexes, body: dict, size: int = 10, *,
             op = str(val.get("operator", "or")).lower()
             if op not in ("or", "and"):
                 raise ValueError(f"unsupported match operator: {op}")
-            if "fuzziness" in val:
-                # fuzzy expansion widens the match set; ES blends the
-                # per-token expansions as synonyms — silently running
-                # the exact match would miss hits
-                raise ValueError(
-                    "match fuzziness is not supported; use the fuzzy "
-                    "query kind (or a bool of fuzzy clauses) instead")
-            msm = val.get("minimum_should_match")
+            msm_raw = val.get("minimum_should_match")
             boost = float(val.get("boost", 1.0))
             toks = sorted(set(si.analyze_query(text)))
+            fz = val.get("fuzziness")
+            if fz is not None:
+                # ES match fuzziness: each analyzed token expands
+                # against the index dictionary, bounded like ES
+                # (max_expansions / prefix_length); AUTO = 0/1/2 edits
+                # at token length 0-2/3-5/6+. operator 'or' runs the
+                # expansion UNION as one disjunction (a single-token
+                # match equals the `fuzzy` query kind exactly —
+                # pytest-pinned); operator 'and' requires each token's
+                # expansion GROUP (bool must, ES's per-token clause).
+                # Scoring is the engine's documented expansion
+                # convention (search_fuzzy): summed BM25 of the matched
+                # expansion terms, each with its own idf — Lucene blends
+                # synonym dfs inside its FuzzyQuery rewrite; that
+                # internal blend is not reproduced, the convention here
+                # is oracle-checked instead (gate ft_fuzzy_bm25 family).
+                if msm_raw is not None:
+                    raise ValueError(
+                        "fuzziness combined with minimum_should_match "
+                        "is not supported")
+                pl = int(val.get("prefix_length", 0))
+                mx = int(val.get("max_expansions", 50))
+
+                def _edits(tok: str) -> int:
+                    if isinstance(fz, str):
+                        if fz.upper() != "AUTO":
+                            raise ValueError(
+                                f"unsupported fuzziness: {fz}")
+                        return (0 if len(tok) < 3
+                                else (1 if len(tok) < 6 else 2))
+                    return int(fz)
+
+                egroups = [sorted(si.expand_fuzzy(
+                    t, max_edits=_edits(t), prefix_len=pl,
+                    max_expansions=mx)) for t in toks]
+                empty = si.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+                if op == "and":
+                    if any(not g for g in egroups) or not egroups:
+                        # a required token with no expansion matches
+                        # nothing (the ES must-clause contract)
+                        return empty
+                    out = si.search_bool(must=egroups, k=size)
+                else:
+                    union = sorted({t for g in egroups for t in g})
+                    if not union:
+                        return empty
+                    out = si.search(union, size, mode=mode)
+                if boost != 1.0:
+                    out = out.select(
+                        "rank", "doc_id",
+                        F.round(F.col("score") * F.lit(boost), 6)
+                        .alias("score"))
+                return out
             out = None
             if op == "and":
-                if msm is not None:
+                if msm_raw is not None:
                     raise ValueError(
                         "minimum_should_match is a no-op under "
                         "operator:'and' (ES ignores it); drop one")
@@ -587,14 +687,14 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 # every token required, scored by the summed BM25 of
                 # all tokens — one must clause per token
                 out = si.search_bool(must=[[t] for t in toks], k=size)
-            elif msm is not None:
-                if isinstance(msm, str):
-                    raise ValueError(
-                        "percentage minimum_should_match is not "
-                        "supported (pass an integer)")
-                out = si.search_bool(should=toks,
-                                     minimum_should_match=int(msm),
-                                     k=size)
+            elif msm_raw is not None:
+                msm = _resolve_msm(msm_raw, len(toks))
+                if msm:
+                    out = si.search_bool(should=toks,
+                                         minimum_should_match=msm,
+                                         k=size)
+                # msm resolved to 0: the plain OR match below (Lucene
+                # leaves the normal at-least-one bool rule in place)
             if out is not None:
                 if boost != 1.0:
                     out = out.select(
@@ -612,14 +712,12 @@ def es_search(indexes, body: dict, size: int = 10, *,
     if kind == "match_phrase":
         field, text = _field_text(spec)
         val = next(iter(spec.values()))
-        if isinstance(val, dict) and int(val.get("slop", 0)) != 0:
-            # sloppy phrases match MORE docs than exact adjacency —
-            # returning the exact-phrase subset would be a silently
-            # wrong answer, so the unimplemented option is loud
-            raise ValueError(
-                "match_phrase slop > 0 is not supported (Lucene sloppy "
-                "phrase matching); exact adjacency only")
-        return one(field).search_phrase(text, size)
+        slop = (int(val.get("slop", 0)) if isinstance(val, dict) else 0)
+        # slop > 0 runs the sloppy matcher over the positional sidecar —
+        # Lucene's acceptance (offset-shifted span <= slop, transposition
+        # costs 2); tf is the engine's documented participating-start
+        # convention (search.py:_make_sloppy_phrase_matcher)
+        return one(field).search_phrase(text, size, slop=slop)
 
     if kind == "match_phrase_prefix":
         field, text = _field_text(spec)
@@ -684,8 +782,11 @@ def es_search(indexes, body: dict, size: int = 10, *,
         filt = spec.get("filter", [])
         if isinstance(filt, dict):
             filt = [filt]
-        msm = int(spec.get("minimum_should_match", 0))
         should_clauses = clauses_of(spec.get("should", []))
+        # body-level msm counts should CLAUSES that survived analysis
+        # (Lucene's total); integer / percentage / negative forms
+        msm = _resolve_msm(spec.get("minimum_should_match"),
+                           len(should_clauses))
         if msm > 0 and any(len(c) > 1 for c in should_clauses):
             # ES counts should CLAUSES toward minimum_should_match; the
             # flat engine path counts distinct should TERMS — identical

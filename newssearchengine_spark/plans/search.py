@@ -904,7 +904,7 @@ class SegmentIndex:
         return self.search(terms, k, mode=mode)
 
     def search_phrase(self, phrase, k: int, with_meta: bool = False,
-                      _raw: bool = False) -> DataFrame:
+                      slop: int = 0, _raw: bool = False) -> DataFrame:
         """Indexed phrase retrieval (ES match_phrase) — a pure INDEX
         operation over the positional postings sidecar, no corpus re-scan
         (the reference's ES index stores positions for exactly this,
@@ -926,6 +926,15 @@ class SegmentIndex:
         phrase) -> Catalyst scoring + TakeOrderedAndProject. Two jobs
         total (phrase-df aggregate + top-k) over the candidate relation,
         never over the corpus.
+
+        slop > 0 runs the SLOPPY matcher over the same scan: Lucene's
+        acceptance (an assignment of one position per term whose
+        offset-shifted span is <= slop — a transposition costs 2), tf =
+        this engine's closed-form participating-start convention
+        (_make_sloppy_phrase_matcher; equals the exact count at slop=0,
+        pytest-pinned). Sloppy phrases need DISTINCT analyzed terms
+        (distinct terms can't claim one token position, making every
+        choice injective); repeated-term sloppy phrases raise.
         """
         if not self.stats.get("with_positions"):
             raise ValueError(
@@ -934,13 +943,21 @@ class SegmentIndex:
             )
         if not _raw and self.n_deleted():
             return self._live(k, lambda kk: self.search_phrase(
-                phrase, kk, with_meta=with_meta, _raw=True))
+                phrase, kk, with_meta=with_meta, slop=slop, _raw=True))
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
         if not terms:
             return empty
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if slop > 0 and len(terms) > 1 and len(set(terms)) != len(terms):
+            raise ValueError(
+                "sloppy phrases need distinct analyzed terms (repeated "
+                "terms would need an injective position assignment — "
+                "bipartite matching); use slop=0 or distinct terms")
         uterms = sorted(set(terms))
         dfs = self.term_dfs(uterms)
         if any(dfs.get(t, 0) == 0 for t in uterms):
@@ -957,7 +974,9 @@ class SegmentIndex:
             .filter(F.col("term").isin(uterms))
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
         )
-        matcher = _make_phrase_matcher(list(terms))
+        matcher = (_make_sloppy_phrase_matcher(list(terms), slop)
+                   if slop > 0 and len(terms) > 1
+                   else _make_phrase_matcher(list(terms)))
         cand_plan = self._by_part(seg).applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
         )
@@ -1639,10 +1658,13 @@ class SegmentIndex:
         e.g. must=[clause, {"should": [...], "minimum_should_match": 2}].
 
         `node` is {"must": [...], "should": [...], "must_not": [...],
-        "filter": [...], "minimum_should_match": int}. A clause is a
-        term list (ES match: the doc matches on >= 1 token and scores
-        the summed BM25 of its matched tokens), a plain string (single
-        term), or a nested node dict. `filter` elements may also use the
+        "filter": [...], "minimum_should_match": int, "boost": float}.
+        A clause is a term list (ES match: the doc matches on >= 1 token
+        and scores the summed BM25 of its matched tokens), a plain
+        string (single term), a weighted term clause {"terms": [...],
+        "boost": w} (ES per-clause boost: the clause's score scales by
+        w; the match set is unchanged), or a nested node dict (whose own
+        "boost" scales that node's total). `filter` elements may also use the
         _parse_filters grammar (match / term / terms / range / exists
         over doc-store columns). Lucene semantics: a node matches iff
         every must and filter child matches, no must_not child matches,
@@ -1772,9 +1794,23 @@ class SegmentIndex:
             [("t",i) | ("meta",j) | node], "msm": int}; None = no-op."""
             out = {"must": [], "should": [], "must_not": [],
                    "filter": [],
-                   "msm": int(nd.get("minimum_should_match", 0))}
+                   "msm": int(nd.get("minimum_should_match", 0)),
+                   # ES per-clause boost on a nested bool: scales the
+                   # node's total score (score() below)
+                   "boost": float(nd.get("boost", 1.0))}
 
             def child(c):
+                if isinstance(c, dict) and "terms" in c:
+                    # weighted term clause {"terms": [...], "boost": w}
+                    # (ES per-clause boost on a match/term clause): the
+                    # clause shares its cid rows with unweighted twins —
+                    # the weight rides the leaf, applied in score()
+                    toks = term_clause(c["terms"])
+                    if not toks:
+                        return None
+                    w = float(c.get("boost", 1.0))
+                    leaf = term_leaf(toks)
+                    return leaf + (w,) if w != 1.0 else leaf
                 if isinstance(c, dict):
                     return norm(c)
                 toks = term_clause(c)
@@ -1865,7 +1901,7 @@ class SegmentIndex:
         # ---- the tree as Catalyst expressions over the flags
         def matched(x):
             if isinstance(x, tuple):
-                kind, i = x
+                kind, i = x[0], x[1]
                 col = f"_m{i}" if kind == "t" else f"_f{i}"
                 return F.coalesce(F.col(col), F.lit(0)) == 1
             sh = [matched(c) for c in x["should"]]
@@ -1888,16 +1924,21 @@ class SegmentIndex:
 
         def score(x):
             if isinstance(x, tuple):
-                kind, i = x
-                return (F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-                        if kind == "t" else F.lit(0.0))
+                kind, i = x[0], x[1]
+                if kind != "t":
+                    return F.lit(0.0)
+                base = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+                # weighted leaf: (kind, i, boost)
+                return base * F.lit(x[2]) if len(x) == 3 else base
             kids = x["must"] + x["should"]
             if not kids:
                 return F.lit(0.0)
-            return reduce(
+            total = reduce(
                 lambda a, b: a + b,
                 [F.when(matched(c), score(c)).otherwise(0.0)
                  for c in kids])
+            w = x.get("boost", 1.0)
+            return total * F.lit(w) if w != 1.0 else total
 
         return (g.filter(matched(root))
                 .select("doc_id", score(root).alias("score")))
@@ -2783,6 +2824,67 @@ def _dismax_full(field_indexes: dict, query, k: int, *,
     return _combine_dismax(filled, cols, tie_breaker, k)
 
 
+def search_dismax_bool(field_indexes: dict, groups, k: int, *,
+                       tie_breaker: float = 0.0,
+                       boosts: dict | None = None) -> DataFrame:
+    """Per-field DisMax over an OR-of-AND-groups grammar — the
+    multi-field `query_string` conjunction/mixed shape (ES best_fields:
+    the WHOLE query parses per field, per-field scores combine
+    max + tie_breaker * (sum - max); cross_fields term splitting is a
+    different type and is not modeled).
+
+    `groups`: list of conjunction groups, each a list of operand TEXTS
+    ('a AND b OR c' = [[a, b], [c]]); each operand analyzes PER FIELD
+    (field analyzers may differ) to an ES match clause (OR of its
+    tokens). A field matches a doc iff the doc satisfies EVERY clause of
+    >= 1 group in that field; the field score is the summed BM25 over
+    its matched groups (search_mixed semantics, field-local stats). A
+    doc enters the result iff >= 1 field matches.
+
+    Plan: per field, the COMPLETE group relation via the single-scan
+    tree compiler (_bool_tree_rel: one pruned scan + one aggregation
+    per field — bounded by each field's most selective clause, the
+    conjunction selectivity the flat bool paths prove), then the
+    full_outer DisMax combine + shared Catalyst tail (_combine_dismax,
+    bit-identical rounding with every other DisMax regime). Tombstones:
+    per-field relations are COMPLETE, so excluding dead ids before the
+    combine is exact — no over-fetch loop needed (unlike the top-k-fed
+    search_dismax wrapper)."""
+    b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
+    if any(v < 0 for v in b.values()):
+        raise ValueError("field boosts must be >= 0")
+    sis = list(field_indexes.values())
+    spark = sis[0].spark
+    scored = None
+    cols = []
+    for name, si in field_indexes.items():
+        gs = [[si.analyze_query(p) for p in g] for g in groups]
+        gs = [[c for c in g if c] for g in gs]
+        gs = [g for g in gs if g]
+        if not gs:
+            continue
+        node = ({"must": gs[0]} if len(gs) == 1 else
+                {"should": [{"must": g} for g in gs]})
+        rel = si._bool_tree_rel(node)
+        if rel is None:
+            continue
+        rel = si._exclude_dead(rel)
+        bf = b[name]
+        s = rel.select(
+            "doc_id",
+            (F.col("score") * F.lit(bf)).alias(f"s_{name}")
+            if bf != 1.0 else F.col("score").alias(f"s_{name}"),
+        )
+        cols.append(f"s_{name}")
+        scored = s if scored is None else scored.join(
+            s, "doc_id", "full_outer")
+    if scored is None:
+        return spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double")
+    filled = scored.na.fill(0.0, cols)
+    return _combine_dismax(filled, cols, float(tie_breaker), k)
+
+
 # per-field candidate pool: large enough that the threshold proof rarely
 # fails at realistic score spreads, small enough to stay a driver-side set
 DISMAX_KPRIME_FLOOR = 64
@@ -2955,6 +3057,132 @@ def _make_phrase_matcher(phrase: list[str], last_alts: list[str] | None = None):
             "doc_id": ids0[sel],
             "occ": occ[sel],
             "dl": dls0[sel],
+        })
+
+    return match_group
+
+
+def _sloppy_tf(qs: list[np.ndarray], slop: int) -> int:
+    """Sloppy occurrence count of ONE doc: qs[j] = sorted shifted
+    positions (p - j) of phrase term j. tf = number of term-0 shifted
+    positions q0 for which SOME integer window [a, a+slop] contains q0
+    and >= 1 shifted position of every term.
+
+    Sweep: per term, feasible window starts form the interval union of
+    [q - slop, q]; their m-way intersection S comes from one +-1 event
+    sweep (half-open [start, end+1) coordinates); q0 participates iff
+    [q0 - slop, q0] meets S — a single searchsorted test because S's
+    disjoint intervals have co-sorted starts and ends."""
+    m = len(qs)
+    # per-term MERGED interval unions (so the sweep's coverage test is a
+    # plain "== m": a term whose own intervals overlap must count once)
+    s_starts, s_ends = [], []
+    for q in qs:
+        gaps = np.flatnonzero(np.diff(q) > slop)
+        st = np.concatenate(([0], gaps + 1))
+        en = np.concatenate((gaps, [q.size - 1]))
+        s_starts.append(q[st] - slop)
+        s_ends.append(q[en] + 1)
+    starts = np.concatenate(s_starts)
+    ends = np.concatenate(s_ends)
+    pts = np.concatenate([starts, ends])
+    deltas = np.concatenate([np.ones(starts.size, dtype=np.int64),
+                             -np.ones(ends.size, dtype=np.int64)])
+    order = np.argsort(pts, kind="stable")
+    pts, deltas = pts[order], deltas[order]
+    cov = np.cumsum(deltas)
+    full = cov == m
+    if not full.any():
+        return 0
+    # S intervals: [pts[i], pts[i+1]) wherever coverage hits m (coverage
+    # ends at 0, so i+1 always exists). Equal adjacent event points give
+    # zero-width spans — dropped, they contain no integer.
+    sel = np.flatnonzero(full)
+    s_arr = pts[sel]
+    e_arr = pts[sel + 1]
+    keep = e_arr > s_arr
+    s_arr, e_arr = s_arr[keep], e_arr[keep]
+    if not s_arr.size:
+        return 0
+    q0 = qs[0]
+    idx = np.searchsorted(s_arr, q0, side="right") - 1
+    valid = idx >= 0
+    hit = np.zeros(q0.size, dtype=bool)
+    hit[valid] = e_arr[idx[valid]] > (q0[valid] - slop)
+    return int(hit.sum())
+
+
+def _make_sloppy_phrase_matcher(phrase: list[str], slop: int):
+    """Per-doc_part SLOPPY phrase-occurrence counter for applyInPandas
+    (ES match_phrase with slop > 0, the Lucene SloppyPhraseScorer
+    match-set surface the r4 adapter rejected loudly).
+
+    Match semantics (Lucene's documented acceptance): shift each term's
+    positions by its phrase offset (q = p - j); the doc matches iff the
+    shifted positions admit a choice, one per term, whose span
+    (max - min) is <= slop. A transposed pair therefore costs 2
+    ("b a"~2 matches "a b", the textbook Lucene example). tf is this
+    engine's documented closed-form convention: the count of term-0
+    positions that participate in at least one valid window — at slop=0
+    it equals the exact matcher's adjacent-occurrence count exactly
+    (pytest-pinned), and Lucene's own greedy-repositioning freq is
+    left to its implementation even by the ES docs, so score parity is
+    defined against THIS convention's DuckDB oracle, not against ES.
+
+    Phrase terms must be DISTINCT (callers enforce): distinct terms can
+    never claim the same token position, so any per-term position choice
+    is automatically an injective assignment — repeated-term sloppy
+    phrases would need bipartite matching and are rejected loudly.
+
+    Per-part plan: postings + positions of every term decode ONCE; only
+    docs containing ALL terms (the same min-df-bounded candidate set the
+    exact matcher touches) run the O(P log P) window sweep (_sloppy_tf).
+    Emits (doc_id, occ, dl) exactly like the exact matcher, so
+    _phrase_topk's driver/distributed regimes serve both unchanged."""
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "occ": pd.Series([], dtype=np.int64),
+            "dl": pd.Series([], dtype=np.int64),
+        })
+        dec: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        for row in pdf.itertuples(index=False):
+            ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
+            flat = decode_positions(row.positions or b"", tfs)
+            dec[row.term] = (ids, tfs, dls, flat)
+        if any(t not in dec for t in phrase):
+            return empty  # a required term absent from this doc range
+        # candidate docs: present in EVERY term's postings
+        cand = dec[phrase[0]][0]
+        for t in phrase[1:]:
+            cand = cand[np.isin(cand, dec[t][0])]
+        if not cand.size:
+            return empty
+        # per-term posting offsets for slicing flat positions per doc
+        lookup = {}
+        for t in phrase:
+            ids, tfs, dls, flat = dec[t]
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            pidx = np.searchsorted(ids, cand)
+            lookup[t] = (offs, pidx, flat, tfs, dls)
+        occ = np.zeros(cand.size, dtype=np.int64)
+        for i in range(cand.size):
+            qs = []
+            for j, t in enumerate(phrase):
+                offs, pidx, flat, _, _ = lookup[t]
+                p = pidx[i]
+                pos = flat[offs[p]:offs[p + 1]]
+                qs.append(np.sort(pos.astype(np.int64)) - j)
+            occ[i] = _sloppy_tf(qs, slop)
+        sel = occ > 0
+        if not sel.any():
+            return empty
+        offs0, pidx0, _, _, dls0 = lookup[phrase[0]]
+        return pd.DataFrame({
+            "doc_id": cand[sel],
+            "occ": occ[sel],
+            "dl": dls0[pidx0[sel]],
         })
 
     return match_group

@@ -132,10 +132,12 @@ def test_dsl_single_index_forms(two_field):
         "value": "node", "fuzziness": "AUTO"}}}, 10).collect()
     want = si.search_fuzzy("node", 10, max_edits=1).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    # sloppy phrases match MORE than exact adjacency: loud, not silent
-    with pytest.raises(ValueError, match="slop"):
-        es_search(si, {"match_phrase": {"text": {
-            "query": "node cursor", "slop": 2}}}, 5)
+    # sloppy phrases route to the slop matcher (tests/test_phrase_slop.py
+    # pins the semantics); match_phrase_prefix slop stays a loud reject
+    got = es_search(si, {"match_phrase": {"text": {
+        "query": "node cursor", "slop": 2}}}, 10).collect()
+    want = si.search_phrase("node cursor", 10, slop=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
     with pytest.raises(ValueError, match="slop"):
         es_search(si, {"match_phrase_prefix": {"text": {
             "query": "node curso", "slop": 1}}}, 5)
@@ -190,10 +192,32 @@ def test_query_string_and_conjunction(two_field):
     want2 = si.search_bool(must=[si.analyze_query("nodeCursor"),
                                  ["shard"]], k=10).collect()
     assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want2]
-    with pytest.raises(ValueError, match="multiple fields"):
-        es_search(idxs, {"query": {"query_string": {
-            "fields": ["title", "text"], "query": "node AND cursor"}}},
-            size=10)
+    # multi-field AND (the last r4 rejection retired): the WHOLE
+    # conjunction evaluates per field, per-field scores DisMax-combined
+    # (ES best_fields) — verified against per-field python oracles
+    two, _ = two_field
+    mgot = es_search(idxs, {"query": {"query_string": {
+        "fields": ["title", "text"], "query": "node AND cursor",
+        "tie_breaker": 0.3}}}, size=500).collect()
+    from newssearchengine_spark.oracle import pure
+    want = {}
+    for fld in ("title", "text"):
+        raw = {r["doc_id"]: r[fld]
+               for r in two.select("doc_id", fld).collect()}
+        oidx = pure.OracleIndex.build(raw, idxs[fld].analyzer)
+        clauses = [idxs[fld].analyze_query("node"),
+                   idxs[fld].analyze_query("cursor")]
+        for d in oidx.dl:
+            if all(any(d in oidx.postings.get(t, {}) for t in c)
+                   for c in clauses):
+                want.setdefault(d, []).append(
+                    oidx.score(sorted({t for c in clauses for t in c}),
+                               d))
+    exp = {d: max(ss) + 0.3 * (sum(ss) - max(ss))
+           for d, ss in want.items()}
+    assert exp and {r["doc_id"] for r in mgot} == set(exp)
+    for r in mgot:
+        assert r["score"] == pytest.approx(exp[r["doc_id"]], abs=2e-6)
 
 
 def test_query_string_mixed_and_or_precedence(two_field):
@@ -249,6 +273,16 @@ def test_query_string_mixed_and_or_precedence(two_field):
         [(r["rank"], r["doc_id"]) for r in got]
     for a, b_ in zip(bgot, got):
         assert a["score"] == pytest.approx(2.0 * b_["score"], rel=1e-12)
+    # multi-field mixed grammar: whole grammar per field, DisMax combine
+    from newssearchengine_spark.plans.search import search_dismax_bool
+
+    mbody = {"query": {"query_string": {
+        "fields": ["title", "text"],
+        "query": "node OR cursor AND shard"}}}
+    mg = es_search(idxs, mbody, size=50).collect()
+    mw = search_dismax_bool(idxs, [["node"], ["cursor", "shard"]],
+                            50).collect()
+    assert mg and [tuple(r) for r in mg] == [tuple(r) for r in mw]
 
 
 def test_query_string_pure_and_boost(two_field):
@@ -293,6 +327,21 @@ def test_field_boosts_and_minimum_should_match(two_field):
     want2 = si.search_bool(should=["node", "cursor", "shard"], k=25,
                            minimum_should_match=2).collect()
     assert got2 and [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+    # body-level percentage msm: 3 should clauses -> '67%' = floor(2.01)
+    # = 2, '-33%' = 3 - floor(0.99) = 3 - 0 = 3
+    body_pct = dict(body2["query"]["bool"],
+                    minimum_should_match="67%")
+    got_pct = es_search(si, {"query": {"bool": body_pct}},
+                        size=25).collect()
+    assert [tuple(r) for r in got_pct] == [tuple(r) for r in want2]
+    body_neg = dict(body2["query"]["bool"],
+                    minimum_should_match="-33%")
+    want3 = si.search_bool(should=["node", "cursor", "shard"], k=25,
+                           minimum_should_match=3).collect()
+    got_neg = es_search(si, {"query": {"bool": body_neg}},
+                        size=25).collect()
+    assert [tuple(r) for r in got_neg] == [tuple(r) for r in want3]
 
 
 def test_query_string_lowercase_and_or_are_terms(two_field):
@@ -934,17 +983,54 @@ def test_match_operator_and_msm_boost(two_field):
     with pytest.raises(ValueError, match="match operator"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node", "operator": "xor"}}}}, size=5)
-    with pytest.raises(ValueError, match="fuzziness"):
-        es_search(si, {"query": {"match": {"text": {
-            "query": "node", "fuzziness": "AUTO"}}}}, size=5)
-    with pytest.raises(ValueError, match="percentage"):
-        es_search(si, {"query": {"match": {"text": {
-            "query": "node cursor", "minimum_should_match": "75%"}}}},
-            size=5)
+    # match fuzziness (the r4 rejection retired): a single-token match
+    # with fuzziness equals the `fuzzy` query kind exactly; AUTO maps
+    # to 1 edit at token length 3-5
+    got_fz = es_search(si, {"query": {"match": {"text": {
+        "query": "node", "fuzziness": "AUTO"}}}}, size=10).collect()
+    want_fz = si.search_fuzzy("node", 10, max_edits=1).collect()
+    assert got_fz and [tuple(r) for r in got_fz] == \
+        [tuple(r) for r in want_fz]
+    # multi-token operator 'and': each token's expansion group required
+    got_fa = es_search(si, {"query": {"match": {"text": {
+        "query": "node cursor", "operator": "and",
+        "fuzziness": 1, "max_expansions": 5}}}}, size=10).collect()
+    g1 = sorted(si.expand_fuzzy("node", max_edits=1, max_expansions=5))
+    g2 = sorted(si.expand_fuzzy("cursor", max_edits=1, max_expansions=5))
+    want_fa = si.search_bool(must=[g1, g2], k=10).collect()
+    assert got_fa and [tuple(r) for r in got_fa] == \
+        [tuple(r) for r in want_fa]
+    # multi-token OR: the expansion union as one disjunction
+    got_fo = es_search(si, {"query": {"match": {"text": {
+        "query": "node cursor", "fuzziness": 1,
+        "max_expansions": 5}}}}, size=10).collect()
+    want_fo = si.search(sorted(set(g1) | set(g2)), 10).collect()
+    assert got_fo and [tuple(r) for r in got_fo] == \
+        [tuple(r) for r in want_fo]
     with pytest.raises(ValueError, match="no-op"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node cursor", "operator": "and",
             "minimum_should_match": 1}}}}, size=5)
+
+    # percentage / negative minimum_should_match (Lucene value forms):
+    # 2 tokens -> '75%' = floor(1.5) = 1 (the OR match), '100%' = 2
+    # (= operator and), '-1' = total-1 = 1, '-50%' = 2-floor(1) = 1
+    for form, want in (("75%", got_msm1 := es_search(si, body_msm1,
+                                                     size=400).collect()),
+                       ("100%", got), ("-1", got_msm1), (-1, got_msm1),
+                       ("-50%", got_msm1)):
+        body = {"query": {"match": {"text": {
+            "query": "node cursor", "minimum_should_match": form}}}}
+        rows = es_search(si, body, size=400).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in want], form
+    with pytest.raises(ValueError, match="conditional"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node cursor",
+            "minimum_should_match": "3<90%"}}}}, size=5)
+    with pytest.raises(ValueError, match="bad minimum_should_match"):
+        es_search(si, {"query": {"match": {"text": {
+            "query": "node cursor",
+            "minimum_should_match": "many"}}}}, size=5)
 
 
 def test_constant_score_bool_filter(two_field):
@@ -1076,13 +1162,74 @@ def test_bool_clause_object_form_options(two_field):
     for r in got_m:
         assert r["score"] == pytest.approx(want_m[r["doc_id"]], abs=2e-6)
 
-    with pytest.raises(ValueError, match="boost"):
-        es_search(si, {"query": {"bool": {"must": [{"match": {"text": {
-            "query": "node", "boost": 2.0}}}]}}}, size=5)
-    with pytest.raises(ValueError, match="percentage"):
-        es_search(si, {"query": {"bool": {"must": [{"match": {"text": {
-            "query": "node cursor",
-            "minimum_should_match": "50%"}}}]}}}, size=5)
+    # per-clause boost inside bool (the r4 rejection retired): the
+    # boosted clause's contribution scales by its boost, other clauses
+    # unchanged — matching the python oracle clause-by-clause
+    body_cb = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "node cursor",
+                                     "boost": 2.5}}}],
+        "should": [{"match": {"text": {"query": "shard",
+                                       "boost": 0.5}}},
+                   {"match": {"text": "stream"}}],
+    }}}
+    got_cb = es_search(si, body_cb, size=400).collect()
+    sh1 = sorted(set(pure.analyze("shard", si.analyzer)))
+    sh2 = sorted(set(pure.analyze("stream", si.analyzer)))
+    want_cb = {}
+    for d in raw:
+        if not (c1 & dt[d]):
+            continue
+        s = 2.5 * oidx.score(m_toks, d)
+        if set(sh1) & dt[d]:
+            s += 0.5 * oidx.score(sh1, d)
+        if set(sh2) & dt[d]:
+            s += oidx.score(sh2, d)
+        want_cb[d] = s
+    assert want_cb and sorted(r["doc_id"] for r in got_cb) \
+        == sorted(want_cb)
+    for r in got_cb:
+        assert r["score"] == pytest.approx(want_cb[r["doc_id"]], abs=5e-6)
+
+    # boost on a NESTED bool clause scales that node's total
+    body_nb = {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+        "should": [{"bool": {
+            "must": [{"match": {"text": "shard"}}], "boost": 3.0}}],
+    }}}
+    got_nb = es_search(si, body_nb, size=400).collect()
+    want_nb = {}
+    for d in raw:
+        if not (c1 & dt[d]):
+            continue
+        s = oidx.score(m_toks, d)
+        if set(sh1) & dt[d]:
+            s += 3.0 * oidx.score(sh1, d)
+        want_nb[d] = s
+    assert want_nb and sorted(r["doc_id"] for r in got_nb) \
+        == sorted(want_nb)
+    for r in got_nb:
+        assert r["score"] == pytest.approx(want_nb[r["doc_id"]], abs=5e-6)
+
+    # a boost in FILTER context is a no-op (filters never score)
+    body_fb = {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+        "filter": [{"match": {"text": {"query": "shard",
+                                       "boost": 9.0}}}],
+    }}}
+    plain_fb = {"query": {"bool": {
+        "must": [{"match": {"text": "node cursor"}}],
+        "filter": [{"match": {"text": "shard"}}],
+    }}}
+    assert [tuple(r) for r in es_search(si, body_fb, size=50).collect()] \
+        == [tuple(r) for r in es_search(si, plain_fb, size=50).collect()]
+    # percentage msm inside a bool clause resolves like the integer form
+    # ('50%' of 2 tokens -> 1): same rows as the explicit msm=1 body
+    pct_body = {"query": {"bool": {"must": [{"match": {"text": {
+        "query": "node cursor", "minimum_should_match": "50%"}}}]}}}
+    int_body = {"query": {"bool": {"must": [{"match": {"text": {
+        "query": "node cursor", "minimum_should_match": 1}}}]}}}
+    assert [tuple(r) for r in es_search(si, pct_body, size=50).collect()] \
+        == [tuple(r) for r in es_search(si, int_body, size=50).collect()]
 
     # body-level bool boost scales scores uniformly (rank preserved)
     bb = {"query": {"bool": {
@@ -1697,10 +1844,15 @@ def test_es_msearch_heterogeneous_bodies(two_field):
             "query": {"match": {"text": "nodeCursor"}},
             "highlight": {"fields": {"text": {}}}}], size=5)
     # a fuzziness-carrying match must NOT silently batch as plain OR —
-    # the per-body path rejects it, so msearch does too
-    with pytest.raises(ValueError, match="fuzziness"):
-        es_msearch(idxs, [{"query": {"match": {"text": {
-            "query": "nodeCursor", "fuzziness": 1}}}}], size=5)
+    # it falls back to its own es_search body (which runs the fuzzy
+    # expansion) and still equals the per-body run
+    fz_body = {"query": {"match": {"text": {
+        "query": "nodeCursor", "fuzziness": 1}}}}
+    got_fz = es_msearch(idxs, [fz_body], size=5).collect()
+    want_fz = es_search(idxs, fz_body, size=5).collect()
+    assert got_fz and sorted(
+        (r["rank"], r["doc_id"], r["score"]) for r in got_fz) == sorted(
+        (r["rank"], r["doc_id"], r["score"]) for r in want_fz)
 
 
 def test_es_rescore_semantics(prose_idx):
