@@ -2450,3 +2450,167 @@ def ft_qs_multifield_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_breaker": _MFA_TIE,
     }}}
     return es_search(fidx, body, size=TOP_K)
+
+
+# -- ES bool with a match_phrase clause (r5: phrase leaves in the tree) ---
+_BP_PHRASE = ["table", "scan"]
+_BP_SHOULD = "hash"
+
+
+def _bool_phrase_sql(phrase: list[str], should_term: str, k: int,
+                     bm25: BM25Config = BM25Config()) -> str:
+    """Oracle for bool{must:[match_phrase], should:[match]}: adjacency
+    occ + phrase-df BM25 (the engine's phrase convention) summed with
+    the should term's partial where present; match = has the phrase."""
+    n = len(phrase)
+    hit = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace(text,
+          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+      t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+           AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, len(toks)::BIGINT AS pdl,
+         CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) - {n} + 2), i -> {hit}))
+         ELSE 0 END::BIGINT AS occ
+  FROM tokl WHERE len(toks) > 0
+),
+pstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(pdl) AS avgdl,
+         count(*) FILTER (occ > 0)::DOUBLE AS dfp
+  FROM occ
+),
+psc AS (
+  SELECT o.doc_id,
+         ln(1 + (s.n - s.dfp + 0.5) / (s.dfp + 0.5))
+           * (o.occ * ({k1} + 1)) /
+             (o.occ + {k1} * (1 - {b} + {b} * o.pdl / s.avgdl)) AS p
+  FROM occ o CROSS JOIN pstats s WHERE o.occ > 0
+),
+tstats AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE term = '{should_term}'),
+hsc AS (
+  SELECT tf.doc_id,
+         ln(1 + (ps.n - ts.df + 0.5) / (ts.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / ps.avgdl)) AS p
+  FROM tf JOIN dl USING (doc_id)
+  CROSS JOIN tstats ts CROSS JOIN pstats ps
+  WHERE tf.term = '{should_term}'
+),
+fin AS (
+  SELECT p.doc_id, round(p.p + coalesce(h.p, 0), 6) AS score
+  FROM psc p LEFT JOIN hsc h USING (doc_id)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_bool_phrase",
+            _bool_phrase_sql(_BP_PHRASE, _BP_SHOULD, TOP_K))
+def ft_bool_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool with a match_phrase MUST clause plus a scoring should
+    term (r5: the 'unsupported bool clause: match_phrase' rejection
+    retired). The phrase compiles to a leaf whose complete scored
+    relation (tf = adjacency occ, idf over the phrase df — the engine's
+    phrase convention) joins the tree's single clause-row union; the
+    should term adds its BM25 partial where present. Engine path:
+    es_search -> search_bool_tree -> _bool_tree_rel phrase leaves
+    (_phrase_scores)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match_phrase": {"text": " ".join(_BP_PHRASE)}}],
+        "should": [{"match": {"text": _BP_SHOULD}}],
+    }}}
+    return es_search(si, body, size=TOP_K)
+
+
+# -- simple_query_string full grammar (r5) --------------------------------
+def _sqs_sql(phrase: list[str], or_term: str, not_term: str, k: int,
+             bm25: BM25Config = BM25Config()) -> str:
+    """Oracle for '"<phrase>" | <or_term> -<not_term>' under default
+    AND: left-to-right = ((phrase OR term) AND NOT not_term); score =
+    sum of the matched leaves' partials (phrase convention + term
+    BM25)."""
+    n = len(phrase)
+    hit = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace(text,
+          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+      t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+           AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, len(toks)::BIGINT AS pdl,
+         CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) - {n} + 2), i -> {hit}))
+         ELSE 0 END::BIGINT AS occ
+  FROM tokl WHERE len(toks) > 0
+),
+pstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(pdl) AS avgdl,
+         count(*) FILTER (occ > 0)::DOUBLE AS dfp
+  FROM occ
+),
+psc AS (
+  SELECT o.doc_id,
+         ln(1 + (s.n - s.dfp + 0.5) / (s.dfp + 0.5))
+           * (o.occ * ({k1} + 1)) /
+             (o.occ + {k1} * (1 - {b} + {b} * o.pdl / s.avgdl)) AS p
+  FROM occ o CROSS JOIN pstats s WHERE o.occ > 0
+),
+tstats AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE term = '{or_term}'),
+hsc AS (
+  SELECT tf.doc_id,
+         ln(1 + (ps.n - ts.df + 0.5) / (ts.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / ps.avgdl)) AS p
+  FROM tf JOIN dl USING (doc_id)
+  CROSS JOIN tstats ts CROSS JOIN pstats ps
+  WHERE tf.term = '{or_term}'
+),
+cand AS (
+  SELECT coalesce(p.doc_id, h.doc_id) AS doc_id,
+         coalesce(p.p, 0) + coalesce(h.p, 0) AS s
+  FROM psc p FULL OUTER JOIN hsc h ON p.doc_id = h.doc_id
+),
+fin AS (
+  SELECT doc_id, round(s, 6) AS score FROM cand
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{not_term}')
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_sqs", _sqs_sql(["table", "scan"], "hash", "window", TOP_K))
+def ft_sqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string FULL grammar (r5: the bare-term+`|` subset
+    widened to the SimpleQueryParser surface): the body
+    '"table scan" | hash -window' under default_operator AND parses
+    left-to-right with NO precedence — ((phrase OR hash) AND NOT
+    window) — and compiles to a left-deep search_bool_tree (phrase
+    leaf + term leaf + must_not). Score = sum of matched leaf
+    partials; the oracle re-expresses the same combination in SQL."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"simple_query_string": {
+        "query": '"table scan" | hash -window',
+        "default_operator": "and",
+    }}}
+    return es_search(si, body, size=TOP_K)

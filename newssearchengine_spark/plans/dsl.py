@@ -93,6 +93,174 @@ def _parse_query_string(query: str) -> tuple[str, list]:
     return "or", [" ".join(t for t in toks if t != "OR")]
 
 
+#: impossible analyzed token — a leaf that must MATCH NOTHING (e.g. a
+#: prefix with zero dictionary expansions) carries it; the tree's flag
+#: for an absent term is never set, so the clause is correctly false
+#: (an EMPTY token list would instead be leniency-DROPPED as a no-op)
+_NEVER_TOKEN = "\x00never"
+
+
+def _sqs_lex(s: str) -> list:
+    """Tokenize the Lucene SimpleQueryParser grammar: '(' ')' '+' '|'
+    operator chars, clause-leading '-' negation, '"..."' phrases with an
+    optional '~N' slop suffix, and bare terms (with trailing '*' prefix
+    or '~N' fuzzy markers resolved later). A '-' INSIDE a term is part
+    of the term (kebab-case survives); '\\' escapes are rejected."""
+    out: list = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch in "+|()":
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "\\":
+            raise ValueError(
+                "escapes are not supported in simple_query_string")
+        if ch == "-":
+            # the main loop only sees '-' at a token boundary (a '-'
+            # INSIDE a term is consumed by the term scanner below), so
+            # it is always the negation operator here
+            out.append("-")
+            i += 1
+            continue
+        if ch == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise ValueError(
+                    "unbalanced quote in simple_query_string")
+            text = s[i + 1:j]
+            i = j + 1
+            slop = 0
+            if i < n and s[i] == "~":
+                k = i + 1
+                while k < n and s[k].isdigit():
+                    k += 1
+                if k == i + 1:
+                    raise ValueError("bad '~' suffix (needs digits)")
+                slop = int(s[i + 1:k])
+                i = k
+            out.append(("phrase", text, slop))
+            continue
+        j = i
+        while j < n and not s[j].isspace() and s[j] not in '+|()"':
+            j += 1
+        out.append(("term", s[i:j]))
+        i = j
+    return out
+
+
+def _sqs_tree(si, text: str, default_op: str):
+    """Compile a simple_query_string onto a search_bool_tree node:
+    left-to-right combination with NO precedence (the SimpleQueryParser
+    contract — 'foo | bar baz' with default AND is (foo OR bar) AND
+    baz), '-' negates its clause, groups recurse. Leaves follow the
+    engine's conventions: a term is an ES match (OR of its analyzed
+    tokens), 'p*' is the bounded prefix expansion, 't~N' the bounded
+    fuzzy expansion (each scored as summed BM25 of matched expansion
+    terms), a quoted phrase is a phrase leaf (slop supported). Lenient
+    like ES: a term analyzing to nothing drops as a no-op; an expansion
+    with no dictionary hits matches NOTHING (via an impossible-token
+    leaf — dropping it would wrongly widen the match set). Returns None
+    for a query with no effective clause."""
+    toks = _sqs_lex(str(text))
+
+    def leaf(atom):
+        kind = atom[0]
+        if kind == "phrase":
+            ts = si.analyze_query(atom[1])
+            if not ts:
+                return None
+            if len(ts) == 1:
+                return ts  # single-token phrase = the term match
+            return {"phrase": ts, "slop": int(atom[2])}
+        raw = atom[1]
+        if raw.endswith("*") and len(raw) > 1:
+            stem = si.analyze_query(raw[:-1])
+            if not stem:
+                return None
+            exp = sorted(si.expand_prefix(stem[-1], max_expansions=50))
+            return exp or [_NEVER_TOKEN]
+        fuzz = None
+        if "~" in raw:
+            base, _, suf = raw.rpartition("~")
+            if base and suf.isdigit():
+                fuzz = int(suf)
+                raw = base
+        ts = si.analyze_query(raw)
+        if not ts:
+            return None
+        if fuzz is not None:
+            exp = sorted({e for t in ts for e in si.expand_fuzzy(
+                t, max_edits=fuzz, max_expansions=50)})
+            return exp or [_NEVER_TOKEN]
+        return ts
+
+    def parse(pos: int, depth: int):
+        """One parenthesis level -> (node-or-leaf-or-None, next_pos)."""
+        acc = None
+        pending_op = None   # op joining the NEXT clause; None = default
+        neg = False
+
+        def add(x, op, negged):
+            nonlocal acc
+            if x is None:
+                return  # lenient no-op clause
+            if negged:
+                x = {"must_not": [x]}
+            if acc is None:
+                acc = x
+                return
+            o = op or default_op
+            if o == "and":
+                acc = {"must": [acc, x]}
+            else:
+                acc = {"should": [acc, x]}
+
+        i = pos
+        while i < len(toks):
+            t = toks[i]
+            if t == ")":
+                if depth == 0:
+                    raise ValueError("unbalanced ')' in "
+                                     "simple_query_string")
+                return acc, i + 1
+            if t == "(":
+                sub, i = parse(i + 1, depth + 1)
+                add(sub, pending_op, neg)
+                pending_op, neg = None, False
+                continue
+            if t == "+":
+                pending_op = "and"
+                i += 1
+                continue
+            if t == "|":
+                pending_op = "or"
+                i += 1
+                continue
+            if t == "-":
+                neg = True
+                i += 1
+                continue
+            add(leaf(t), pending_op, neg)
+            pending_op, neg = None, False
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced '(' in simple_query_string")
+        return acc, i
+
+    node, _ = parse(0, 0)
+    if node is None:
+        return None
+    if not isinstance(node, dict) or "phrase" in node or "terms" in node:
+        # a single leaf: wrap so search_bool_tree gets a node
+        node = {"must": [node]}
+    return node
+
+
 def _field_text(spec: dict) -> tuple[str, str]:
     field, val = next(iter(spec.items()))
     if isinstance(val, dict):
@@ -184,11 +352,14 @@ def _match_needs_tree(c) -> bool:
 def _bool_is_nested(bspec: dict) -> bool:
     for role in ("must", "should", "must_not"):
         for c in _as_list(bspec.get(role, [])):
-            if isinstance(c, dict) and next(iter(c)) == "bool":
+            if isinstance(c, dict) and next(iter(c)) in (
+                    "bool", "match_phrase", "match_phrase_prefix"):
                 return True
             if _match_needs_tree(c):
                 return True
-    return any((isinstance(f, dict) and "bool" in f) or
+    return any((isinstance(f, dict)
+                and ("bool" in f or "match_phrase" in f
+                     or "match_phrase_prefix" in f)) or
                _match_needs_tree(f)
                for f in _as_list(bspec.get("filter", [])))
 
@@ -214,6 +385,46 @@ def _bool_to_tree(si, bspec: dict) -> dict:
             # the caller's _bscale, never double-counted)
             sub["boost"] = float(cs.get("boost", 1.0))
             return sub
+        if ck == "match_phrase":
+            # phrase clause inside bool (ES composes these freely):
+            # compiles to a phrase LEAF — its complete scored relation
+            # joins the tree's clause-row union (search.py phrase_leaf);
+            # scoring = the engine's phrase convention, so
+            # bool{must:[match_phrase]} == search_phrase (pytest-pinned)
+            v = next(iter(cs.values()))
+            slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+            pboost = (float(v.get("boost", 1.0))
+                      if isinstance(v, dict) else 1.0)
+            _, text = _field_text(cs)
+            leaf = {"phrase": si.analyze_query(text), "slop": slop}
+            if pboost != 1.0:
+                leaf["boost"] = pboost
+            return leaf
+        if ck == "match_phrase_prefix":
+            # trailing-prefix phrase clause inside bool: the last
+            # analyzed token expands against the dictionary (bounded
+            # like ES max_expansions), the leaf matches fixed-terms-
+            # then-any-expansion (search.py phrase_leaf with alts)
+            v = next(iter(cs.values()))
+            if isinstance(v, dict) and int(v.get("slop", 0)):
+                raise ValueError(
+                    "match_phrase_prefix slop > 0 is not supported "
+                    "(Lucene sloppy phrase matching); exact adjacency "
+                    "only")
+            mx = (int(v.get("max_expansions", 50))
+                  if isinstance(v, dict) else 50)
+            pboost = (float(v.get("boost", 1.0))
+                      if isinstance(v, dict) else 1.0)
+            _, text = _field_text(cs)
+            ts = si.analyze_query(text)
+            if not ts:
+                return []  # lenient no-op, like an empty match clause
+            leaf = {"phrase": ts[:-1],
+                    "alts": sorted(si.expand_prefix(
+                        ts[-1], max_expansions=mx))}
+            if pboost != 1.0:
+                leaf["boost"] = pboost
+            return leaf
         if ck not in ("match", "term"):
             raise ValueError(f"unsupported bool clause: {ck}")
         v = next(iter(cs.values()))
@@ -252,6 +463,9 @@ def _bool_to_tree(si, bspec: dict) -> dict:
     def conv_filter(f):
         if isinstance(f, dict) and "bool" in f:
             return _bool_to_tree(si, f["bool"])
+        if isinstance(f, dict) and ("match_phrase" in f
+                                    or "match_phrase_prefix" in f):
+            return conv(f)  # phrase leaf; filter context never scores
         if _match_needs_tree(f):
             fk = next(iter(f))
             v = next(iter(f[fk].values()))
@@ -288,7 +502,8 @@ def _highlight_terms(si, q: dict) -> list[str]:
     tags (filter/must_not never highlight). Supports the OR-matching
     kinds plus (possibly nested) bool; other kinds raise."""
     kind, spec = next(iter(q.items()))
-    if kind == "match":
+    if kind in ("match", "match_phrase"):
+        # ES's highlighter tags a phrase's individual terms
         _, text = _field_text(spec)
         return sorted(set(si.analyze_query(text)))
     if kind in ("query_string", "multi_match", "simple_query_string"):
@@ -1028,34 +1243,50 @@ def es_search(indexes, body: dict, size: int = 10, *,
                              tie_breaker=tb, boosts=boosts or None)
 
     if kind == "simple_query_string":
-        # the Lucene SimpleQueryParser subset with an unambiguous
-        # mapping onto the query_string grammar: bare terms joined by
-        # default_operator, or a pure `|` disjunction. The +/-/quote/
-        # wildcard operators and |-inside-AND (which SimpleQueryParser
-        # evaluates left-to-right, not by precedence) are rejected.
+        # the Lucene SimpleQueryParser grammar (r5: the operator subset
+        # widened from bare-terms+`|` to the full surface): `+` AND,
+        # `|` OR, leading `-` negation, `"..."` phrases with `~N` slop,
+        # trailing-`*` prefixes, `term~N` fuzzies, `( )` grouping —
+        # NO precedence, strict left-to-right combination (the
+        # SimpleQueryParser contract), compiled to a left-deep
+        # search_bool_tree. Bare no-operator queries keep the cheap
+        # query_string fast path; multi-field bodies support the
+        # operator-free / pure-`|` shapes only (per-field trees with a
+        # DisMax combine would be a different scoring model than the
+        # per-term dis_max SQS actually builds — rejected honestly).
         text = str(spec["query"])
-        if any(ch in text for ch in "+-\"*()~"):
-            raise ValueError(
-                "simple_query_string supports the bare-term and `|` "
-                "subset (no +/-/quotes/wildcards)")
         dop = str(spec.get("default_operator", "or")).lower()
-        segs = [s.strip() for s in text.split("|") if s.strip()]
-        if len(segs) > 1:
-            if dop == "and" and any(" " in s for s in segs):
+        has_ops = any(ch in text for ch in "+-\"*()~|")
+        names, _ = _parse_boosts(list(spec.get("fields") or []))
+        if not has_ops:
+            qtext = (" AND ".join(text.split()) if dop == "and"
+                     else text)
+            inner = {k: v for k, v in spec.items()
+                     if k not in ("query", "default_operator")}
+            inner["query"] = qtext
+            return es_search(indexes, {"query_string": inner},
+                             size=size, tie_breaker=tie_breaker,
+                             mode=mode)
+        if multi is not None and names and len(names) > 1:
+            # pure `|` disjunctions still ride the multi-field
+            # query_string path; operator grammars are single-field
+            if (set(text) & set('+-"*()~')) or dop == "and":
                 raise ValueError(
-                    "simple_query_string with `|` plus AND "
-                    "default_operator is evaluated left-to-right by "
-                    "ES and is not supported")
-            qtext = " OR ".join(segs)
-        elif dop == "and":
-            qtext = " AND ".join(text.split())
-        else:
-            qtext = text
-        inner = {k: v for k, v in spec.items()
-                 if k not in ("query", "default_operator")}
-        inner["query"] = qtext
-        return es_search(indexes, {"query_string": inner}, size=size,
-                         tie_breaker=tie_breaker, mode=mode)
+                    "multi-field simple_query_string supports only "
+                    "the operator-free / pure-`|` shapes")
+            inner = {k: v for k, v in spec.items()
+                     if k not in ("query", "default_operator")}
+            inner["query"] = " OR ".join(
+                s.strip() for s in text.split("|") if s.strip())
+            return es_search(indexes, {"query_string": inner},
+                             size=size, tie_breaker=tie_breaker,
+                             mode=mode)
+        si = one(names[0] if names else None)
+        node = _sqs_tree(si, text, dop)
+        if node is None:
+            return si.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+        return si.search_bool_tree(node, k=size)
 
     if kind == "exists":
         # whole-query exists: every live doc with a non-null value in

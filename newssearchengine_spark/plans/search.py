@@ -1041,6 +1041,107 @@ class SegmentIndex:
             out = _eager_topk(release, out)
         return out
 
+    def _phrase_scores(self, terms: list, slop: int = 0,
+                       last_alts: list | None = None):
+        """COMPLETE (doc_id, score double) relation of a phrase clause —
+        the phrase analog of score_all, consumed by the bool-tree
+        compiler's phrase leaves (ES match_phrase — and, with
+        last_alts, match_phrase_prefix — inside bool bodies). Scoring
+        is the engine's phrase convention (search_phrase / _phrase_topk:
+        tf = occurrence count — sloppy participating-start count when
+        slop > 0 — idf over the PHRASE df), so a bool{must:[phrase]}
+        body scores identically to search_phrase (pytest-pinned).
+        last_alts = the expanded alternatives of a trailing PREFIX (the
+        search_phrase_prefix shape; exclusive with slop). Returns None
+        when the phrase can match nothing (empty analysis / an absent
+        required term / zero expansions).
+
+        Regimes on the PROVEN candidate bound (min fixed-term df; sum
+        of alt dfs for a pure-prefix clause), like _phrase_topk: under
+        PHRASE_DRIVER_CAP the candidates gather with ONE job and df/idf
+        resolve locally (the common case — phrases are selective by
+        construction); above the cap the relation stays distributed and
+        the phrase df comes from an in-plan count aggregation
+        cross-joined back (the matcher subtree may evaluate twice —
+        accepted for the rare hot-phrase shape instead of leaking a
+        persist into the consumer's plan)."""
+        terms = [t for t in terms if t]
+        if not self.stats.get("with_positions"):
+            raise ValueError(
+                "phrase clauses need the positional sidecar "
+                "(IndexConfig.with_positions)")
+        slop = int(slop)
+        if last_alts is not None:
+            if slop:
+                raise ValueError(
+                    "phrase-prefix clauses do not support slop")
+            alts = sorted({a for a in last_alts if a})
+            if not alts:
+                return None
+            fixed = list(terms)
+            dfs = self.term_dfs(sorted(set(fixed))) if fixed else {}
+            if any(dfs.get(t, 0) == 0 for t in set(fixed)):
+                return None
+            scan_terms = sorted(set(fixed) | set(alts))
+            matcher = _make_phrase_matcher(fixed + [alts[0]],
+                                           last_alts=alts)
+            bound = (min(dfs[t] for t in set(fixed)) if fixed
+                     else sum(self.term_dfs(alts).values()))
+        else:
+            if not terms:
+                return None
+            if (slop > 0 and len(terms) > 1
+                    and len(set(terms)) != len(terms)):
+                raise ValueError(
+                    "sloppy phrases need distinct analyzed terms")
+            uterms = sorted(set(terms))
+            dfs = self.term_dfs(uterms)
+            if any(dfs.get(t, 0) == 0 for t in uterms):
+                return None
+            scan_terms = uterms
+            matcher = (_make_sloppy_phrase_matcher(list(terms), slop)
+                       if slop > 0 and len(terms) > 1
+                       else _make_phrase_matcher(list(terms)))
+            bound = min(dfs[t] for t in uterms)
+        n_docs = float(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        n_buckets = int(self.stats["n_buckets"])
+        buckets = sorted({term_bucket(t, n_buckets) for t in scan_terms})
+        seg = (
+            self._pos_segments()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(scan_terms))
+            .select("doc_part", "term", "docs", "tfs", "dls", "positions")
+        )
+        cand_plan = self._by_part(seg).applyInPandas(
+            matcher, "doc_id bigint, occ bigint, dl bigint")
+        if bound <= PHRASE_DRIVER_CAP:
+            pdf = cand_plan.toPandas()
+            dfp = float(len(pdf))
+            if dfp == 0:
+                return None
+            idf = float(np.log1p((n_docs - dfp + 0.5) / (dfp + 0.5)))
+            sc = (idf * (pdf["occ"].to_numpy(np.float64) * (k1 + 1.0))
+                  / (pdf["occ"].to_numpy(np.float64)
+                     + k1 * (1.0 - b
+                             + b * pdf["dl"].to_numpy(np.float64)
+                             / avgdl)))
+            return self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc}),
+                TOPK_SCHEMA)
+        dfp_rel = cand_plan.agg(
+            F.count(F.lit(1)).cast("double").alias("_dfp"))
+        scored = cand_plan.crossJoin(F.broadcast(dfp_rel)).select(
+            "doc_id",
+            (F.log1p((F.lit(n_docs) - F.col("_dfp") + 0.5)
+                     / (F.col("_dfp") + 0.5))
+             * (F.col("occ") * (k1 + 1.0))
+             / (F.col("occ")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+             ).alias("score"))
+        return scored
+
     def score_all(self, query) -> DataFrame:
         """Complete (doc_id, score double) relation for an OR-disjunction —
         every matching doc, no top-k cut. The full-score form multi-field
@@ -1663,7 +1764,12 @@ class SegmentIndex:
         and scores the summed BM25 of its matched tokens), a plain
         string (single term), a weighted term clause {"terms": [...],
         "boost": w} (ES per-clause boost: the clause's score scales by
-        w; the match set is unchanged), or a nested node dict (whose own
+        w; the match set is unchanged), a PHRASE clause {"phrase":
+        [...], "slop": n, "boost": w} (ES match_phrase inside bool: its
+        complete scored relation — the engine's phrase convention,
+        _phrase_scores — joins the clause-row union under its own cid;
+        usable in every role including filter, where it gates membership
+        at no score), or a nested node dict (whose own
         "boost" scales that node's total). `filter` elements may also use the
         _parse_filters grammar (match / term / terms / range / exists
         over doc-store columns). Lucene semantics: a node matches iff
@@ -1789,6 +1895,15 @@ class SegmentIndex:
                 cids.append(key)
             return ("t", cid_of[key])
 
+        _PHRASE_KEY = "\x00phrase"  # impossible as an analyzed token
+
+        def phrase_leaf(toks, slop, alts=()):
+            key = (_PHRASE_KEY, tuple(toks), int(slop), tuple(alts))
+            if key not in cid_of:
+                cid_of[key] = len(cids)
+                cids.append(key)
+            return ("t", cid_of[key])
+
         def norm(nd: dict):
             """Normalize to {"must"/"should"/"must_not"/"filter":
             [("t",i) | ("meta",j) | node], "msm": int}; None = no-op."""
@@ -1800,6 +1915,28 @@ class SegmentIndex:
                    "boost": float(nd.get("boost", 1.0))}
 
             def child(c):
+                if isinstance(c, dict) and "phrase" in c:
+                    # phrase clause {"phrase": [...], "slop": n,
+                    # "boost": w} (ES match_phrase inside bool) — or,
+                    # with "alts", a phrase-PREFIX clause whose last
+                    # position matches any of the expanded alternatives
+                    # (ES match_phrase_prefix inside bool): its complete
+                    # scored relation rides the clause-row union under
+                    # its own cid (_phrase_scores)
+                    toks = [t for t in c["phrase"] if t]
+                    has_alts = "alts" in c
+                    alts = tuple(sorted({a for a in (c.get("alts")
+                                                     or ()) if a}))
+                    if has_alts and not alts:
+                        # a prefix with ZERO dictionary expansions
+                        # matches nothing (leniency-dropping it would
+                        # wrongly widen the match set)
+                        alts = ("\x00never",)
+                    if not toks and not alts:
+                        return None
+                    w = float(c.get("boost", 1.0))
+                    leaf = phrase_leaf(toks, c.get("slop", 0), alts)
+                    return leaf + (w,) if w != 1.0 else leaf
                 if isinstance(c, dict) and "terms" in c:
                     # weighted term clause {"terms": [...], "boost": w}
                     # (ES per-clause boost on a match/term clause): the
@@ -1823,7 +1960,14 @@ class SegmentIndex:
                         out[role].append(x)
             plain = []
             for f in (nd.get("filter") or []):
-                if isinstance(f, dict) and any(
+                if isinstance(f, dict) and "phrase" in f:
+                    # phrase in FILTER CONTEXT: membership only (its
+                    # score never contributes — filter leaves are
+                    # excluded from score() like every filter child)
+                    x = child(f)
+                    if x is not None:
+                        out["filter"].append(x)
+                elif isinstance(f, dict) and any(
                         kk in f for kk in ("must", "should", "must_not",
                                            "filter")):
                     x = norm(f)
@@ -1861,16 +2005,28 @@ class SegmentIndex:
                        for c in x[role])
 
         # ---- clause rows: ONE scan + broadcast fan-out + meta streams
-        all_terms = sorted({t for key in cids for t in key})
+        # (+ one phrase relation per distinct phrase clause)
+        term_items = [(i, key) for i, key in enumerate(cids)
+                      if not (key and key[0] == _PHRASE_KEY)]
+        phrase_items = [(i, key) for i, key in enumerate(cids)
+                        if key and key[0] == _PHRASE_KEY]
+        all_terms = sorted({t for _, key in term_items for t in key})
         parts = []
         if all_terms:
             fan = self.spark.createDataFrame(
-                [(t, i) for i, key in enumerate(cids) for t in key],
+                [(t, i) for i, key in term_items for t in key],
                 "term string, cid int")
             parts.append(
                 self._term_scores(all_terms)
                 .join(F.broadcast(fan), "term")
                 .select("doc_id", "cid", "score"))
+        for i, key in phrase_items:
+            rel = self._phrase_scores(list(key[1]), key[2],
+                                      list(key[3]) or None)
+            if rel is not None:  # None = can't match: flag stays null
+                parts.append(rel.select(
+                    "doc_id", F.lit(i).cast("int").alias("cid"),
+                    "score"))
         for j, mcl in enumerate(metas):
             parts.append(
                 self.doc_store().filter(_meta_filter_pred(mcl))

@@ -180,3 +180,126 @@ def test_tree_respects_tombstones(idx, terms):
         from newssearchengine_spark.plans.delete import tombstone_dir
 
         shutil.rmtree(tombstone_dir(idx.index_dir), ignore_errors=True)
+
+
+def test_phrase_leaves_in_bool(spark, idx):
+    """match_phrase clauses inside bool bodies (r5): a phrase leaf's
+    complete scored relation joins the tree's clause-row union.
+    Pinned against a pure-python oracle (adjacent-bigram occ + BM25)
+    and the bool{must:[phrase]} == search_phrase identity."""
+    import math
+
+    from newssearchengine_spark.oracle import pure
+
+    docs = assign_doc_ids(source_files(spark, 300, seed=7, partitions=4),
+                          num_partitions=4)
+    raw = {r["doc_id"]: r["content"]
+           for r in docs.select("doc_id", "content").collect()}
+    toks = {d: pure.analyze(t, CFG.analyzer) for d, t in raw.items()}
+    # most frequent adjacent bigram of distinct terms + a frequent
+    # unigram outside it
+    from collections import Counter
+
+    big = Counter()
+    uni = Counter()
+    for t in toks.values():
+        uni.update(set(t))
+        big.update({(a, b) for a, b in zip(t, t[1:]) if a != b})
+    # a bigram present in a STRICT subset of docs (so must_not-phrase
+    # and filter-phrase genuinely discriminate), still frequent
+    t1 = t2 = None
+    for (a, b), df in big.most_common():
+        if 5 <= df <= int(0.5 * len(toks)):
+            t1, t2 = a, b
+            break
+    assert t1 is not None
+    u = next(w for w, df in uni.most_common()
+             if w not in (t1, t2) and df > 0.7 * len(toks))
+
+    # engine: bool{must:[match_phrase], should:[match u]}
+    body = {"query": {"bool": {
+        "must": [{"match_phrase": {"text": f"{t1} {t2}"}}],
+        "should": [{"match": {"text": u}}],
+    }}}
+    got = es_search(idx, body, size=400).collect()
+
+    # oracle: phrase occ + dfp + BM25, u partial via OracleIndex
+    oidx = pure.OracleIndex.build(raw, idx.analyzer)
+    occ = {d: sum(1 for a, b in zip(t, t[1:]) if (a, b) == (t1, t2))
+           for d, t in toks.items()}
+    hits = {d: o for d, o in occ.items() if o > 0}
+    dfp = float(len(hits))
+    n = float(idx.stats["n_docs"])
+    avgdl = float(idx.stats["avgdl"])
+    k1, b = float(idx.stats["k1"]), float(idx.stats["b"])
+    idf = math.log1p((n - dfp + 0.5) / (dfp + 0.5))
+    want = {}
+    for d, o in hits.items():
+        s = idf * (o * (k1 + 1.0)) / (
+            o + k1 * (1.0 - b + b * len(toks[d]) / avgdl))
+        if u in toks[d]:
+            s += oidx.score([u], d)
+        want[d] = s
+    assert want and {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], abs=5e-6)
+
+    # identity: a phrase-only bool equals search_phrase bit-for-bit
+    only = es_search(idx, {"query": {"bool": {"must": [
+        {"match_phrase": {"text": f"{t1} {t2}"}}]}}}, size=K).collect()
+    direct = idx.search_phrase([t1, t2], K).collect()
+    assert [tuple(r) for r in only] == [tuple(r) for r in direct]
+
+    # phrase in FILTER context: membership only, scores = the match
+    # clause's summed BM25 (no phrase contribution)
+    fgot = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": u}}],
+        "filter": [{"match_phrase": {"text": f"{t1} {t2}"}}],
+    }}}, size=400).collect()
+    fwant = {d: oidx.score([u], d) for d in hits if u in toks[d]}
+    assert fwant and {r["doc_id"] for r in fgot} == set(fwant)
+    for r in fgot:
+        assert r["score"] == pytest.approx(fwant[r["doc_id"]], abs=5e-6)
+
+    # phrase in must_not: phrase-matching docs are excluded
+    ngot = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": u}}],
+        "must_not": [{"match_phrase": {"text": f"{t1} {t2}"}}],
+    }}}, size=400).collect()
+    nwant = {d for d in toks if u in toks[d] and d not in hits}
+    assert nwant and {r["doc_id"] for r in ngot} == nwant
+
+    # sloppy + boosted phrase clause: transposed pair at slop 2, score
+    # scaled by the clause boost
+    sgot = es_search(idx, {"query": {"bool": {"must": [
+        {"match_phrase": {"text": {"query": f"{t2} {t1}", "slop": 2,
+                                   "boost": 2.0}}}]}}}, size=K).collect()
+    sdir = idx.search_phrase([t2, t1], K, slop=2).collect()
+    assert sgot and [r["doc_id"] for r in sgot] == \
+        [r["doc_id"] for r in sdir]
+    for a_, b_ in zip(sgot, sdir):
+        assert a_["score"] == pytest.approx(2.0 * b_["score"], abs=2e-6)
+
+
+def test_phrase_prefix_leaves_in_bool(idx):
+    """match_phrase_prefix clauses inside bool (r5): the trailing
+    prefix expands bounded like ES; a phrase-prefix-only bool equals
+    search_phrase_prefix (6dp); a zero-expansion prefix under must
+    empties the result instead of widening it."""
+    got = es_search(idx, {"query": {"bool": {"must": [
+        {"match_phrase_prefix": {"text": {"query": "node curso",
+                                          "max_expansions": 5}}}
+    ]}}}, size=15).collect()
+    want = idx.search_phrase_prefix("node curso", 15,
+                                    max_expansions=5).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in want]
+    dead = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "node"}},
+                 {"match_phrase_prefix": {"text": "node zzzqq"}}],
+    }}}, size=15).collect()
+    assert dead == []
+    with pytest.raises(ValueError, match="slop"):
+        es_search(idx, {"query": {"bool": {"must": [
+            {"match_phrase_prefix": {"text": {"query": "node curso",
+                                              "slop": 1}}}]}}}, size=5)

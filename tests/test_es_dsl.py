@@ -1476,9 +1476,23 @@ def test_simple_query_string_subset(two_field):
     assert got_and and \
         [tuple(r) for r in got_and] == [tuple(r) for r in want_and]
 
-    with pytest.raises(ValueError, match="subset"):
+    # single-field operator grammars now run (tests/test_sqs.py pins
+    # the full SimpleQueryParser semantics); '+a -b' == a AND NOT b
+    got_ops = es_search(idxs, {"query": {"simple_query_string": {
+        "query": "node + -cursor", "fields": ["text"]}}},
+        size=400).collect()
+    si = idxs["text"]
+    want_ops = si.search_bool(must=[si.analyze_query("node")],
+                              must_not=si.analyze_query("cursor"),
+                              k=400).collect()
+    assert got_ops and [r["doc_id"] for r in got_ops] == \
+        [r["doc_id"] for r in want_ops]
+    # multi-field bodies still support only the operator-free / `|`
+    # shapes (per-field trees would be a different scoring model)
+    with pytest.raises(ValueError, match="multi-field"):
         es_search(idxs, {"query": {"simple_query_string": {
-            "query": "+node -cursor", "fields": ["text"]}}}, size=5)
+            "query": "+node -cursor",
+            "fields": ["title", "text"]}}}, size=5)
 
 
 def test_es_aggs_nested_sub_aggs(two_field):
