@@ -98,6 +98,9 @@ _PRIORITY = [
     "ft_function_score_fns",
     # match object-form operator:'and' (every analyzed token required)
     "ft_match_and",
+    # ES dense-vector surface (r5): knn section (exact, filtered),
+    # ES 7 script_score cosineSimilarity, hybrid knn+query score sum
+    "ft_es_knn", "ft_es_script_score", "ft_es_hybrid_knn",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

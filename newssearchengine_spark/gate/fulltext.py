@@ -2614,3 +2614,145 @@ def ft_sqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "default_operator": "and",
     }}}
     return es_search(si, body, size=TOP_K)
+
+
+# ---- ES dense-vector search through the adapter (r5) -----------------
+# The reference runs its vector path OUTSIDE ES via hnswlib
+# (pyw_hnswlib.py:61-69, vector_storage.py:43-56); an ES migration of
+# that flow issues exactly these bodies: the ES 8 top-level `knn`
+# section (exact cosine dense_vector score (1+cos)/2, optional filter,
+# optional hybrid sum with a text query) and the ES 7 script_score +
+# cosineSimilarity form. Vectors live in the lake (the embeddings
+# table) keyed by doc_id — the engine's _source split.
+
+_KNN_K = 10
+
+
+def _knn_q_cte() -> str:
+    return ("q AS (SELECT embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id = 0)")
+
+
+def _es_knn_sql(k: int, min_chars: int) -> str:
+    return f"""WITH {_knn_q_cte()},
+scored AS (
+  SELECT d.doc_id,
+         round((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qvec))
+               / 2.0, 6) AS score
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN q
+  WHERE d.n_chars >= {min_chars}
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _knn_vectors(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return emb.select(F.col("vec_id").alias("doc_id"), "embedding"), qv
+
+
+@gate_query("ft_es_knn", _es_knn_sql(_KNN_K, 300))
+def ft_es_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 `knn` section, knn-only with a metadata `filter`: exact
+    global top-k at the cosine dense_vector score (1+cos)/2 over the
+    filter's match set (range predicate pushed to the doc-store scan,
+    semi-joined to the vectors relation before the cut)."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    vecs, qv = _knn_vectors(spark, sf_dir)
+    body = {"knn": {"field": "embedding", "query_vector": qv,
+                    "k": _KNN_K, "num_candidates": 100,
+                    "filter": {"range": {"n_chars": {"gte": 300}}}}}
+    return es_search(si, body, size=_KNN_K, vectors=vecs)
+
+
+_SS_TERMS = ["hash", "merge"]
+
+
+def _es_script_score_sql(k: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _SS_TERMS)
+    return f"""WITH {TOKENS_CTE},
+{_knn_q_cte()},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_sql})),
+scored AS (
+  SELECT m.doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) + 1.0,
+               6) AS score
+  FROM m JOIN embeddings e ON e.vec_id = m.doc_id CROSS JOIN q
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_es_script_score", _es_script_score_sql(_KNN_K))
+def ft_es_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 7 exact vector search: script_score + cosineSimilarity + 1.0
+    over the inner match query's COMPLETE match set (postings
+    membership — no scoring pass), ranked by the script value."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    vecs, qv = _knn_vectors(spark, sf_dir)
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": " ".join(_SS_TERMS)}},
+        "script": {
+            "source": "cosineSimilarity(params.query_vector, "
+                      "'embedding') + 1.0",
+            "params": {"query_vector": qv}}}}}
+    return es_search(si, body, size=_KNN_K, vectors=vecs)
+
+
+_HYB_K = 20
+# 0.4, not 0.5: boost * (6dp knn score) must never land the combined
+# sum EXACTLY on a 6dp rounding boundary (0.5 * k/10^6 ends in a 7th
+# digit of 5 whenever k is odd — Spark's BigDecimal HALF_UP and
+# DuckDB's double round() then disagree by 1 ulp on the tie). With
+# 0.4 the 7th digit is always even, so both engines round the same
+# way with a >= 1e-7 margin over binary noise.
+_HYB_BOOST = 0.4
+
+
+def _es_hybrid_sql(k: int) -> str:
+    return f"""WITH {_knn_q_cte()},
+qs AS (SELECT doc_id, score FROM ({_bm25_sql(QUERY_TERMS, 10 ** 9)})),
+ks AS (
+  SELECT vec_id AS doc_id,
+         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], q.qvec))
+               / 2.0, 6) AS ks
+  FROM embeddings CROSS JOIN q
+  ORDER BY ks DESC, doc_id ASC LIMIT {k}
+),
+comb AS (
+  SELECT coalesce(qs.doc_id, ks.doc_id) AS doc_id,
+         round(coalesce(qs.score, 0) + coalesce(ks.ks * {_HYB_BOOST}, 0),
+               6) AS score
+  FROM qs FULL OUTER JOIN ks ON qs.doc_id = ks.doc_id
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_es_hybrid_knn", _es_hybrid_sql(_HYB_K))
+def ft_es_hybrid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid retrieval: `query` (BM25 match) + `knn` in one body,
+    scores SUMMED over the union of hits — the query side contributes
+    its complete match-set scores (ES combines disjunctively, not by
+    page), the knn side its boost-scaled exact top-k. This is the
+    reference's combined-recall keyword∪ANN flow
+    (wapo/experiments/combined_recall.py) as a single ES body."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    vecs, qv = _knn_vectors(spark, sf_dir)
+    body = {"query": {"match": {"text": " ".join(QUERY_TERMS)}},
+            "knn": {"field": "embedding", "query_vector": qv,
+                    "k": _HYB_K, "boost": _HYB_BOOST}}
+    return es_search(si, body, size=_HYB_K, vectors=vecs)

@@ -543,9 +543,131 @@ def _highlight_terms(si, q: dict) -> list[str]:
     raise ValueError(f"highlight unsupported for query kind: {kind}")
 
 
+def _query_match_set(index, q: dict):
+    """Complete, UNRANKED doc_id match set of a filter-context query dict
+    (the ES knn `filter` clause / script_score inner-query scope). None
+    means match_all — no restriction beyond tombstones, which the caller
+    applies. Same kind grammar es_count / the es_aggs scope accept:
+    match / query_string / multi_match OR-matching kinds (postings
+    membership, no scoring pass), bool (single-scan tree relation),
+    term / terms / range / exists (pushed-down doc_store predicate)."""
+    kind, spec = next(iter(q.items()))
+    if kind == "match_all":
+        return None
+    if kind == "bool":
+        rel = index._bool_tree_rel(_bool_to_tree(index, spec))
+        if rel is None:
+            return index.spark.createDataFrame([], "doc_id bigint")
+        return rel.select("doc_id")
+    if kind in ("match", "query_string", "multi_match"):
+        if kind == "match":
+            _, text = _field_text(spec)
+        else:
+            text = str(spec["query"])
+        terms = index.analyze_query(str(text))
+        if not terms:
+            return index.spark.createDataFrame([], "doc_id bigint")
+        return index._term_docs(terms).select("doc_id").distinct()
+    if kind in ("term", "terms", "range", "exists"):
+        from .search import _meta_filter_pred
+
+        if kind == "exists":
+            mc = [("exists", spec["field"], None)]
+        else:
+            col, sp = next(iter(spec.items()))
+            mc = [(kind, col, sp)]
+        return (index.doc_store().filter(_meta_filter_pred(mc))
+                .select("doc_id"))
+    raise ValueError(
+        f"unsupported knn filter / script_score scope kind: {kind} "
+        "(match / query_string / multi_match / bool / term / terms / "
+        "range / exists / match_all)")
+
+
+def _knn_contrib(index, vectors: DataFrame, spec: dict, *,
+                 vec_id_col: str = "doc_id") -> DataFrame:
+    """One ES 8 knn section -> its (doc_id, kscore) hit contribution.
+
+    Exact global top-k by the ES cosine dense_vector similarity score
+    (1 + cos) / 2 (rounded 6 dp, doc_id tie-break), filter clauses
+    applied BEFORE the cut (ES post-filter-then-knn semantics), then
+    boost-scaled. `num_candidates` is accepted and has no effect: it
+    sizes the per-shard HNSW beam of ES's APPROXIMATE engine, and this
+    evaluator is exact (the engine's ANN beam lives in
+    operators.hnsw.hnsw_search for callers who want the recall/latency
+    trade). One scan over the (filtered) vectors relation + a
+    TakeOrderedAndProject — the brute_force_knn plan shape."""
+    from ..operators.similarity import as_double, cosine
+
+    field = str(spec.get("field", "embedding"))
+    qvec = [float(x) for x in spec["query_vector"]]
+    k = int(spec.get("k", 10))
+    boost = float(spec.get("boost", 1.0))
+    rel = vectors.select(
+        F.col(vec_id_col).cast("bigint").alias("doc_id"),
+        as_double(F.col(field)).alias("__v"))
+    flt = spec.get("filter")
+    if flt is not None:
+        for c in (flt if isinstance(flt, list) else [flt]):
+            ms = _query_match_set(index, c)
+            if ms is not None:
+                rel = rel.join(ms, "doc_id", "left_semi")
+    rel = index._exclude_dead(rel)
+    qlit = F.lit(qvec).cast("array<double>")
+    scored = rel.select(
+        "doc_id",
+        F.round((F.lit(1.0) + cosine(F.col("__v"), qlit)) / F.lit(2.0), 6)
+        .alias("kscore"))
+    topk = scored.orderBy(F.desc("kscore"), F.asc("doc_id")).limit(k)
+    if boost != 1.0:
+        topk = topk.select(
+            "doc_id", (F.col("kscore") * F.lit(boost)).alias("kscore"))
+    return topk
+
+
+def _query_scores_full(indexes, q: dict):
+    """Complete ROUNDED (doc_id, score) relation of the query section of
+    a hybrid knn body — every matching doc, 6 dp. ES combines knn with
+    the query disjunctively over the query's FULL match set (not its
+    top-size page), so a doc ranked past `size` on text alone can still
+    enter the combined top hits. Returns (relation, index)."""
+    kind, spec = next(iter(q.items()))
+    si = (next(iter(indexes.values()))
+          if isinstance(indexes, dict) else indexes)
+    if kind == "bool":
+        rel = si._bool_tree_rel(_bool_to_tree(si, spec))
+        if rel is None:
+            rel = si.spark.createDataFrame([], "doc_id bigint, score double")
+        return rel.select(
+            "doc_id", F.round(F.col("score"), 6).alias("score")), si
+    if kind in ("match", "query_string", "multi_match"):
+        if kind == "match":
+            field, text = _field_text(spec)
+            if isinstance(indexes, dict) and field in indexes:
+                si = indexes[field]
+        else:
+            names, boosts = _parse_boosts(list(spec.get("fields") or []))
+            if len(names) > 1 or boosts:
+                raise ValueError("hybrid knn+query supports a single "
+                                 "unboosted query field")
+            if names and isinstance(indexes, dict) and names[0] in indexes:
+                si = indexes[names[0]]
+            op, parts = _parse_query_string(str(spec["query"]))
+            if op != "or":
+                raise ValueError(
+                    "hybrid knn+query supports OR text queries")
+            text = parts[0]
+        return si.score_all(text).select(
+            "doc_id", F.round("score", 6).alias("score")), si
+    raise ValueError(f"hybrid knn+query: unsupported query kind {kind} "
+                     "(match / query_string / multi_match / bool)")
+
+
 def es_search(indexes, body: dict, size: int = 10, *,
               tie_breaker: float = 0.0, mode: str = "taat",
-              source: DataFrame | None = None) -> DataFrame:
+              source: DataFrame | None = None,
+              vectors: DataFrame | None = None,
+              vec_id_col: str = "doc_id") -> DataFrame:
     """Evaluate an es.search body against the engine.
 
     indexes: a single SegmentIndex (one indexed field) or a
@@ -553,6 +675,17 @@ def es_search(indexes, body: dict, size: int = 10, *,
     body: either the full {"query": {...}} body or the inner query dict.
     Returns (rank, doc_id, score) — except `term`, which returns the
     matching doc-store rows (the reference uses it as an id lookup).
+
+    ES vector search: a top-level `knn` section (ES 8 dense_vector —
+    single dict or a list of sections) and the `script_score` +
+    cosineSimilarity query kind (the ES 7 exact form) both score
+    against `vectors=` — a DataFrame carrying the doc id column
+    (`vec_id_col`) and the dense_vector field named by the body (the
+    engine keeps vectors in the lake, like _source). knn alone returns
+    its exact global top-k at the ES cosine score (1+cos)/2; with a
+    `query` section the scores ADD over the union of hits (ES hybrid
+    semantics), each knn section cut to its own k (boost-scaled) and
+    the query side contributing its complete match-set BM25 scores.
 
     ES pagination: a top-level `from` in the body (or a `from_` key)
     skips that many hits — the engine evaluates top-(from+size) and
@@ -583,7 +716,8 @@ def es_search(indexes, body: dict, size: int = 10, *,
     if hl is not None:
         inner = {k: v for k, v in body.items() if k != "highlight"}
         hits = es_search(indexes, inner, size=size,
-                         tie_breaker=tie_breaker, mode=mode)
+                         tie_breaker=tie_breaker, mode=mode,
+                         vectors=vectors, vec_id_col=vec_id_col)
         if source is None:
             raise ValueError(
                 "highlight needs source= (the corpus DataFrame with "
@@ -617,17 +751,57 @@ def es_search(indexes, body: dict, size: int = 10, *,
                         "highlighted", "fragment"))
     offset = int(body.get("from", body.get("from_", 0)) or 0)
     if offset:
-        inner = {"query": q} if "query" not in body else dict(body)
+        inner = (dict(body) if ("query" in body or "knn" in body)
+                 else {"query": q})
         inner = {k: v for k, v in inner.items()
                  if k not in ("from", "from_")}
         page = es_search(indexes, inner, size=offset + size,
-                         tie_breaker=tie_breaker, mode=mode)
+                         tie_breaker=tie_breaker, mode=mode,
+                         vectors=vectors, vec_id_col=vec_id_col)
         if "rank" not in page.columns:  # term lookup has no rank order
             raise ValueError("from/size pagination needs a ranked query")
         return page.filter(F.col("rank") >= offset).select(
             (F.col("rank") - offset).alias("rank"),
             *[c for c in page.columns if c != "rank"],
         )
+    knn_raw = body.get("knn") if isinstance(body, dict) else None
+    if knn_raw is not None:
+        # ES 8 vector search: knn-only, or hybrid knn + query (scores
+        # summed over the union of hits). Each section's cut is its own
+        # exact top-k; the final ranking re-cuts the summed relation to
+        # `size`. Rounding contract: every contribution rounds 6 dp
+        # before the sum, the sum rounds 6 dp (the engine-wide score
+        # determinism rule), ties broken doc_id asc.
+        if vectors is None:
+            raise ValueError(
+                "knn needs vectors= (a DataFrame with the doc id column "
+                "and the dense_vector field — the index stores text "
+                "postings; the lake stores the vectors)")
+        si0 = (next(iter(indexes.values()))
+               if isinstance(indexes, dict) else indexes)
+        secs = knn_raw if isinstance(knn_raw, list) else [knn_raw]
+        rels = [_knn_contrib(si0, vectors, s, vec_id_col=vec_id_col)
+                for s in secs]
+        if body.get("query") is not None:
+            qrel, siq = _query_scores_full(indexes, body["query"])
+            rels.append(siq._exclude_dead(qrel).select(
+                "doc_id", F.col("score").alias("kscore")))
+        total = rels[0]
+        for r in rels[1:]:
+            a = total.select("doc_id", F.col("kscore").alias("__a"))
+            b = r.select("doc_id", F.col("kscore").alias("__b"))
+            total = (a.join(b, "doc_id", "full")
+                     .select("doc_id",
+                             (F.coalesce(F.col("__a"), F.lit(0.0))
+                              + F.coalesce(F.col("__b"), F.lit(0.0)))
+                             .alias("kscore")))
+        scored = total.select("doc_id",
+                              F.round("kscore", 6).alias("score"))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
     kind, spec = next(iter(q.items()))
     multi = indexes if isinstance(indexes, dict) else None
 
@@ -670,8 +844,6 @@ def es_search(indexes, body: dict, size: int = 10, *,
         # ordered by the doc-store columns directly — ES 'missing'
         # default _last on both directions. Returns
         # (rank, doc_id, <sort cols>).
-        from pyspark.sql import Window
-
         clauses = (sort_spec if isinstance(sort_spec, list)
                    else [sort_spec])
         cols: list[tuple[str, str]] = []
@@ -1103,8 +1275,6 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 [], "rank bigint, doc_id bigint, score double")
         out = si.search(terms, size + len(ids), mode=mode)
         out = out.filter(~F.col("doc_id").isin(ids))
-        from pyspark.sql import Window
-
         w = Window.orderBy(F.asc("rank"))
         return (out.withColumn(
                     "rank",
@@ -1118,8 +1288,6 @@ def es_search(indexes, body: dict, size: int = 10, *,
         # engine-wide deterministic tie-break, doc_id asc
         si = one()
         boost = float(spec.get("boost", 1.0))
-        from pyspark.sql import Window
-
         store = si._exclude_dead(si.doc_store()).select("doc_id")
         topk = store.orderBy(F.asc("doc_id")).limit(size)
         w = Window.orderBy(F.asc("doc_id"))
@@ -1166,6 +1334,60 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 "(match / query_string / multi_match)")
         return one().search_boosting(pos_t, neg_t, size,
                                      negative_boost=nb)
+
+    if kind == "script_score":
+        # ES 7 exact vector search: {"script_score": {"query": {...},
+        # "script": {"source": "cosineSimilarity(params.qv, '<field>')
+        # + 1.0", "params": {"qv": [...]}}}} — the canonical
+        # dense_vector-era body. Score = cos + const over the inner
+        # query's COMPLETE match set (ES applies the script to every
+        # matching doc), exact, 6 dp, doc_id tie-break. Other script
+        # sources raise: a general Painless evaluator would be a
+        # per-row interpreter, the opposite of the engine's
+        # vectorized contract.
+        if vectors is None:
+            raise ValueError(
+                "script_score cosineSimilarity needs vectors= (doc id "
+                "column + the dense_vector field)")
+        import re as _re
+
+        script = spec.get("script") or {}
+        src = str(script.get("source", ""))
+        m = _re.fullmatch(
+            r"\s*cosineSimilarity\(\s*params\.(\w+)\s*,\s*"
+            r"'([\w.]+)'\s*\)\s*(?:\+\s*([0-9.]+)\s*)?", src)
+        if not m:
+            raise ValueError(
+                "unsupported script_score script (supported grammar: "
+                f"cosineSimilarity(params.<v>, '<field>') [+ <const>]): "
+                f"{src!r}")
+        pname, fld = m.group(1), m.group(2)
+        const = float(m.group(3) or 0.0)
+        params = script.get("params") or {}
+        if pname not in params:
+            raise ValueError(f"script_score params missing {pname!r}")
+        qvec = [float(x) for x in params[pname]]
+        inner = spec.get("query") or {"match_all": {}}
+        si = one()
+        ms = _query_match_set(si, inner.get("query", inner))
+        from ..operators.similarity import as_double, cosine
+
+        rel = vectors.select(
+            F.col(vec_id_col).cast("bigint").alias("doc_id"),
+            as_double(F.col(fld)).alias("__v"))
+        if ms is not None:
+            rel = rel.join(ms, "doc_id", "left_semi")
+        rel = si._exclude_dead(rel)
+        qlit = F.lit(qvec).cast("array<double>")
+        scored = rel.select(
+            "doc_id",
+            F.round(cosine(F.col("__v"), qlit) + F.lit(const), 6)
+            .alias("score"))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
 
     if kind == "function_score":
         # relevance combined with per-doc boosts — exact over the full
@@ -1584,7 +1806,9 @@ def es_count(indexes, body: dict) -> DataFrame:
 
 
 def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
-               mode: str = "taat") -> DataFrame:
+               mode: str = "taat",
+               vectors: DataFrame | None = None,
+               vec_id_col: str = "doc_id") -> DataFrame:
     """ES `_msearch`: evaluate MANY search bodies in ONE engine pass.
 
     The reference's experiment loops issue one es.search per topic and
@@ -1611,7 +1835,7 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
         raise ValueError("msearch needs at least one body")
     _WRAPPERS = ("sort", "search_after", "rescore", "collapse",
                  "highlight", "from", "from_", "suggest", "aggs",
-                 "aggregations")
+                 "aggregations", "knn")
     groups: dict = {}               # field -> {qid: text}
     rest: list[tuple[str, dict]] = []
     for i, b in enumerate(bodies):
@@ -1655,7 +1879,8 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
               else next(iter(indexes.values())))
         outs.append(si.search_many(texts, size, mode=mode))
     for qid, b in rest:
-        out = es_search(indexes, b, size=size, mode=mode)
+        out = es_search(indexes, b, size=size, mode=mode,
+                        vectors=vectors, vec_id_col=vec_id_col)
         if set(out.columns) != {"rank", "doc_id", "score"}:
             raise ValueError(
                 "msearch bodies must produce ranked (rank, doc_id, "
