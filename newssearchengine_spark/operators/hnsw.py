@@ -429,3 +429,28 @@ def hnsw_knn_many(graph: DataFrame, emb: DataFrame, query_ids: list[int],
                               (F.row_number().over(w) - 1).cast("long"))
             .filter(F.col("rank") < k)
             .select("query_id", "rank", "vec_id", "cos"))
+
+
+def hnsw_candidates(graph: DataFrame, qvec, *, ef: int = 64,
+                    exclude: int = -1) -> DataFrame:
+    """Beam candidates for ONE literal query vector: (vec_id) distinct,
+    every shard probed with an ef-deep beam — the ES approximate-knn
+    `num_candidates` stage (per-shard beam width, exactly ES's contract:
+    bigger ef = higher recall, more scanned). Scores are NOT returned:
+    the caller re-scores the candidate set exactly in Catalyst (the
+    same contract as hnsw_knn_many, so ANN-vs-exact differences are
+    recall-only, never score drift)."""
+    spark = graph.sparkSession
+    qv = np.asarray([float(x) for x in qvec], dtype=np.float64)
+    n = float(np.sqrt(qv @ qv))
+    bq = spark.sparkContext.broadcast((qv / (n or 1.0)).tolist())
+    ef = int(ef)
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        qu = np.asarray(bq.value, dtype=np.float64)
+        return pd.DataFrame(
+            {"vec_id": [vid for vid, _
+                        in _search_shard(pdf, qu, ef, int(exclude))]})
+
+    return (graph.groupBy("shard").applyInPandas(probe, "vec_id long")
+            .distinct())

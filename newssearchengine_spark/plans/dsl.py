@@ -585,18 +585,25 @@ def _query_match_set(index, q: dict):
 
 
 def _knn_contrib(index, vectors: DataFrame, spec: dict, *,
-                 vec_id_col: str = "doc_id") -> DataFrame:
+                 vec_id_col: str = "doc_id",
+                 ann: DataFrame | None = None) -> DataFrame:
     """One ES 8 knn section -> its (doc_id, kscore) hit contribution.
 
-    Exact global top-k by the ES cosine dense_vector similarity score
+    Global top-k by the ES cosine dense_vector similarity score
     (1 + cos) / 2 (rounded 6 dp, doc_id tie-break), filter clauses
     applied BEFORE the cut (ES post-filter-then-knn semantics), then
-    boost-scaled. `num_candidates` is accepted and has no effect: it
-    sizes the per-shard HNSW beam of ES's APPROXIMATE engine, and this
-    evaluator is exact (the engine's ANN beam lives in
-    operators.hnsw.hnsw_search for callers who want the recall/latency
-    trade). One scan over the (filtered) vectors relation + a
-    TakeOrderedAndProject — the brute_force_knn plan shape."""
+    boost-scaled. Default is EXACT (one scan over the filtered vectors
+    relation + a TakeOrderedAndProject — the brute_force_knn plan
+    shape). With `ann` (a prebuilt operators.hnsw graph) and NO filter,
+    the scan is restricted to the per-shard `num_candidates`-deep beam
+    candidates first — ES's approximate engine, where num_candidates is
+    exactly the per-shard beam width and controls the recall/latency
+    trade; scores on returned hits are identical to the exact path by
+    construction (same Catalyst re-score), only recall can differ. A
+    filtered section stays exact even when ann is given: ES searches
+    the graph WITH the filter (deepening until k pass), and a
+    post-filtered beam would silently under-return instead — exactness
+    is the honest substitute."""
     from ..operators.similarity import as_double, cosine
 
     field = str(spec.get("field", "embedding"))
@@ -612,6 +619,13 @@ def _knn_contrib(index, vectors: DataFrame, spec: dict, *,
             ms = _query_match_set(index, c)
             if ms is not None:
                 rel = rel.join(ms, "doc_id", "left_semi")
+    elif ann is not None:
+        from ..operators.hnsw import hnsw_candidates
+
+        ef = max(int(spec.get("num_candidates", 0) or 0), k)
+        cands = hnsw_candidates(ann, qvec, ef=ef)
+        rel = rel.join(cands.select(F.col("vec_id").alias("doc_id")),
+                       "doc_id", "left_semi")
     rel = index._exclude_dead(rel)
     qlit = F.lit(qvec).cast("array<double>")
     scored = rel.select(
@@ -667,7 +681,8 @@ def es_search(indexes, body: dict, size: int = 10, *,
               tie_breaker: float = 0.0, mode: str = "taat",
               source: DataFrame | None = None,
               vectors: DataFrame | None = None,
-              vec_id_col: str = "doc_id") -> DataFrame:
+              vec_id_col: str = "doc_id",
+              ann: DataFrame | None = None) -> DataFrame:
     """Evaluate an es.search body against the engine.
 
     indexes: a single SegmentIndex (one indexed field) or a
@@ -686,6 +701,10 @@ def es_search(indexes, body: dict, size: int = 10, *,
     `query` section the scores ADD over the union of hits (ES hybrid
     semantics), each knn section cut to its own k (boost-scaled) and
     the query side contributing its complete match-set BM25 scores.
+    knn is exact by default; pass `ann=` (an operators.hnsw graph over
+    the same vectors) to run unfiltered sections approximately with
+    `num_candidates` as the per-shard beam width (ES's approximate
+    engine — recall/latency trade, scores on hits unchanged).
 
     ES pagination: a top-level `from` in the body (or a `from_` key)
     skips that many hits — the engine evaluates top-(from+size) and
@@ -717,7 +736,7 @@ def es_search(indexes, body: dict, size: int = 10, *,
         inner = {k: v for k, v in body.items() if k != "highlight"}
         hits = es_search(indexes, inner, size=size,
                          tie_breaker=tie_breaker, mode=mode,
-                         vectors=vectors, vec_id_col=vec_id_col)
+                         vectors=vectors, vec_id_col=vec_id_col, ann=ann)
         if source is None:
             raise ValueError(
                 "highlight needs source= (the corpus DataFrame with "
@@ -757,7 +776,7 @@ def es_search(indexes, body: dict, size: int = 10, *,
                  if k not in ("from", "from_")}
         page = es_search(indexes, inner, size=offset + size,
                          tie_breaker=tie_breaker, mode=mode,
-                         vectors=vectors, vec_id_col=vec_id_col)
+                         vectors=vectors, vec_id_col=vec_id_col, ann=ann)
         if "rank" not in page.columns:  # term lookup has no rank order
             raise ValueError("from/size pagination needs a ranked query")
         return page.filter(F.col("rank") >= offset).select(
@@ -780,7 +799,8 @@ def es_search(indexes, body: dict, size: int = 10, *,
         si0 = (next(iter(indexes.values()))
                if isinstance(indexes, dict) else indexes)
         secs = knn_raw if isinstance(knn_raw, list) else [knn_raw]
-        rels = [_knn_contrib(si0, vectors, s, vec_id_col=vec_id_col)
+        rels = [_knn_contrib(si0, vectors, s, vec_id_col=vec_id_col,
+                             ann=ann)
                 for s in secs]
         if body.get("query") is not None:
             qrel, siq = _query_scores_full(indexes, body["query"])

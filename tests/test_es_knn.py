@@ -273,3 +273,61 @@ def test_errors(corpus):
             "script": {"source": "cosineSimilarity(params.qv, "
                                  "'embedding') + 1.0",
                        "params": {}}}}, size=3, vectors=vecs)
+
+
+@pytest.fixture(scope="module")
+def graph(corpus):
+    from newssearchengine_spark.operators.hnsw import hnsw_build
+
+    si, vecs, V, _ = corpus
+    return hnsw_build(vecs.select(F.col("doc_id").alias("vec_id"),
+                                  "embedding"),
+                      n_shards=2, m=8, ef_construction=64).persist()
+
+
+def test_knn_ann_full_beam_equals_exact(corpus, graph):
+    """ef >= n: the beam reaches every connected node, so the ANN route
+    returns the exact answer with identical scores."""
+    si, vecs, V, _ = corpus
+    body = {"knn": {"field": "embedding",
+                    "query_vector": [float(x) for x in V[12]],
+                    "k": 10, "num_candidates": 2 * N_DOCS}}
+    exact = [(r["doc_id"], r["score"])
+             for r in es_search(si, body, size=10, vectors=vecs).collect()]
+    approx = [(r["doc_id"], r["score"])
+              for r in es_search(si, body, size=10, vectors=vecs,
+                                 ann=graph).collect()]
+    assert approx == exact
+
+
+def test_knn_ann_narrow_beam_scores_exactly(corpus, graph):
+    """A narrow beam may lose recall but NEVER drifts scores: every
+    returned hit carries the same (1+cos)/2 score as the exact path."""
+    si, vecs, V, _ = corpus
+    body = {"knn": {"field": "embedding",
+                    "query_vector": [float(x) for x in V[13]],
+                    "k": 10, "num_candidates": 10}}
+    exact = dict(_np_knn_scores(V, V[13]))
+    approx = es_search(si, body, size=10, vectors=vecs,
+                       ann=graph).collect()
+    assert approx
+    for r in approx:
+        assert r["score"] == exact[r["doc_id"]]
+
+
+def test_knn_ann_filtered_section_stays_exact(corpus, graph):
+    """A filtered knn section ignores ann (post-filtering a beam would
+    under-return; ES filters DURING the graph walk) — result equals the
+    exact filtered answer."""
+    si, vecs, V, meta = corpus
+    repo = meta[0][0]
+    keep = [i for i, (r, _) in meta.items() if r == repo]
+    body = {"knn": {"field": "embedding",
+                    "query_vector": [float(x) for x in V[1]],
+                    "k": 5, "num_candidates": 5,
+                    "filter": {"term": {"repo": repo}}}}
+    got = [(r["doc_id"], r["score"])
+           for r in es_search(si, body, size=5, vectors=vecs,
+                              ann=graph).collect()]
+    want = _np_topk(_np_knn_scores(V, V[1], ids=keep), 5)
+    assert got == want
