@@ -313,6 +313,37 @@ def main() -> None:
         "recall_at_10": round(len(got_h & brute) / max(1, len(brute)), 3),
         "batch40_qps": round(hqps, 1),
     }
+
+    # 7) ES dense-vector surface (r5): the hybrid knn+query body (exact,
+    # BM25 match-set + boosted knn top-k summed — the reference's
+    # combined-recall flow as ONE ES body) and the knn section routed
+    # approximately through the SAME cached HNSW graph, recall@10 vs
+    # the exact knn answer.
+    from newssearchengine_spark.gate.fulltext import (_gate_index,
+                                                      _knn_vectors,
+                                                      ft_es_hybrid_knn)
+    from newssearchengine_spark.plans.dsl import es_search
+
+    timed("es_hybrid_knn",
+          lambda: ft_es_hybrid_knn(spark, sf_dir).collect(),
+          n=5, warmup=1)
+    si_g = _gate_index(spark, sf_dir)
+    vecs_d, qv = _knn_vectors(spark, sf_dir)
+    knn_body = {"knn": {"field": "embedding", "query_vector": qv,
+                        "k": 10, "num_candidates": 100}}
+    exact_knn = {r["doc_id"] for r in es_search(
+        si_g, knn_body, size=10, vectors=vecs_d).collect()}
+    ann_rows = timed(
+        "es_knn_ann",
+        lambda: es_search(si_g, knn_body, size=10, vectors=vecs_d,
+                          ann=graph).collect(),
+        n=5, warmup=1)
+    extra["es_knn_ann"] = {
+        "num_candidates": 100,
+        "recall_at_10": round(
+            len({r["doc_id"] for r in ann_rows} & exact_knn)
+            / max(1, len(exact_knn)), 3),
+    }
     graph.unpersist()
 
     docs.unpersist()
