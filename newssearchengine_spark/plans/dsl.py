@@ -806,17 +806,20 @@ def es_search(indexes, body: dict, size: int = 10, *,
             qrel, siq = _query_scores_full(indexes, body["query"])
             rels.append(siq._exclude_dead(qrel).select(
                 "doc_id", F.col("score").alias("kscore")))
+        # combine = UNION + one hash aggregate, not a cascade of full
+        # outer joins: a missing side contributes 0 implicitly, partial
+        # (map-side) aggregation applies, and the whole combine costs
+        # ONE shuffle however many sections — the 100x-match-set shape.
+        # With <= 2 contributions per doc (the hybrid norm) the float
+        # sum is order-independent bit-exactly (IEEE + is commutative);
+        # >= 3 overlapping sections can differ in the last ulp from a
+        # fixed-order sum, rounded away at 6 dp except exactly on a
+        # rounding boundary.
         total = rels[0]
         for r in rels[1:]:
-            a = total.select("doc_id", F.col("kscore").alias("__a"))
-            b = r.select("doc_id", F.col("kscore").alias("__b"))
-            total = (a.join(b, "doc_id", "full")
-                     .select("doc_id",
-                             (F.coalesce(F.col("__a"), F.lit(0.0))
-                              + F.coalesce(F.col("__b"), F.lit(0.0)))
-                             .alias("kscore")))
-        scored = total.select("doc_id",
-                              F.round("kscore", 6).alias("score"))
+            total = total.unionByName(r)
+        scored = (total.groupBy("doc_id")
+                  .agg(F.round(F.sum("kscore"), 6).alias("score")))
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return top.select(
