@@ -475,6 +475,173 @@ def ft_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# One title-field segment index per sf_dir (title = the first 5 words,
+# the synthetic corpus's derived-title convention), shared by the
+# multi-field indexed gates below.
+_GATE_TITLE_INDEX: dict[str, object] = {}
+
+
+def _gate_title_index(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from ..config import IndexConfig
+    from ..plans.index_build import build_index
+    from ..plans.search import SegmentIndex
+
+    si = _GATE_TITLE_INDEX.get(sf_dir)
+    if si is None:
+        cfg = IndexConfig(n_buckets=8, doc_range=256, block_size=32,
+                          analyzer=DOCS_ANALYZER)
+        idx_dir = tempfile.mkdtemp(prefix="gate_idx_title_")
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+            .alias("title"))
+        build_index(docs, idx_dir, cfg, text_col="title",
+                    id_col="doc_id", resume=False)
+        si = SegmentIndex(spark, idx_dir)
+        _GATE_TITLE_INDEX[sf_dir] = si
+    return si
+
+
+_MM_AND_TERMS = ["hash", "merge", "window"]
+_MM_TIE = 0.3
+
+
+def _mm_and_sql(terms: list[str], k: int,
+                bm25: BM25Config = BM25Config(),
+                tie: float = _MM_TIE) -> str:
+    tset = sorted(set(terms))
+    terms_sql = ", ".join(f"'{t}'" for t in tset)
+    fields = _field_ctes(_DISMAX_TITLE, "t_") + "," + _field_ctes("text", "b_")
+    fields = fields.replace("{k1}", str(bm25.k1)).replace("{b}", str(bm25.b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+q AS (SELECT unnest([{terms_sql}]) AS term),{fields},
+t_must AS (SELECT doc_id FROM t_tf JOIN q USING (term)
+           GROUP BY doc_id HAVING count(DISTINCT term) = {len(tset)}),
+b_must AS (SELECT doc_id FROM b_tf JOIN q USING (term)
+           GROUP BY doc_id HAVING count(DISTINCT term) = {len(tset)}),
+ts AS (SELECT s.doc_id, s.score FROM t_sc s JOIN t_must USING (doc_id)),
+bs AS (SELECT s.doc_id, s.score FROM b_sc s JOIN b_must USING (doc_id)),
+allsc AS (
+  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+         coalesce(a.score, 0) AS s_t, coalesce(c.score, 0) AS s_b
+  FROM ts a FULL OUTER JOIN bs c ON a.doc_id = c.doc_id
+),
+fin AS (
+  SELECT doc_id,
+         round(greatest(s_t, s_b)
+               + {tie} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+  FROM allsc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_multimatch_and", _mm_and_sql(_MM_AND_TERMS, TOP_K))
+def ft_multimatch_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match operator:'and' over [title, text] (the retired r4
+    rejection): every analyzed token REQUIRED per field, per-field
+    summed-BM25 (field-local stats) DisMax-combined with a tie_breaker —
+    executed through the es.search adapter over two segment indexes
+    (plans/search.py:search_dismax_bool per_token=True). The reference's
+    ES backend serves this body via Lucene BooleanQuery-per-field inside
+    DisjunctionMaxQuery."""
+    from ..plans.dsl import es_search
+
+    idxs = {"title": _gate_title_index(spark, sf_dir),
+            "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"multi_match": {
+        "fields": ["title", "text"],
+        "query": " ".join(_MM_AND_TERMS),
+        "operator": "and", "tie_breaker": _MM_TIE}}}
+    return es_search(idxs, body, size=TOP_K)
+
+
+def _phrase_field_ctes(expr: str, p: str, phrase: list[str],
+                       bm25: BM25Config = BM25Config()) -> str:
+    """Per-field phrase-BM25 CTE block (tokenize the field, count
+    consecutive phrase occurrences, score with the FIELD's own
+    N/avgdl/phrase-df — the engine's search_phrase convention,
+    unrounded so the DisMax combine rounds once like _combine_dismax)."""
+    n = len(phrase)
+    hit = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase))
+    k1, b = bm25.k1, bm25.b
+    return f"""
+{p}tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+      regexp_replace(regexp_replace({expr},
+          '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+          '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+      t -> length(t) >= 2 AND regexp_full_match(t, '[a-z][a-z0-9]*')
+           AND t NOT IN ({_STOP_SQL})) AS toks
+  FROM docs2
+),
+{p}occ AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+         CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) - {n} + 2), i -> {hit}))
+         ELSE 0 END::BIGINT AS occ
+  FROM {p}tokl WHERE len(toks) > 0
+),
+{p}stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         count(*) FILTER (occ > 0)::DOUBLE AS dfp
+  FROM {p}occ
+),
+{p}sc AS (
+  SELECT o.doc_id,
+         ln(1 + (s.n - s.dfp + 0.5) / (s.dfp + 0.5))
+               * (o.occ * ({k1} + 1)) /
+                 (o.occ + {k1} * (1 - {b} + {b} * o.dl / s.avgdl)) AS score
+  FROM {p}occ o CROSS JOIN {p}stats s
+  WHERE o.occ > 0
+)"""
+
+
+_MM_PHRASE = ["table", "scan"]
+
+
+def _mm_phrase_sql(phrase: list[str], k: int,
+                   tie: float = _MM_TIE) -> str:
+    fields = (_phrase_field_ctes(_DISMAX_TITLE, "t_", phrase) + ","
+              + _phrase_field_ctes("text", "b_", phrase))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),{fields},
+allsc AS (
+  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+         coalesce(a.score, 0) AS s_t, coalesce(c.score, 0) AS s_b
+  FROM t_sc a FULL OUTER JOIN b_sc c ON a.doc_id = c.doc_id
+),
+fin AS (
+  SELECT doc_id,
+         round(greatest(s_t, s_b)
+               + {tie} * (s_t + s_b - greatest(s_t, s_b)), 6) AS score
+  FROM allsc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_multimatch_phrase", _mm_phrase_sql(_MM_PHRASE, TOP_K))
+def ft_multimatch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type:'phrase' over [title, text] (the retired r4
+    rejection): a match_phrase per field over each field's positional
+    sidecar, per-field phrase BM25 (occurrence tf, phrase df, field
+    stats) DisMax-combined — the es.search adapter over two segment
+    indexes (plans/search.py:search_dismax_phrase)."""
+    from ..plans.dsl import es_search
+
+    idxs = {"title": _gate_title_index(spark, sf_dir),
+            "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"multi_match": {
+        "fields": ["title", "text"],
+        "query": " ".join(_MM_PHRASE),
+        "type": "phrase", "tie_breaker": _MM_TIE}}}
+    return es_search(idxs, body, size=TOP_K)
+
+
 _TFIDF_MIN_TF = 2
 _TFIDF_MIN_DF = 5
 _TFIDF_TOP_N = 3

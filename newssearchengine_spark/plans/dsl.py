@@ -918,9 +918,9 @@ def es_search(indexes, body: dict, size: int = 10, *,
             "doc_id", *out_fields)
 
     if kind in ("query_string", "multi_match"):
-        if kind == "multi_match" and spec.get("operator", "or").lower() != "or":
-            raise ValueError("only operator:'or' multi_match is supported "
-                             "(the only form the reference issues)")
+        mm_op = str(spec.get("operator", "or")).lower()
+        if kind == "multi_match" and mm_op not in ("or", "and"):
+            raise ValueError(f"unsupported multi_match operator: {mm_op}")
         if spec.get("minimum_should_match") is not None:
             # ES applies it to the generated per-field boolean — a
             # match-set change this adapter doesn't model; dropping it
@@ -936,10 +936,44 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 # DisMax combine max + tb*(sum-max) at tie_breaker 1.0,
                 # so the Fagin-pruned engine path serves it unchanged
                 tb = 1.0
+            elif mtype in ("phrase", "phrase_prefix"):
+                # ES runs a match_phrase (match_phrase_prefix) per field
+                # and DisMax-combines — the multi-field form of the
+                # single-field phrase kinds below
+                names, boosts = _parse_boosts(
+                    list(spec.get("fields") or []))
+                text = str(spec["query"])
+                slop = int(spec.get("slop", 0))
+                mx = int(spec.get("max_expansions", 50))
+                if multi is not None and names and len(names) > 1:
+                    from .search import search_dismax_phrase
+                    return search_dismax_phrase(
+                        {f: multi[f] for f in names}, text, size,
+                        tie_breaker=tb, boosts=boosts or None,
+                        slop=slop, prefix=(mtype == "phrase_prefix"),
+                        max_expansions=mx)
+                si = one(names[0] if names else None)
+                if mtype == "phrase_prefix":
+                    if slop:
+                        raise ValueError(
+                            "match_phrase_prefix slop > 0 is not "
+                            "supported (Lucene sloppy phrase "
+                            "matching); exact adjacency only")
+                    out = si.search_phrase_prefix(text, size,
+                                                  max_expansions=mx)
+                else:
+                    out = si.search_phrase(text, size, slop=slop)
+                bf = boosts.get(names[0], 1.0) if names else 1.0
+                if bf != 1.0:
+                    out = out.select(
+                        "rank", "doc_id",
+                        (F.col("score") * F.lit(bf)).alias("score"))
+                return out
             elif mtype != "best_fields":
                 raise ValueError(
                     f"unsupported multi_match type: {mtype} "
-                    "(best_fields / most_fields)")
+                    "(best_fields / most_fields / phrase / "
+                    "phrase_prefix)")
         op, parts = _parse_query_string(str(spec["query"]))
         if (kind == "query_string"
                 and str(spec.get("default_operator", "or")).lower()
@@ -956,6 +990,33 @@ def es_search(indexes, body: dict, size: int = 10, *,
             if op == "or" and len(qtoks) > 1:
                 op, parts = "and", qtoks
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
+        if kind == "multi_match" and mm_op == "and":
+            # ES multi_match operator:'and': AND between ALL tokens the
+            # field analyzer emits (multi_match has NO query_string
+            # grammar — uppercase AND/OR in the text are ordinary
+            # terms), per field; per-field summed-BM25 scores combine
+            # DisMax (best_fields; most_fields already folded to
+            # tb=1.0 above). Single field = the match operator:'and'
+            # shape exactly (one must clause per deduped token).
+            text = str(spec["query"])
+            if multi is not None and names and len(names) > 1:
+                from .search import search_dismax_bool
+                return search_dismax_bool(
+                    {f: multi[f] for f in names}, [[text]], size,
+                    tie_breaker=tb, boosts=boosts or None,
+                    per_token=True)
+            si = one(names[0] if names else None)
+            toks = sorted(set(si.analyze_query(text)))
+            if not toks:
+                return si.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+            out = si.search_bool(must=[[t] for t in toks], k=size)
+            bf = boosts.get(names[0], 1.0) if names else 1.0
+            if bf != 1.0:
+                out = out.select(
+                    "rank", "doc_id",
+                    (F.col("score") * F.lit(bf)).alias("score"))
+            return out
         if op == "mixed":
             # OR of AND-groups under ES precedence. Multiple fields run
             # the best_fields shape: the WHOLE grammar per field,

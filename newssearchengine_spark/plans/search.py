@@ -2982,7 +2982,8 @@ def _dismax_full(field_indexes: dict, query, k: int, *,
 
 def search_dismax_bool(field_indexes: dict, groups, k: int, *,
                        tie_breaker: float = 0.0,
-                       boosts: dict | None = None) -> DataFrame:
+                       boosts: dict | None = None,
+                       per_token: bool = False) -> DataFrame:
     """Per-field DisMax over an OR-of-AND-groups grammar — the
     multi-field `query_string` conjunction/mixed shape (ES best_fields:
     the WHOLE query parses per field, per-field scores combine
@@ -3005,7 +3006,16 @@ def search_dismax_bool(field_indexes: dict, groups, k: int, *,
     bit-identical rounding with every other DisMax regime). Tombstones:
     per-field relations are COMPLETE, so excluding dead ids before the
     combine is exact — no over-fetch loop needed (unlike the top-k-fed
-    search_dismax wrapper)."""
+    search_dismax wrapper).
+
+    per_token=True switches the clause unit from OPERAND to TOKEN:
+    every analyzed token of every operand becomes its own required
+    clause in that field (deduped + sorted — the engine's match
+    operator:'and' convention) — the ES `multi_match` operator:'and'
+    contract (AND between ALL tokens the field analyzer emits, so a
+    camelCase word the code analyzer splits still requires BOTH
+    parts). Tokens the analyzer drops (stopwords) are not required,
+    like ES."""
     b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
     if any(v < 0 for v in b.values()):
         raise ValueError("field boosts must be >= 0")
@@ -3014,7 +3024,12 @@ def search_dismax_bool(field_indexes: dict, groups, k: int, *,
     scored = None
     cols = []
     for name, si in field_indexes.items():
-        gs = [[si.analyze_query(p) for p in g] for g in groups]
+        if per_token:
+            gs = [[[t] for t in sorted({t for p in g
+                                        for t in si.analyze_query(p)})]
+                  for g in groups]
+        else:
+            gs = [[si.analyze_query(p) for p in g] for g in groups]
         gs = [[c for c in g if c] for g in gs]
         gs = [g for g in gs if g]
         if not gs:
@@ -3022,6 +3037,72 @@ def search_dismax_bool(field_indexes: dict, groups, k: int, *,
         node = ({"must": gs[0]} if len(gs) == 1 else
                 {"should": [{"must": g} for g in gs]})
         rel = si._bool_tree_rel(node)
+        if rel is None:
+            continue
+        rel = si._exclude_dead(rel)
+        bf = b[name]
+        s = rel.select(
+            "doc_id",
+            (F.col("score") * F.lit(bf)).alias(f"s_{name}")
+            if bf != 1.0 else F.col("score").alias(f"s_{name}"),
+        )
+        cols.append(f"s_{name}")
+        scored = s if scored is None else scored.join(
+            s, "doc_id", "full_outer")
+    if scored is None:
+        return spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double")
+    filled = scored.na.fill(0.0, cols)
+    return _combine_dismax(filled, cols, float(tie_breaker), k)
+
+
+def search_dismax_phrase(field_indexes: dict, text: str, k: int, *,
+                         tie_breaker: float = 0.0,
+                         boosts: dict | None = None,
+                         slop: int = 0,
+                         prefix: bool = False,
+                         max_expansions: int = 50) -> DataFrame:
+    """Per-field phrase DisMax — ES `multi_match` type:'phrase' (and,
+    with prefix=True, type:'phrase_prefix'): the text analyzes PER FIELD
+    to a phrase that must match consecutively (slop-relaxed when
+    slop > 0) in that field; per-field phrase BM25 scores (the
+    search_phrase convention — tf = occurrence count, idf over the
+    PHRASE df, field-local stats) combine max + tie_breaker*(sum-max).
+    prefix=True treats the LAST analyzed token of each field as a
+    dictionary prefix bounded by max_expansions (the
+    search_phrase_prefix convention; exclusive with slop, like ES's
+    Lucene rejection of sloppy prefix phrases).
+
+    Plan: per field the COMPLETE phrase relation (_phrase_scores: one
+    pruned positional scan bounded by the min fixed-term df — phrases
+    are selective by construction), full_outer combine + the shared
+    Catalyst tail (_combine_dismax), so scores round bit-identically
+    with every other DisMax regime. A field where the phrase cannot
+    match (absent term / zero expansions / empty analysis) contributes
+    nothing, like an ES field with no phrase hits."""
+    if prefix and int(slop):
+        raise ValueError("phrase_prefix slop > 0 is not supported "
+                         "(Lucene sloppy phrase matching); exact "
+                         "adjacency only")
+    b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
+    if any(v < 0 for v in b.values()):
+        raise ValueError("field boosts must be >= 0")
+    sis = list(field_indexes.values())
+    spark = sis[0].spark
+    scored = None
+    cols = []
+    for name, si in field_indexes.items():
+        ts = si.analyze_query(text)
+        if not ts:
+            continue
+        if prefix:
+            alts = sorted(si.expand_prefix(ts[-1],
+                                           max_expansions=max_expansions))
+            if not alts:
+                continue  # zero expansions: no hits in this field
+            rel = si._phrase_scores(ts[:-1], 0, alts)
+        else:
+            rel = si._phrase_scores(ts, int(slop))
         if rel is None:
             continue
         rel = si._exclude_dead(rel)

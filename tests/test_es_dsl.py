@@ -2053,3 +2053,133 @@ def test_es_count_semantics(prose_idx):
                               if {t.lower() for t in ts} & expf)
     with pytest.raises(ValueError, match="unsupported count"):
         es_count(si, {"query": {"span_near": {}}})
+
+
+def test_multi_match_operator_and(two_field):
+    """multi_match operator:'and' (retired rejection): AND between ALL
+    analyzed tokens PER FIELD, per-field summed-BM25 DisMax-combined —
+    verified against a pure-python per-field oracle; single field must
+    equal the match operator:'and' engine shape exactly."""
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    q = "nodeCursor protoShard"
+    body = {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": q, "operator": "and"}}}
+    got = es_search(idxs, body, size=400).collect()
+
+    raw = {f: {r["doc_id"]: r[f] for r in
+               two.select("doc_id", f).collect()}
+           for f in ("title", "text")}
+    want: dict[int, float] = {}
+    per_field: dict[str, dict[int, float]] = {}
+    for f, si in idxs.items():
+        toks = sorted(set(si.analyze_query(q)))
+        oidx = pure.OracleIndex.build(raw[f], si.analyzer)
+        per_field[f] = {
+            d: oidx.score(toks, d) for d in oidx.dl
+            if all(d in oidx.postings.get(t, {}) for t in toks)}
+    for d in set().union(*[set(m) for m in per_field.values()]):
+        ss = [m.get(d, 0.0) for m in per_field.values()]
+        want[d] = max(ss)  # tie_breaker 0.0
+    assert {r["doc_id"] for r in got} == set(want) and got
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], abs=2e-6)
+    keys = [(-r["score"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    # a camelCase word is REQUIRED per analyzed token: every hit's text
+    # (or title) carries both 'node' and 'cursor' and both 'proto' and
+    # 'shard' in the SAME field
+    assert all(any(d in m for m in per_field.values())
+               for d in {r["doc_id"] for r in got})
+
+    # single field == the match operator:'and' engine shape, exactly
+    si = idxs["text"]
+    sgot = es_search(si, {"query": {"multi_match": {
+        "fields": ["text"], "query": q, "operator": "and"}}},
+        size=25).collect()
+    toks = sorted(set(si.analyze_query(q)))
+    swant = si.search_bool(must=[[t] for t in toks], k=25).collect()
+    assert sgot and [tuple(r) for r in sgot] == [tuple(r) for r in swant]
+    mgot = es_search(si, {"query": {"match": {"text": {
+        "query": q, "operator": "and"}}}}, size=25).collect()
+    assert [tuple(r) for r in mgot] == [tuple(r) for r in sgot]
+
+    # most_fields + operator:'and' sums per-field scores (tb=1.0)
+    body_mf = {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": q, "operator": "and",
+        "type": "most_fields"}}}
+    got_mf = es_search(idxs, body_mf, size=400).collect()
+    want_mf = {d: sum(m.get(d, 0.0) for m in per_field.values())
+               for d in want}
+    assert {r["doc_id"] for r in got_mf} == set(want_mf)
+    for r in got_mf:
+        assert r["score"] == pytest.approx(want_mf[r["doc_id"]],
+                                           abs=2e-6)
+    # unknown operators still reject
+    with pytest.raises(ValueError, match="multi_match operator"):
+        es_search(idxs, {"query": {"multi_match": {
+            "fields": ["text"], "query": q, "operator": "xor"}}}, 5)
+
+
+def test_multi_match_type_phrase(two_field):
+    """multi_match type:'phrase' / 'phrase_prefix' (retired rejection):
+    a match_phrase (match_phrase_prefix) per field, DisMax-combined —
+    verified against the pinned single-field phrase engines combined in
+    python; single field must equal search_phrase exactly."""
+    two, idxs = two_field
+    si = idxs["text"]
+    # a REAL adjacent bigram from the corpus: the first two title words
+    # of a doc (title = the content's first six words)
+    t0 = two.select("title").limit(1).collect()[0]["title"].split()
+    q = " ".join(t0[:2])
+
+    def combine(per_field: dict[str, dict[int, float]], tb: float,
+                size: int) -> list[tuple[int, float]]:
+        alld = set().union(*[set(m) for m in per_field.values()])
+        out = []
+        for d in alld:
+            ss = [m.get(d, 0.0) for m in per_field.values()]
+            out.append((d, max(ss) + tb * (sum(ss) - max(ss))))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:size]
+
+    # multi-field phrase
+    got = es_search(idxs, {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": q,
+        "type": "phrase"}}}, size=50).collect()
+    pf = {f: {r["doc_id"]: r["score"]
+              for r in sidx.search_phrase(q, 100000).collect()}
+          for f, sidx in idxs.items()}
+    want = combine(pf, 0.0, 50)
+    assert got and [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=2e-6)
+
+    # single field == search_phrase exactly (incl. slop passthrough)
+    sgot = es_search(si, {"query": {"multi_match": {
+        "fields": ["text"], "query": q, "type": "phrase",
+        "slop": 1}}}, size=20).collect()
+    swant = si.search_phrase(q, 20, slop=1).collect()
+    assert sgot and [tuple(r) for r in sgot] == [tuple(r) for r in swant]
+
+    # multi-field phrase_prefix: last analyzed token expands per field
+    pq = q[: len(q) - 2] if len(q) > 4 else q
+    pgot = es_search(idxs, {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": pq,
+        "type": "phrase_prefix", "max_expansions": 10}}},
+        size=50).collect()
+    ppf = {f: {r["doc_id"]: r["score"]
+               for r in sidx.search_phrase_prefix(
+                   pq, 100000, max_expansions=10).collect()}
+           for f, sidx in idxs.items()}
+    pwant = combine(ppf, 0.0, 50)
+    assert pgot and [r["doc_id"] for r in pgot] == [d for d, _ in pwant]
+    for r, (_, s) in zip(pgot, pwant):
+        assert r["score"] == pytest.approx(s, abs=2e-6)
+
+    # sloppy prefix phrases reject, like Lucene
+    with pytest.raises(ValueError, match="slop"):
+        es_search(idxs, {"query": {"multi_match": {
+            "fields": ["title", "text"], "query": pq,
+            "type": "phrase_prefix", "slop": 2}}}, 5)
