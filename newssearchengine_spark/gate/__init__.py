@@ -101,6 +101,10 @@ _PRIORITY = [
     # ES dense-vector surface (r5): knn section (exact, filtered),
     # ES 7 script_score cosineSimilarity, hybrid knn+query score sum
     "ft_es_knn", "ft_es_script_score", "ft_es_hybrid_knn",
+    # multi-field multi_match operator:'and' and type:'phrase' (r5
+    # final: variants of the in-window dismax + phrase families, each
+    # over TWO segment indexes)
+    "ft_multimatch_and", "ft_multimatch_phrase",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
