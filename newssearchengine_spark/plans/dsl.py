@@ -1266,8 +1266,23 @@ def es_search(indexes, body: dict, size: int = 10, *,
             # evaluator, whose msm is per-child (the ES semantics).
             return _bscale(
                 si.search_bool_tree(_bool_to_tree(si, spec), k=size))
+        must_clauses = clauses_of(spec.get("must", []))
+        seen: set = set()
+        for c in must_clauses + should_clauses:
+            cset = set(c)
+            if cset & seen:
+                # ES scores each bool clause independently (Lucene
+                # rewrites duplicate clauses into one summed boost, so a
+                # term in two scoring clauses contributes twice); the
+                # flat path scores the UNION of must+should terms, which
+                # counts a shared term once. Overlapping scoring clauses
+                # take the per-clause tree evaluator (found by the
+                # seeded body fuzzer, tests/test_es_fuzz.py).
+                return _bscale(si.search_bool_tree(
+                    _bool_to_tree(si, spec), k=size))
+            seen |= cset
         return _bscale(si.search_bool(
-            must=clauses_of(spec.get("must", [])),
+            must=must_clauses,
             should=flat(spec.get("should", [])),
             must_not=flat(spec.get("must_not", [])),
             k=size,

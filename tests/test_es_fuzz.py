@@ -1,0 +1,279 @@
+"""Generative differential test: random nested ES `bool` bodies vs an
+independent recursive pure-python evaluator.
+
+test_es_dsl.py pins each semantics rule with a hand-written shape; this
+module COMPOSES those rules randomly (seeded — every failure replays) so
+clause interactions no fixed case combines are still checked against the
+ES/Lucene bool contract spelled out in
+plans/search.py:search_bool_tree's docstring: boosted AND-matches under
+must_not, per-clause minimum_should_match inside nested shoulds, filter
+context gating a boosted subtree, unsatisfiable msm deep in a tree,
+absent-token leaves, duplicate clauses (each contributes), body-level
+boost and percentage/negative msm forms.
+
+The oracle here re-derives matched/score recursively from the raw body
+and OracleIndex BM25 — it shares no code with the adapter
+(plans/dsl.py:_bool_to_tree) or the tree compiler
+(plans/search.py:_bool_tree_rel), so agreement is two independent
+implementations of the published semantics, not an identity.
+
+Reference parity: the reference's ES backend accepts arbitrarily nested
+bool bodies (es.search callers, e.g.
+/root/reference/netzpolitik/experiments/keyword_match_recall.py:30); its
+own experiments issue flat shapes, so this closes the switching-user
+surface with randomized depth.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from newssearchengine_spark.config import IndexConfig
+from newssearchengine_spark.datagen import source_files
+from newssearchengine_spark.oracle import pure
+from newssearchengine_spark.plans.dsl import es_search
+from newssearchengine_spark.plans.index_build import build_index
+from newssearchengine_spark.plans.search import SegmentIndex
+from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+CFG = IndexConfig(n_buckets=8, doc_range=200, block_size=16)
+
+N_BODIES = 30
+SEED = 0xE5
+
+
+@pytest.fixture(scope="module")
+def fuzz_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fuzz")
+    docs = assign_doc_ids(source_files(spark, 300, seed=77, partitions=4),
+                          num_partitions=4)
+    one = docs.select("doc_id", F.col("content").alias("text")).persist()
+    d = str(root / "idx")
+    build_index(one, d, CFG, text_col="text", resume=False)
+    si = SegmentIndex(spark, d)
+    raw = {r["doc_id"]: r["text"]
+           for r in one.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    dt = {did: set(pure.analyze(t, si.analyzer)) for did, t in raw.items()}
+    return si, oidx, dt, raw
+
+
+def _vocab(si, oidx) -> list[str]:
+    """Analyzer-fixed-point tokens spanning hot / mid / rare df bands,
+    plus guaranteed-absent tokens (leaves that must match nothing)."""
+    by_df = sorted(oidx.postings.items(), key=lambda kv: -len(kv[1]))
+    fixed = [t for t, _ in by_df if si.analyze_query(t) == [t]]
+    hot = fixed[:12]
+    mid = fixed[len(fixed) // 3:len(fixed) // 3 + 12]
+    rare = [t for t in fixed if len(oidx.postings[t]) <= 2][:8]
+    absent = ["zzzqx", "zzzqy", "zzzqz"]
+    assert len(hot) >= 8 and len(mid) >= 8, "corpus too small for fuzz"
+    # hot tokens weighted up so most bodies have a non-empty match set
+    # (a must clause drawing a rare/absent token empties the whole body)
+    return hot * 3 + mid * 2 + rare + absent
+
+
+# ---------------------------------------------------------------------------
+# body generator (seeded; every body is a valid adapter shape)
+# ---------------------------------------------------------------------------
+
+def _gen_text(rng: random.Random, vocab: list[str]) -> str:
+    return " ".join(rng.choice(vocab)
+                    for _ in range(rng.randint(1, 3)))
+
+
+def _maybe_boost(rng: random.Random, spec: dict) -> dict:
+    if rng.random() < 0.35:
+        spec["boost"] = rng.choice([0.5, 2.0, 2.5])
+    return spec
+
+
+def _gen_clause(rng: random.Random, vocab: list[str], depth: int) -> dict:
+    r = rng.random()
+    if depth < 2 and r < 0.22:
+        return {"bool": _gen_bool(rng, vocab, depth + 1)}
+    if r < 0.5:
+        spec = {"query": _gen_text(rng, vocab)}
+        p = rng.random()
+        if p < 0.3:
+            spec["operator"] = "and"
+        elif p < 0.55:
+            spec["minimum_should_match"] = rng.randint(1, 3)
+        return {"match": {"text": _maybe_boost(rng, spec)}}
+    if r < 0.62:
+        return {"term": {"text": rng.choice(vocab)}}
+    return {"match": {"text": _gen_text(rng, vocab)}}
+
+
+def _gen_filter(rng: random.Random, vocab: list[str], depth: int) -> dict:
+    r = rng.random()
+    if depth < 2 and r < 0.2:
+        return {"bool": _gen_bool(rng, vocab, depth + 1)}
+    if r < 0.5:
+        spec = {"query": _gen_text(rng, vocab)}
+        if rng.random() < 0.5:
+            spec["operator"] = "and"
+        else:
+            spec["minimum_should_match"] = rng.randint(1, 2)
+        return {"match": {"text": spec}}
+    return {"match": {"text": _gen_text(rng, vocab)}}
+
+
+def _gen_bool(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
+    while True:
+        out: dict = {}
+        for role, lo, hi, gen in (("must", 0, 2, _gen_clause),
+                                  ("should", 0, 3, _gen_clause),
+                                  ("must_not", 0, 2, _gen_clause),
+                                  ("filter", 0, 2, _gen_filter)):
+            n = rng.randint(lo, hi)
+            if n:
+                out[role] = [gen(rng, vocab, depth) for _ in range(n)]
+        if not out:
+            continue
+        if out.get("should") and rng.random() < 0.4:
+            out["minimum_should_match"] = rng.choice(
+                [1, 2, 3, "50%", "-1"])
+        if depth > 0 and rng.random() < 0.3:
+            out["boost"] = rng.choice([0.5, 2.0])
+        elif depth == 0 and rng.random() < 0.25:
+            out["boost"] = rng.choice([0.5, 2.0])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# independent oracle: recursive (matched, score) over the RAW body
+# ---------------------------------------------------------------------------
+
+def _resolve_msm_oracle(raw, total: int) -> int:
+    """The Lucene minimum_should_match value spec, re-derived (NOT
+    imported from the adapter): int n; -n => total-n; 'P%' =>
+    floor(total*P/100); '-P%' => total - floor; clamp at 0."""
+    if raw is None:
+        return 0
+    if isinstance(raw, int):
+        return max(0, raw if raw >= 0 else total + raw)
+    s = str(raw).strip()
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        part = (abs(pct) * total) // 100
+        return max(0, part if pct >= 0 else total - part)
+    n = int(s)
+    return max(0, n if n >= 0 else total + n)
+
+
+def _as_list(v):
+    return v if isinstance(v, list) else [v]
+
+
+class _Oracle:
+    def __init__(self, si, oidx, dt):
+        self.si, self.oidx, self.dt = si, oidx, dt
+
+    def clause(self, c: dict, d: int):
+        """-> (matched, score) or None when the clause is a lenient
+        no-op (analyzed to nothing)."""
+        kind, spec = next(iter(c.items()))
+        present = self.dt[d]
+        if kind == "bool":
+            r = self.node(spec, d)
+            if r is None:
+                return None
+            m, s = r
+            return m, s * float(spec.get("boost", 1.0))
+        if kind == "term":
+            tok = next(iter(spec.values()))
+            return tok in present, self.oidx.score([tok], d)
+        assert kind == "match"
+        v = next(iter(spec.values()))
+        text = v["query"] if isinstance(v, dict) else v
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) else 1.0
+        toks = sorted(set(self.si.analyze_query(text)))
+        if not toks:
+            return None
+        hit = [t for t in toks if t in present]
+        score = self.oidx.score(hit, d) * boost
+        if isinstance(v, dict) and str(v.get("operator", "or")).lower() == "and":
+            return len(hit) == len(toks), score
+        msm = (_resolve_msm_oracle(v.get("minimum_should_match"), len(toks))
+               if isinstance(v, dict) else 0)
+        if msm > len(toks):
+            return False, score
+        return len(hit) >= max(1, msm), score
+
+    def filter_clause(self, f: dict, d: int):
+        r = self.clause(f, d)
+        return None if r is None else r[0]
+
+    def node(self, spec: dict, d: int):
+        must = [r for c in _as_list(spec.get("must", []))
+                if (r := self.clause(c, d)) is not None]
+        should = [r for c in _as_list(spec.get("should", []))
+                  if (r := self.clause(c, d)) is not None]
+        must_not = [r for c in _as_list(spec.get("must_not", []))
+                    if (r := self.clause(c, d)) is not None]
+        filt = [m for f in _as_list(spec.get("filter", []))
+                if (m := self.filter_clause(f, d)) is not None]
+        if not (must or should or must_not or filt):
+            return None
+        msm = _resolve_msm_oracle(spec.get("minimum_should_match"),
+                                  len(should))
+        if msm > len(should):
+            return False, 0.0
+        eff = msm if msm > 0 else (
+            0 if (must or filt) else (1 if should else 0))
+        n_should_hit = sum(1 for m, _ in should if m)
+        matched = (all(m for m, _ in must)
+                   and all(filt)
+                   and not any(m for m, _ in must_not)
+                   and n_should_hit >= eff)
+        score = (sum(s for m, s in must if m)
+                 + sum(s for m, s in should if m))
+        return matched, score
+
+
+# ---------------------------------------------------------------------------
+
+def test_random_bool_trees_match_python_oracle(fuzz_index):
+    si, oidx, dt, raw = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED)
+    orc = _Oracle(si, oidx, dt)
+
+    n_nonempty = 0
+    n_nested = 0
+    for i in range(N_BODIES):
+        bspec = _gen_bool(rng, vocab)
+        body = {"query": {"bool": bspec}}
+        got = {r["doc_id"]: r["score"]
+               for r in es_search(si, body, size=len(raw) + 10).collect()}
+
+        root_boost = float(bspec.get("boost", 1.0))
+        want: dict[int, float] = {}
+        for d in raw:
+            r = orc.node(bspec, d)
+            if r is not None and r[0]:
+                want[d] = round(r[1] * root_boost, 6)
+
+        assert sorted(got) == sorted(want), (
+            f"body #{i} (seed {SEED:#x}) match-set mismatch:\n{bspec}\n"
+            f"engine-only={sorted(set(got) - set(want))[:5]} "
+            f"oracle-only={sorted(set(want) - set(got))[:5]}")
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=2e-6), (
+                f"body #{i} (seed {SEED:#x}) score mismatch doc {d}: "
+                f"engine={s} oracle={want[d]}\n{bspec}")
+        n_nonempty += bool(want)
+        n_nested += any(
+            isinstance(c, dict) and "bool" in c
+            for role in ("must", "should", "must_not", "filter")
+            for c in _as_list(bspec.get(role, [])))
+
+    # the generator must actually exercise the interesting space (an
+    # empty-result body still verifies semantics — the engine must
+    # agree it is empty — but most value is in non-empty match sets)
+    assert n_nonempty >= N_BODIES // 3
+    assert n_nested >= 3
