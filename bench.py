@@ -73,10 +73,14 @@ def main() -> None:
         Host-stall exclusion: this sandbox host freezes for multiple
         seconds at a time in some windows (measured: a 19 s sample on a
         4 s-min query; same stall class as scaling run C's query legs,
-        BASELINE.md). A sample > 3x the entry's min is a stall, not a
-        plan property — it is excluded from spread_sec and COUNTED in
-        extra.host_stalls so the exclusion is visible, never silent.
-        The reported value (the min) is unaffected either way."""
+        BASELINE.md). A sample > 2.5x the entry's min (for entries over
+        a second — no Catalyst plan runs 2.5x slow on identical warm
+        input without an external freeze; sub-second entries keep 3x,
+        where scheduler jitter alone can double a sample) is a stall,
+        not a plan property — it is excluded from spread_sec and
+        COUNTED in extra.host_stalls so the exclusion is visible, never
+        silent. The reported value (the min) is unaffected either
+        way."""
         samples = []
         out = None
         for _ in range(warmup):
@@ -87,7 +91,7 @@ def main() -> None:
             samples.append(time.time() - t0)
         m = min(samples)
         timings[name] = round(m, 3)
-        good = [x for x in samples if x <= 3.0 * m]
+        good = [x for x in samples if x <= (2.5 if m >= 1.0 else 3.0) * m]
         if len(good) < len(samples):
             stalls[name] = len(samples) - len(good)
         spread[name] = round(max(good) - m, 3)

@@ -277,3 +277,102 @@ def test_random_bool_trees_match_python_oracle(fuzz_index):
     # agree it is empty — but most value is in non-empty match sets)
     assert n_nonempty >= N_BODIES // 3
     assert n_nested >= 3
+
+
+def test_random_query_string_grammars_match_python_oracle(fuzz_index):
+    """Random boolean query_string grammars (mixed AND/OR, ES
+    AND-binds-tighter precedence, optional field boost) vs a from-the-
+    spec oracle: groups = OR-split then AND-split; a doc matches a
+    group when EVERY operand has >= 1 token present; the doc's score is
+    the boost-scaled sum over its MATCHED groups of the group's
+    token-union BM25 (the semantics pinned by
+    test_query_string_mixed_and_or_precedence, randomized). Operand
+    tokens are drawn without replacement per grammar, so the pure-OR /
+    pure-AND / mixed routes' scoring conventions coincide and every
+    route is exercised against the same formula."""
+    si, oidx, dt, raw = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 2)
+
+    routes = set()
+    for i in range(15):
+        pool = list(dict.fromkeys(vocab))
+        rng.shuffle(pool)
+        n_ops = rng.randint(2, 4)
+        operands = [[pool.pop() for _ in range(rng.randint(1, 2))]
+                    for _ in range(n_ops)]
+        ops = [rng.choice(["AND", "OR"]) for _ in range(n_ops - 1)]
+        text = operands[0][0] if len(operands[0]) == 1 else " ".join(
+            operands[0])
+        parts = [" ".join(operands[0])]
+        for op, opr in zip(ops, operands[1:]):
+            parts += [op, " ".join(opr)]
+        grammar = " ".join(parts)
+        boost = rng.choice([1.0, 1.0, 2.0, 0.5])
+        field = "text" if boost == 1.0 else f"text^{boost:g}"
+        routes.add(("AND" in ops, "OR" in ops))
+
+        body = {"query": {"query_string": {
+            "query": grammar, "fields": [field]}}}
+        got = {r["doc_id"]: r["score"]
+               for r in es_search(si, body, size=len(raw) + 10).collect()}
+
+        # oracle: OR-split -> AND-split, analyzed per operand
+        groups = []
+        for seg in grammar.split(" OR "):
+            groups.append([sorted(set(si.analyze_query(o)))
+                           for o in seg.split(" AND ")])
+        want: dict[int, float] = {}
+        for d in raw:
+            s, matched = 0.0, False
+            for g in groups:
+                if all(any(t in dt[d] for t in opr) for opr in g):
+                    matched = True
+                    s += oidx.score([t for opr in g for t in opr], d)
+            if matched:
+                want[d] = round(s * boost, 6)
+        assert sorted(got) == sorted(want), (
+            f"grammar #{i} (seed {SEED + 2:#x}) match-set mismatch: "
+            f"{grammar!r} boost={boost}")
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=2e-6), (
+                f"grammar #{i} score mismatch doc {d}: {grammar!r}")
+    # pure-AND, pure-OR and mixed grammars must all have been drawn
+    assert len(routes) >= 3
+
+
+def test_random_msearch_batches_match_per_body_search(fuzz_index):
+    """Metamorphic check on the _msearch batching machinery: a random
+    MIXED batch (batchable plain matches incl. exact duplicates — the
+    dedup + alias fan-out path — pure-OR query_strings, and arbitrary
+    fuzzed bool trees that take the per-body fallback) must return each
+    body's block IDENTICAL to that body's own es_search. Randomized
+    composition of the routes test_es_dsl.py pins individually."""
+    from newssearchengine_spark.plans.dsl import es_msearch
+
+    si, oidx, dt, raw = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 1)
+
+    bodies: list[dict] = []
+    for _ in range(5):
+        bodies.append(
+            {"query": {"match": {"text": _gen_text(rng, vocab)}}})
+    bodies.append(bodies[0])  # exact duplicate -> shared dedup slot
+    for _ in range(2):
+        bodies.append({"query": {"query_string": {
+            "query": _gen_text(rng, vocab), "fields": ["text"]}}})
+    for _ in range(4):
+        bodies.append({"query": {"bool": _gen_bool(rng, vocab)}})
+    rng.shuffle(bodies)
+
+    got = es_msearch(si, bodies, size=12).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for i, b in enumerate(bodies):
+        want = [(r["rank"], r["doc_id"], r["score"])
+                for r in es_search(si, b, size=12).collect()]
+        assert sorted(by_qid.get(str(i), [])) == sorted(want), (
+            f"msearch block {i} != es_search (seed {SEED + 1:#x}):\n{b}")
