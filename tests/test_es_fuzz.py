@@ -341,6 +341,63 @@ def test_random_query_string_grammars_match_python_oracle(fuzz_index):
     assert len(routes) >= 3
 
 
+def test_random_bodies_after_random_deletes(spark, tmp_path):
+    """Tombstone interaction fuzz: delete a random doc subset (ranking
+    hits, non-matching docs, and a never-indexed id), then run random
+    bool bodies through every routing regime. Lucene frozen-stats
+    semantics (plans/delete.py): scores stay computed from the
+    original index stats; deleted docs are only EXCLUDED — so the
+    oracle is the same recursive evaluator minus the tombstoned ids."""
+    from newssearchengine_spark.plans.delete import delete_docs
+
+    docs = assign_doc_ids(source_files(spark, 200, seed=79, partitions=4),
+                          num_partitions=4)
+    one = docs.select("doc_id", F.col("content").alias("text"))
+    d = str(tmp_path / "idx")
+    build_index(one, d, CFG, text_col="text", resume=False)
+    si = SegmentIndex(spark, d)
+    raw = {r["doc_id"]: r["text"]
+           for r in one.select("doc_id", "text").collect()}
+    oidx = pure.OracleIndex.build(raw, si.analyzer)
+    dt = {did: set(pure.analyze(t, si.analyzer)) for did, t in raw.items()}
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 3)
+    orc = _Oracle(si, oidx, dt)
+
+    # tombstone docs that actually rank for a hot disjunction, plus
+    # random ids and one the index never held
+    hot_hits = [r["doc_id"] for r in
+                si.search(vocab[:3], 8, mode="taat").collect()]
+    dead = set(hot_hits[:5]) | {rng.choice(sorted(raw)) for _ in range(8)}
+    n = delete_docs(spark, d, sorted(dead) + [10 ** 9])
+    si = SegmentIndex(spark, d)   # reload with tombstones
+    assert si.n_deleted() == len(dead) + 1 and n == len(dead) + 1
+
+    n_nonempty = n_excluded = 0
+    for i in range(8):
+        bspec = _gen_bool(rng, vocab)
+        body = {"query": {"bool": bspec}}
+        got = {r["doc_id"]: r["score"]
+               for r in es_search(si, body, size=len(raw) + 10).collect()}
+        root_boost = float(bspec.get("boost", 1.0))
+        want, would_match = {}, 0
+        for did in raw:
+            r = orc.node(bspec, did)
+            if r is not None and r[0]:
+                would_match += 1
+                if did not in dead:
+                    want[did] = round(r[1] * root_boost, 6)
+        assert sorted(got) == sorted(want), (
+            f"deleted-body #{i} (seed {SEED + 3:#x}) mismatch:\n{bspec}")
+        for did, s in got.items():
+            assert s == pytest.approx(want[did], abs=2e-6)
+        n_nonempty += bool(want)
+        n_excluded += would_match - len(want)
+    assert n_nonempty >= 2
+    # the deletions must actually have suppressed hits somewhere
+    assert n_excluded > 0
+
+
 def test_random_msearch_batches_match_per_body_search(fuzz_index):
     """Metamorphic check on the _msearch batching machinery: a random
     MIXED batch (batchable plain matches incl. exact duplicates — the
