@@ -981,13 +981,22 @@ def es_search(indexes, body: dict, size: int = 10, *,
             # default_operator AND makes bare terms conjunctive —
             # dropping it silently would run the OR match set. With
             # explicit AND/OR also present ES applies the default only
-            # between unoperated terms; that mix is rejected honestly.
+            # between unoperated terms; under the adapter's
+            # AND-binds-tighter grammar that is an implicit AND
+            # inserted between adjacent bare terms: 'a b OR c'
+            # (default AND) == 'a AND b OR c' == (a AND b) OR c
+            # (previously rejected; identity pytest-pinned against the
+            # explicit grammar, itself pure-python-oracle-checked)
             qtoks = str(spec["query"]).split()
             if any(t in ("AND", "OR") for t in qtoks):
-                raise ValueError(
-                    "default_operator:'and' combined with explicit "
-                    "AND/OR operators is not supported")
-            if op == "or" and len(qtoks) > 1:
+                rw = [qtoks[0]]
+                for prev, t in zip(qtoks, qtoks[1:]):
+                    if (prev not in ("AND", "OR")
+                            and t not in ("AND", "OR")):
+                        rw.append("AND")
+                    rw.append(t)
+                op, parts = _parse_query_string(" ".join(rw))
+            elif op == "or" and len(qtoks) > 1:
                 op, parts = "and", qtoks
         names, boosts = _parse_boosts(list(spec.get("fields") or []))
         if kind == "multi_match" and mm_op == "and":

@@ -1061,8 +1061,10 @@ def test_constant_score_bool_filter(two_field):
 
 def test_query_string_default_operator_and(two_field):
     """default_operator:'and' makes bare query_string terms conjunctive
-    (== the explicit pure-AND grammar); mixing it with explicit AND/OR
-    rejects; the OR default is unchanged."""
+    (== the explicit pure-AND grammar); mixed with explicit AND/OR the
+    default applies only between unoperated terms (an implicit AND
+    under the adapter's precedence grammar — the former rejection,
+    retired); the OR default is unchanged."""
     _, idxs = two_field
     si = idxs["text"]
     got = es_search(si, {"query": {"query_string": {
@@ -1076,9 +1078,26 @@ def test_query_string_default_operator_and(two_field):
         "fields": ["text"], "query": "nodeCursor shardGroup"}}},
         size=400).collect()
     assert len(got) < len(plain_or)
-    with pytest.raises(ValueError, match="default_operator"):
-        es_search(si, {"query": {"query_string": {
-            "query": "a AND b c", "default_operator": "AND"}}}, size=5)
+    # explicit operators mixed with the AND default: bare adjacency is
+    # an implicit AND — 'node cursor OR shard' == 'node AND cursor OR
+    # shard' (the explicit grammar is itself oracle-pinned above)
+    mixed = es_search(si, {"query": {"query_string": {
+        "fields": ["text"], "query": "node cursor OR shard",
+        "default_operator": "AND"}}}, size=400).collect()
+    mixed_want = es_search(si, {"query": {"query_string": {
+        "fields": ["text"],
+        "query": "node AND cursor OR shard"}}}, size=400).collect()
+    assert mixed_want and [tuple(r) for r in mixed] == \
+        [tuple(r) for r in mixed_want]
+    # and the default genuinely matters: with the OR default the same
+    # grammar is the flat disjunction node OR cursor OR shard — a doc
+    # holding shard but not the (node AND cursor) group scores its
+    # full term union there, but only the shard group here
+    mixed_or = es_search(si, {"query": {"query_string": {
+        "fields": ["text"], "query": "node cursor OR shard"}}},
+        size=400).collect()
+    assert {r["doc_id"]: r["score"] for r in mixed} != \
+        {r["doc_id"]: round(r["score"], 6) for r in mixed_or}
 
 
 def test_bool_clause_object_form_options(two_field):
