@@ -50,15 +50,19 @@ def fuzz_index(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("fuzz")
     docs = assign_doc_ids(source_files(spark, 300, seed=77, partitions=4),
                           num_partitions=4)
-    one = docs.select("doc_id", F.col("content").alias("text")).persist()
+    one = docs.select("doc_id", "repo",
+                      F.col("content").alias("text")).persist()
     d = str(root / "idx")
-    build_index(one, d, CFG, text_col="text", resume=False)
+    build_index(one, d, CFG, text_col="text", meta_cols=("repo",),
+                resume=False)
     si = SegmentIndex(spark, d)
     raw = {r["doc_id"]: r["text"]
            for r in one.select("doc_id", "text").collect()}
+    repo_of = {r["doc_id"]: r["repo"]
+               for r in one.select("doc_id", "repo").collect()}
     oidx = pure.OracleIndex.build(raw, si.analyzer)
     dt = {did: set(pure.analyze(t, si.analyzer)) for did, t in raw.items()}
-    return si, oidx, dt, raw
+    return si, oidx, dt, raw, repo_of
 
 
 def _vocab(si, oidx) -> list[str]:
@@ -238,7 +242,7 @@ class _Oracle:
 # ---------------------------------------------------------------------------
 
 def test_random_bool_trees_match_python_oracle(fuzz_index):
-    si, oidx, dt, raw = fuzz_index
+    si, oidx, dt, raw, _repo = fuzz_index
     vocab = _vocab(si, oidx)
     rng = random.Random(SEED)
     orc = _Oracle(si, oidx, dt)
@@ -290,7 +294,7 @@ def test_random_query_string_grammars_match_python_oracle(fuzz_index):
     tokens are drawn without replacement per grammar, so the pure-OR /
     pure-AND / mixed routes' scoring conventions coincide and every
     route is exercised against the same formula."""
-    si, oidx, dt, raw = fuzz_index
+    si, oidx, dt, raw, _repo = fuzz_index
     vocab = _vocab(si, oidx)
     rng = random.Random(SEED + 2)
 
@@ -398,6 +402,117 @@ def test_random_bodies_after_random_deletes(spark, tmp_path):
     assert n_excluded > 0
 
 
+@pytest.fixture(scope="module")
+def fuzz_two_field(spark, tmp_path_factory):
+    """Two per-field indexes (title = leading words, text = content)
+    with per-field python oracles, for multi-field DisMax fuzzing."""
+    root = tmp_path_factory.mktemp("fuzz2")
+    docs = assign_doc_ids(source_files(spark, 300, seed=78, partitions=4),
+                          num_partitions=4)
+    two = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        .alias("title"),
+        F.col("content").alias("text"))
+    idxs, oracles, toksets = {}, {}, {}
+    for fld in ("title", "text"):
+        d = str(root / fld)
+        build_index(two, d, CFG, text_col=fld, resume=False)
+        idxs[fld] = SegmentIndex(spark, d)
+        raw = {r["doc_id"]: r[fld]
+               for r in two.select("doc_id", fld).collect()}
+        oracles[fld] = pure.OracleIndex.build(raw, idxs[fld].analyzer)
+        toksets[fld] = {did: set(pure.analyze(t, idxs[fld].analyzer))
+                        for did, t in raw.items()}
+    return idxs, oracles, toksets
+
+
+def test_random_multi_field_dismax_matches_python_oracle(fuzz_two_field):
+    """Random multi-field multi_match / query_string bodies (field
+    boosts, tie_breaker, best_fields/most_fields, operator and/or,
+    boolean grammars) vs per-field python oracles combined with the ES
+    DisjunctionMaxQuery formula: per matched field, boost-scaled
+    field-local BM25; per doc, max + tie_breaker * (sum - max)
+    (most_fields == tie_breaker 1.0). Randomized composition of the
+    fixed multi-field cases in test_es_dsl.py."""
+    idxs, oracles, toksets = fuzz_two_field
+    si = idxs["text"]
+    vocab = _vocab(si, oracles["text"])
+    rng = random.Random(SEED + 4)
+    n_docs = len(toksets["text"])
+
+    def field_eval(fld: str, kind: str, payload) -> dict:
+        """-> {doc_id: field score} over docs the FIELD matches."""
+        oidx, dts = oracles[fld], toksets[fld]
+        out = {}
+        for d in dts:
+            if kind in ("or", "and"):
+                toks = payload
+                hit = [t for t in toks if t in dts[d]]
+                ok = (len(hit) == len(toks)) if kind == "and" else bool(hit)
+                if ok and toks:
+                    out[d] = oidx.score(toks, d)
+            else:  # boolean grammar: OR of AND-groups
+                s, matched = 0.0, False
+                for g in payload:
+                    if all(any(t in dts[d] for t in opr) for opr in g):
+                        matched = True
+                        s += oidx.score([t for opr in g for t in opr], d)
+                if matched:
+                    out[d] = s
+        return out
+
+    for i in range(12):
+        boosts = {"title": rng.choice([1.0, 2.0, 3.0]),
+                  "text": rng.choice([1.0, 0.5])}
+        fields = [f if boosts[f] == 1.0 else f"{f}^{boosts[f]:g}"
+                  for f in ("title", "text")]
+        use_mm = rng.random() < 0.5
+        if use_mm:
+            text = _gen_text(rng, vocab)
+            mm_op = rng.choice(["or", "or", "and"])
+            mtype = rng.choice(["best_fields", "most_fields"])
+            spec = {"fields": fields, "query": text, "operator": mm_op,
+                    "type": mtype}
+            tb = 1.0 if mtype == "most_fields" else rng.choice([0.0, 0.3])
+            if mtype == "best_fields" and tb:
+                spec["tie_breaker"] = tb
+            body = {"query": {"multi_match": spec}}
+            toks = sorted(set(si.analyze_query(text)))
+            per_field = {f: field_eval(f, mm_op, toks)
+                         for f in ("title", "text")}
+        else:
+            pool = list(dict.fromkeys(vocab))
+            rng.shuffle(pool)
+            ops = [pool.pop() for _ in range(3)]
+            grammar = f"{ops[0]} {rng.choice(['AND', 'OR'])} " \
+                      f"{ops[1]} OR {ops[2]}"
+            tb = rng.choice([0.0, 0.25])
+            spec = {"fields": fields, "query": grammar}
+            if tb:
+                spec["tie_breaker"] = tb
+            body = {"query": {"query_string": spec}}
+            groups = [[sorted(set(si.analyze_query(o)))
+                       for o in seg.split(" AND ")]
+                      for seg in grammar.split(" OR ")]
+            per_field = {f: field_eval(f, "grammar", groups)
+                         for f in ("title", "text")}
+
+        got = {r["doc_id"]: r["score"]
+               for r in es_search(idxs, body, size=n_docs + 10).collect()}
+        want = {}
+        for d in set().union(*per_field.values()):
+            ss = [per_field[f][d] * boosts[f]
+                  for f in ("title", "text") if d in per_field[f]]
+            want[d] = round(max(ss) + tb * (sum(ss) - max(ss)), 6)
+        assert sorted(got) == sorted(want), (
+            f"dismax body #{i} (seed {SEED + 4:#x}) match-set mismatch:"
+            f"\n{body}")
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], abs=2e-6), (
+                f"dismax body #{i} score mismatch doc {d}:\n{body}")
+
+
 def test_random_msearch_batches_match_per_body_search(fuzz_index):
     """Metamorphic check on the _msearch batching machinery: a random
     MIXED batch (batchable plain matches incl. exact duplicates — the
@@ -407,7 +522,7 @@ def test_random_msearch_batches_match_per_body_search(fuzz_index):
     composition of the routes test_es_dsl.py pins individually."""
     from newssearchengine_spark.plans.dsl import es_msearch
 
-    si, oidx, dt, raw = fuzz_index
+    si, oidx, dt, raw, _repo = fuzz_index
     vocab = _vocab(si, oidx)
     rng = random.Random(SEED + 1)
 
@@ -433,3 +548,71 @@ def test_random_msearch_batches_match_per_body_search(fuzz_index):
                 for r in es_search(si, b, size=12).collect()]
         assert sorted(by_qid.get(str(i), [])) == sorted(want), (
             f"msearch block {i} != es_search (seed {SEED + 1:#x}):\n{b}")
+
+
+def test_random_agg_bodies_match_python_oracle(fuzz_index):
+    """Random aggregation bodies over random query scopes (fuzzed bool
+    trees, plain matches, corpus-wide): terms buckets (count desc / key
+    asc, size cut), stats, value_count, exact cardinality — each
+    recomputed from the oracle match set over the collected metadata.
+    ES semantics: aggs run over EVERY matching doc, not the top-k."""
+    from collections import Counter
+
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    si, oidx, dt, raw, repo_of = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 5)
+    orc = _Oracle(si, oidx, dt)
+    clen = {d: len(t) for d, t in raw.items()}
+
+    checked = 0
+    for i in range(14):
+        r = rng.random()
+        if r < 0.5:
+            bspec = _gen_bool(rng, vocab)
+            query = {"bool": bspec}
+            match = [d for d in raw
+                     if (x := orc.node(bspec, d)) is not None and x[0]]
+        elif r < 0.8:
+            text = _gen_text(rng, vocab)
+            query = {"match": {"text": text}}
+            toks = set(si.analyze_query(text))
+            match = [d for d in raw if toks & dt[d]]
+        else:
+            query = None
+            match = list(raw)
+        if not match:
+            continue  # empty scopes covered by the fixed empty-agg test
+        checked += 1
+        size = rng.randint(3, 8)
+        body = {"aggs": {
+            "by_repo": {"terms": {"field": "repo", "size": size}},
+            "len": {"stats": {"field": "content_len"}},
+            "n": {"value_count": {"field": "doc_id"}},
+            "nrepo": {"cardinality": {"field": "repo"}},
+        }}
+        if query:
+            body["query"] = query
+        got = es_aggs(si, body).collect()
+
+        counts = Counter(repo_of[d] for d in match)
+        want_terms = sorted(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:size]
+        got_terms = [(g["key"], g["doc_count"]) for g in got
+                     if g["agg"] == "by_repo"]
+        assert sorted(got_terms, key=lambda kv: (-kv[1], kv[0])) == \
+            want_terms, f"aggs body #{i} terms mismatch (seed {SEED+5:#x})"
+
+        lens = [clen[d] for d in match]
+        st = {g["key"]: g["value"] for g in got if g["agg"] == "len"}
+        assert st["count"] == float(len(lens))
+        assert st["min"] == float(min(lens))
+        assert st["max"] == float(max(lens))
+        assert st["sum"] == pytest.approx(float(sum(lens)))
+        assert st["avg"] == pytest.approx(sum(lens) / len(lens))
+        n_row = [g for g in got if g["agg"] == "n"]
+        assert n_row[0]["value"] == float(len(match))
+        card = [g for g in got if g["agg"] == "nrepo"]
+        assert card[0]["value"] == float(len(counts))
+    assert checked >= 7
