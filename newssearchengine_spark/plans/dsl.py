@@ -307,7 +307,12 @@ def _resolve_msm(raw, total: int) -> int:
     optional clauses: positive integer n => n; negative integer -n =>
     total - n; 'P%' => floor(total * P / 100) (Lucene rounds the
     percentage computation DOWN); '-P%' => total minus that floor.
-    Conditional forms ('3<90%') are rejected loudly. Results clamp at 0
+    Conditional forms ('3<90%', space-separated chains '2<75% 5<-2')
+    run Lucene's calculateMinShouldMatch sequence: starting from
+    all-required, each 'n<spec' in order applies `spec` only while the
+    optional-clause count exceeds n — so the chain resolves to the
+    spec of the LAST exceeded threshold, and a count at or below the
+    first threshold requires every clause. Results clamp at 0
     (Lucene: a spec computing to nothing leaves the normal bool rules —
     a should-only query still needs one match)."""
     if raw is None:
@@ -316,8 +321,28 @@ def _resolve_msm(raw, total: int) -> int:
         return max(0, raw if raw >= 0 else total + raw)
     s = str(raw).strip()
     if "<" in s:
-        raise ValueError(
-            "conditional minimum_should_match ('3<90%') is not supported")
+        # Lucene SolrPluginUtils.calculateMinShouldMatch conditional
+        # walk: result starts at total (all required); each condition
+        # in WRITTEN order returns early once count <= its threshold,
+        # otherwise adopts its spec (which must itself be simple).
+        result = total
+        for cond in s.split():
+            head, sep, tail = cond.partition("<")
+            if not sep or not tail:
+                raise ValueError(
+                    f"bad conditional minimum_should_match part: {cond!r}")
+            try:
+                bound = int(head)
+            except ValueError:
+                raise ValueError(
+                    f"bad conditional minimum_should_match bound: {cond!r}")
+            if "<" in tail:
+                raise ValueError(
+                    f"nested '<' in minimum_should_match part: {cond!r}")
+            if total <= bound:
+                return max(0, result)
+            result = _resolve_msm(tail, total)
+        return max(0, result)
     try:
         if s.endswith("%"):
             pct = int(s[:-1])

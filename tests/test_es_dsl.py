@@ -1023,10 +1023,21 @@ def test_match_operator_and_msm_boost(two_field):
             "query": "node cursor", "minimum_should_match": form}}}}
         rows = es_search(si, body, size=400).collect()
         assert [tuple(r) for r in rows] == [tuple(r) for r in want], form
-    with pytest.raises(ValueError, match="conditional"):
+    # conditional forms (Lucene calculateMinShouldMatch walk, r5: the
+    # rejection retired): 2 tokens vs '3<90%' -> 2 <= 3 means ALL
+    # required (== operator and); '1<75%' -> 2 > 1 applies 75% = 1;
+    # a chain '1<100% 3<75%' stops at the first un-exceeded threshold
+    # with the last adopted spec (100% here)
+    for form, want in (("3<90%", got), ("1<75%", got_msm1),
+                       ("1<100% 3<75%", got)):
+        body = {"query": {"match": {"text": {
+            "query": "node cursor", "minimum_should_match": form}}}}
+        rows = es_search(si, body, size=400).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in want], form
+    with pytest.raises(ValueError, match="bad conditional"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node cursor",
-            "minimum_should_match": "3<90%"}}}}, size=5)
+            "minimum_should_match": "x<90%"}}}}, size=5)
     with pytest.raises(ValueError, match="bad minimum_should_match"):
         es_search(si, {"query": {"match": {"text": {
             "query": "node cursor",

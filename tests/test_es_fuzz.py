@@ -140,7 +140,8 @@ def _gen_bool(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
             continue
         if out.get("should") and rng.random() < 0.4:
             out["minimum_should_match"] = rng.choice(
-                [1, 2, 3, "50%", "-1"])
+                [1, 2, 3, "50%", "-1", "1<75%", "2<-25%",
+                 "1<100% 3<50%"])
         if depth > 0 and rng.random() < 0.3:
             out["boost"] = rng.choice([0.5, 2.0])
         elif depth == 0 and rng.random() < 0.25:
@@ -161,6 +162,17 @@ def _resolve_msm_oracle(raw, total: int) -> int:
     if isinstance(raw, int):
         return max(0, raw if raw >= 0 else total + raw)
     s = str(raw).strip()
+    if "<" in s:
+        # conditional chain, re-derived from the published Solr
+        # calculateMinShouldMatch: all-required until a threshold is
+        # exceeded; the last exceeded condition's spec wins
+        result = total
+        for cond in s.split():
+            bound, _, sub = cond.partition("<")
+            if total <= int(bound):
+                return max(0, result)
+            result = _resolve_msm_oracle(sub, total)
+        return max(0, result)
     if s.endswith("%"):
         pct = int(s[:-1])
         part = (abs(pct) * total) // 100
