@@ -105,6 +105,9 @@ _PRIORITY = [
     # final: variants of the in-window dismax + phrase families, each
     # over TWO segment indexes)
     "ft_multimatch_and", "ft_multimatch_phrase",
+    # ES multi-INDEX search (GET /idx1,idx2/_search): per-index stats,
+    # labeled hits, coordinating merge (r5 closing)
+    "ft_multi_index",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -559,6 +559,45 @@ def ft_multimatch_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search(idxs, body, size=TOP_K)
 
 
+def _multi_index_sql(terms: list[str], k: int,
+                     bm25: BM25Config = BM25Config()) -> str:
+    """Two independent per-index BM25 computations (each with its OWN
+    N/avgdl/df — the ES per-index statistics contract), labeled and
+    merged by (score desc, idx asc, doc_id asc) at 6dp."""
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    fields = (_field_ctes(_DISMAX_TITLE, "t_") + ","
+              + _field_ctes("text", "b_"))
+    fields = fields.replace("{k1}", str(bm25.k1)).replace(
+        "{b}", str(bm25.b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+q AS (SELECT unnest([{terms_sql}]) AS term),{fields},
+lab AS (
+  SELECT 'title' AS idx, doc_id, round(score, 6) AS score FROM t_sc
+  UNION ALL
+  SELECT 'text' AS idx, doc_id, round(score, 6) AS score FROM b_sc
+)
+SELECT (row_number() OVER (ORDER BY score DESC, idx ASC, doc_id ASC)
+        - 1)::BIGINT AS rank, idx, doc_id, score
+FROM lab ORDER BY score DESC, idx ASC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_multi_index", _multi_index_sql(QUERY_TERMS, TOP_K))
+def ft_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-INDEX search (GET /idx1,idx2/_search) — the surface
+    unifying the reference's per-corpus indexes (it keeps netzpolitik
+    and wapo as SEPARATE ES indexes, netzpolitik/index_es.py +
+    wapo/index_es.py, and queries them one at a time): one body against
+    two segment indexes, per-index BM25 statistics, hits labeled with
+    their index, coordinating merge by (score desc, idx, doc_id) —
+    plans/dsl.py:es_search_indices."""
+    from ..plans.dsl import es_search_indices
+
+    indices = {"title": _gate_title_index(spark, sf_dir),
+               "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"match": {"content": " ".join(QUERY_TERMS)}}}
+    return es_search_indices(indices, body, size=TOP_K)
+
+
 def _phrase_field_ctes(expr: str, p: str, phrase: list[str],
                        bm25: BM25Config = BM25Config()) -> str:
     """Per-field phrase-BM25 CTE block (tokenize the field, count

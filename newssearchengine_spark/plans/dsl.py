@@ -431,13 +431,10 @@ def _bool_to_tree(si, bspec: dict) -> dict:
             # like ES max_expansions), the leaf matches fixed-terms-
             # then-any-expansion (search.py phrase_leaf with alts)
             v = next(iter(cs.values()))
-            if isinstance(v, dict) and int(v.get("slop", 0)):
-                raise ValueError(
-                    "match_phrase_prefix slop > 0 is not supported "
-                    "(Lucene sloppy phrase matching); exact adjacency "
-                    "only")
             mx = (int(v.get("max_expansions", 50))
                   if isinstance(v, dict) else 50)
+            pslop = (int(v.get("slop", 0))
+                     if isinstance(v, dict) else 0)
             pboost = (float(v.get("boost", 1.0))
                       if isinstance(v, dict) else 1.0)
             _, text = _field_text(cs)
@@ -447,6 +444,8 @@ def _bool_to_tree(si, bspec: dict) -> dict:
             leaf = {"phrase": ts[:-1],
                     "alts": sorted(si.expand_prefix(
                         ts[-1], max_expansions=mx))}
+            if pslop:
+                leaf["slop"] = pslop
             if pboost != 1.0:
                 leaf["boost"] = pboost
             return leaf
@@ -979,13 +978,9 @@ def es_search(indexes, body: dict, size: int = 10, *,
                         max_expansions=mx)
                 si = one(names[0] if names else None)
                 if mtype == "phrase_prefix":
-                    if slop:
-                        raise ValueError(
-                            "match_phrase_prefix slop > 0 is not "
-                            "supported (Lucene sloppy phrase "
-                            "matching); exact adjacency only")
                     out = si.search_phrase_prefix(text, size,
-                                                  max_expansions=mx)
+                                                  max_expansions=mx,
+                                                  slop=slop)
                 else:
                     out = si.search_phrase(text, size, slop=slop)
                 bf = boosts.get(names[0], 1.0) if names else 1.0
@@ -1228,14 +1223,10 @@ def es_search(indexes, body: dict, size: int = 10, *,
         field, text = _field_text(spec)
         val = next(iter(spec.values()))
         if isinstance(val, dict):
-            if int(val.get("slop", 0)) != 0:
-                raise ValueError(
-                    "match_phrase_prefix slop > 0 is not supported "
-                    "(Lucene sloppy phrase matching); exact adjacency "
-                    "only")
             return one(field).search_phrase_prefix(
                 text, size,
-                max_expansions=int(val.get("max_expansions", 50)))
+                max_expansions=int(val.get("max_expansions", 50)),
+                slop=int(val.get("slop", 0)))
         return one(field).search_phrase_prefix(text, size)
 
     if kind == "bool":
@@ -1376,10 +1367,28 @@ def es_search(indexes, body: dict, size: int = 10, *,
                if isinstance(l, dict) and "_id" in l]
         texts = [l for l in like if isinstance(l, str)]
         if ids and texts:
-            raise ValueError(
-                "more_like_this with BOTH id and text likes is not "
-                "supported (ES merges their term budgets; issue one "
-                "source per body)")
+            # mixed likes (r5: the rejection retired): ES merges EVERY
+            # like source into ONE aggregated term-frequency budget
+            # before the thresholds apply (Lucene MoreLikeThis
+            # retrieveTerms over all sources), then excludes the liked
+            # DOCS from the hits like the id form
+            terms = si.keywords_merged(
+                ids, " ".join(texts),
+                min_tf=int(spec.get("min_term_freq", 2)),
+                min_df=int(spec.get("min_doc_freq", 5)),
+                top_n=int(spec.get("max_query_terms", 25)))
+            if not terms:
+                return si.spark.createDataFrame(
+                    [], "rank bigint, doc_id bigint, score double")
+            out = si.search(sorted(set(terms)), size + len(ids),
+                            mode=mode)
+            out = out.filter(~F.col("doc_id").isin(ids))
+            w = Window.orderBy(F.asc("rank"))
+            return (out.withColumn(
+                        "rank",
+                        (F.row_number().over(w) - 1).cast("bigint"))
+                    .filter(F.col("rank") < size)
+                    .select("rank", "doc_id", "score"))
         if texts:
             # free-text like: keywords from analyzing the text against
             # the index's df statistics (driver-side — one short
@@ -2025,6 +2034,48 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def es_search_indices(indices: dict, body: dict,
+                      size: int = 10) -> DataFrame:
+    """ES multi-INDEX search — ``GET /idx1,idx2/_search``, the surface
+    that unifies the reference's two separate corpora (it maintains one
+    ES index per corpus, netzpolitik/index_es.py + wapo/index_es.py,
+    and queries them index by index). The SAME body runs against every
+    index, each with its OWN corpus statistics (ES computes BM25 per
+    shard/index — no global DFS by default), hits carry their index
+    name, and the coordinating merge re-ranks the union by
+    (score desc, index asc, doc_id asc), scores compared at the 6dp
+    wire precision (the engine's rounding convention; ES merges at
+    float32 wire precision the same way). Exact for any ranked body
+    es_search accepts: each index contributes its own top-`size`, so
+    the global top-`size` is a subset of the union.
+
+    `indices` maps index name -> SegmentIndex (or a field->index dict
+    for multi-field bodies). Returns (rank, idx, doc_id, score);
+    doc_ids are per-index ids — (idx, doc_id) is the hit identity,
+    exactly the ES (_index, _id) pair.
+
+    Plan shape: per index the body's own plan (WAND/driver regimes
+    untouched), then a union of <= len(indices)*size rows and one
+    global window — the merge never touches postings, like the ES
+    coordinating node."""
+    if not indices:
+        raise ValueError("es_search_indices needs at least one index")
+    parts = []
+    for name in sorted(indices):
+        out = es_search(indices[name], body, size=size)
+        parts.append(out.select(
+            F.lit(str(name)).alias("idx"), "doc_id",
+            F.round("score", 6).alias("score")))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    w = Window.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id"))
+    return (un.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "idx", "doc_id", "score")
+        .filter(F.col("rank") < int(size)))
 
 
 def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:

@@ -1072,19 +1072,30 @@ class SegmentIndex:
                 "(IndexConfig.with_positions)")
         slop = int(slop)
         if last_alts is not None:
-            if slop:
-                raise ValueError(
-                    "phrase-prefix clauses do not support slop")
             alts = sorted({a for a in last_alts if a})
             if not alts:
                 return None
             fixed = list(terms)
+            if slop > 0 and fixed:
+                if len(set(fixed)) != len(fixed):
+                    raise ValueError(
+                        "sloppy phrases need distinct analyzed terms")
+                overlap = set(alts) & set(fixed)
+                if overlap:
+                    raise ValueError(
+                        f"sloppy phrase-prefix where an expansion "
+                        f"{sorted(overlap)} equals a fixed term is not "
+                        "supported (injective position assignment "
+                        "would need bipartite matching)")
             dfs = self.term_dfs(sorted(set(fixed))) if fixed else {}
             if any(dfs.get(t, 0) == 0 for t in set(fixed)):
                 return None
             scan_terms = sorted(set(fixed) | set(alts))
-            matcher = _make_phrase_matcher(fixed + [alts[0]],
-                                           last_alts=alts)
+            matcher = (_make_sloppy_phrase_matcher(fixed + [alts[0]],
+                                                   slop, last_alts=alts)
+                       if slop > 0 and fixed
+                       else _make_phrase_matcher(fixed + [alts[0]],
+                                                 last_alts=alts))
             bound = (min(dfs[t] for t in set(fixed)) if fixed
                      else sum(self.term_dfs(alts).values()))
         else:
@@ -1280,7 +1291,36 @@ class SegmentIndex:
         term_stats read — no Spark job until the retrieval itself."""
         from collections import Counter
 
+        return self._keywords_from_tf(Counter(self.analyze_query(text)),
+                                      min_tf=min_tf, min_df=min_df,
+                                      top_n=top_n)
+
+    def keywords_merged(self, doc_ids: list[int], text: str, *,
+                        min_tf: int = 2, min_df: int = 5,
+                        top_n: int = 25) -> list[str]:
+        """tf-idf top terms of doc AND text likes under ONE merged term
+        budget — the ES more_like_this mixed-likes contract (Lucene
+        MoreLikeThis aggregates every like source's term frequencies
+        into one map BEFORE min_term_freq / max_query_terms apply, so
+        a term frequent across sources but rare in each survives).
+        Doc tfs come from the stored term vectors (driver-side collect:
+        a handful of docs' vocab, the same coordinating-node shape as
+        ES termvectors); text tfs from analyzing the string."""
+        from collections import Counter
+
         tf = Counter(self.analyze_query(text))
+        for r in (self.term_vectors(doc_ids)
+                  .select("term", "tf").collect()):
+            tf[r["term"]] += int(r["tf"])
+        return self._keywords_from_tf(tf, min_tf=min_tf, min_df=min_df,
+                                      top_n=top_n)
+
+    def _keywords_from_tf(self, tf, *, min_tf: int, min_df: int,
+                          top_n: int) -> list[str]:
+        """Shared tail of the text/mixed keyword forms: threshold the
+        aggregated term frequencies, resolve df via the driver-local
+        pruned term_stats read, score tf * lucene_idf, tie-break
+        (score desc, term asc), cut to top_n."""
         cand = sorted(t for t, c in tf.items() if c >= min_tf)
         if not cand:
             return []
@@ -2317,18 +2357,23 @@ class SegmentIndex:
                                   boost_mode: str = "multiply",
                                   max_boost=None,
                                   _raw: bool = False) -> DataFrame:
-        """ES `function_score` with a FUNCTIONS list of filter+weight
-        functions (the other canonical function_score shape next to
-        field_value_factor): each function fires on the docs matching
-        its filter-context clause (no filter = every doc), the firing
-        functions' weights combine under `score_mode`
-        {multiply, sum, max, min, first}, the combination is capped at
-        `max_boost`, and `boost_mode` {multiply, sum} applies it to the
-        BM25 query score. A doc matched by NO function keeps its query
-        score unchanged (the documented ES behavior), so the cap never
-        touches unboosted docs. `score_mode: "avg"` is rejected: ES
-        computes a weighted average there (weights double as both value
-        and averaging weight), a semantics nobody should get silently.
+        """ES `function_score` with a FUNCTIONS list: filter+weight
+        functions and (r5) filter+`field_value_factor` functions — each
+        function fires on the docs matching its filter-context clause
+        (no filter = every doc) and contributes
+        s_i = weight_i * u_i, where u_i is the underlying function
+        value (1 for weight-only, modifier(factor * coalesce(field,
+        missing)) for field_value_factor). Firing contributions combine
+        under `score_mode` {multiply, sum, max, min, first, avg} — avg
+        is ES's WEIGHTED mean sum(w_i*u_i)/sum(w_i) over the firing
+        functions (weights double as averaging weights; weight-only
+        functions therefore average to exactly 1, the documented ES
+        quirk), so zero/negative weights reject under avg (the mean
+        would be undefined at weightSum 0). The combination is capped
+        at `max_boost`, and `boost_mode` {multiply, sum} applies it to
+        the BM25 query score. A doc matched by NO function keeps its
+        query score unchanged (the documented ES behavior), so the cap
+        never touches unboosted docs.
 
         Filters reuse the bool filter-context grammar (_parse_filters):
         {"match": ...} clauses are postings MEMBERSHIP (no scoring
@@ -2340,7 +2385,9 @@ class SegmentIndex:
         arbitrarily deep in the BM25 ranking, so regimes mirror
         search_function_score:
 
-        - pruned (pos_bound <= BOOL_DRIVER_CAP and every weight >= 0):
+        - pruned (pos_bound <= BOOL_DRIVER_CAP, every weight >= 0, and
+          NO field_value_factor function — a per-doc factor needs the
+          complete relation, like search_function_score's fallback):
           WAND-probed candidate loop; the max achievable combined
           factor F_hi is computed from the weights alone on the driver
           (multiply: product of weights > 1; sum: total; max/min/first:
@@ -2360,34 +2407,48 @@ class SegmentIndex:
         """
         if boost_mode not in ("multiply", "sum"):
             raise ValueError("boost_mode must be multiply or sum")
-        if score_mode == "avg":
+        if score_mode not in ("multiply", "sum", "max", "min", "first",
+                              "avg"):
             raise ValueError(
-                "score_mode 'avg' is not supported: ES averages weighted "
-                "by the weights themselves (a weighted mean, not an "
-                "arithmetic one) — use sum/multiply/max/min/first")
-        if score_mode not in ("multiply", "sum", "max", "min", "first"):
-            raise ValueError(
-                "score_mode must be multiply, sum, max, min or first")
+                "score_mode must be multiply, sum, max, min, first "
+                "or avg")
         if not functions:
             raise ValueError("function_score needs a non-empty "
                              "functions list")
-        parsed = []  # (weight, filt_clauses, meta_clauses)
+        parsed = []  # (weight, filt_clauses, meta_clauses, fvf|None)
         for fn in functions:
             if not isinstance(fn, dict):
                 raise ValueError("each function must be a dict")
-            extra = set(fn) - {"filter", "weight"}
+            extra = set(fn) - {"filter", "weight", "field_value_factor"}
             if extra:
                 raise ValueError(
                     f"unsupported function keys {sorted(extra)}: only "
-                    "weight functions with an optional filter are "
-                    "supported")
+                    "weight / field_value_factor functions with an "
+                    "optional filter are supported")
             w = float(fn.get("weight", 1.0))
+            fvf = None
+            if "field_value_factor" in fn:
+                v = fn["field_value_factor"]
+                if not isinstance(v, dict) or "field" not in v:
+                    raise ValueError(
+                        "field_value_factor needs {'field': ...}")
+                modifier = str(v.get("modifier", "none")).lower()
+                if modifier not in ("none", "log1p", "sqrt"):
+                    raise ValueError(
+                        "modifier must be none, log1p or sqrt")
+                fvf = (str(v["field"]), float(v.get("factor", 1.0)),
+                       modifier, float(v.get("missing", 1.0)))
             if "filter" in fn:
                 fc, mc = self._parse_filters([fn["filter"]])
             else:
                 fc, mc = [], []
-            parsed.append((w, fc, mc))
+            parsed.append((w, fc, mc, fvf))
         ws = [p[0] for p in parsed]
+        if score_mode == "avg" and any(w <= 0.0 for w in ws):
+            raise ValueError(
+                "score_mode 'avg' needs every weight > 0 (ES's "
+                "weighted mean is undefined at zero total weight)")
+        has_fvf = any(p[3] is not None for p in parsed)
         mb = float(max_boost) if max_boost is not None else None
         if not _raw and self.n_deleted():
             return self._live(k, lambda kk: self.search_function_score_fns(
@@ -2416,7 +2477,7 @@ class SegmentIndex:
                 [], "rank bigint, doc_id bigint, score double")
         pos_bound = sum(int(dfs[t]) for t in terms)
         prunable = (pos_bound <= BOOL_DRIVER_CAP
-                    and all(w >= 0.0 for w in ws))
+                    and all(w >= 0.0 for w in ws) and not has_fvf)
         if prunable:
             if score_mode == "multiply":
                 gt1 = [w for w in ws if w > 1.0]
@@ -2427,6 +2488,10 @@ class SegmentIndex:
                         f_hi *= w
             elif score_mode == "sum":
                 f_hi = sum(ws)
+            elif score_mode == "avg":
+                # weighted mean of weight-only contributions (u_i = 1)
+                # is exactly 1 over any firing subset
+                f_hi = 1.0
             else:
                 f_hi = max(ws)
             if mb is not None:
@@ -2443,7 +2508,7 @@ class SegmentIndex:
                 cdf = F.broadcast(self.spark.createDataFrame(
                     pd.DataFrame({"doc_id": ids}), "doc_id bigint"))
                 flags = []
-                for w, fc, mc in parsed:
+                for w, fc, mc, _fvf in parsed:
                     if not fc and not mc:
                         flags.append(np.ones(len(ids), dtype=bool))
                         continue
@@ -2483,6 +2548,10 @@ class SegmentIndex:
                     comb = np.full(len(ids), np.inf)
                     for f, w in zip(flags, ws):
                         comb = np.minimum(comb, np.where(f, w, np.inf))
+                elif score_mode == "avg":
+                    # weight-only (fvf never reaches this regime):
+                    # sum(w*1)/sum(w) over firing = 1 wherever matched
+                    comb = np.ones(len(ids))
                 else:  # first
                     comb = np.zeros(len(ids))
                     assigned = np.zeros(len(ids), dtype=bool)
@@ -2514,7 +2583,7 @@ class SegmentIndex:
                                           for i in range(n)))
                     rel = self.spark.createDataFrame(pdf, schema)
                     return self._functions_tail(
-                        rel, ws, score_mode, boost_mode, mb, k)
+                        rel, parsed, score_mode, boost_mode, mb, k)
                 if m >= pos_bound:
                     break
                 m = min(m * 8, pos_bound)
@@ -2526,8 +2595,26 @@ class SegmentIndex:
                             k: int) -> DataFrame:
         """Exact function_score over a COMPLETE (doc_id, score) match
         relation: left-join each function's full membership relation as
-        a boolean flag, then the shared Catalyst tail."""
-        for i, (w, fc, mc) in enumerate(parsed):
+        a boolean flag (plus, for field_value_factor functions, ONE
+        doc-store join carrying every needed v{i} value column), then
+        the shared Catalyst tail."""
+        vcols = []
+        for i, p in enumerate(parsed):
+            fvf = p[3]
+            if fvf is None:
+                continue
+            field, factor, modifier, missing = fvf
+            vexpr = F.lit(factor) * F.coalesce(
+                F.col(field).cast("double"), F.lit(missing))
+            if modifier == "log1p":
+                vexpr = F.log1p(vexpr)
+            elif modifier == "sqrt":
+                vexpr = F.sqrt(vexpr)
+            vcols.append(vexpr.alias(f"v{i}"))
+        if vcols:
+            rel = rel.join(self.doc_store().select("doc_id", *vcols),
+                           "doc_id", "left")
+        for i, (w, fc, mc, _fvf) in enumerate(parsed):
             if not fc and not mc:
                 rel = rel.withColumn(f"f{i}", F.lit(True))
                 continue
@@ -2543,38 +2630,57 @@ class SegmentIndex:
                                                      "left_semi")
             rel = rel.join(mem.withColumn(f"f{i}", F.lit(True)),
                            "doc_id", "left")
-        return self._functions_tail(rel, ws, score_mode, boost_mode, mb, k)
+        return self._functions_tail(rel, parsed, score_mode, boost_mode,
+                                    mb, k)
 
-    def _functions_tail(self, rel: DataFrame, ws: list, score_mode: str,
-                        boost_mode: str, mb, k: int) -> DataFrame:
+    def _functions_tail(self, rel: DataFrame, parsed: list,
+                        score_mode: str, boost_mode: str, mb,
+                        k: int) -> DataFrame:
         """Shared combine + round + top-k tail over (doc_id, score,
-        f0..f{n-1} boolean) — both search_function_score_fns regimes run
-        these exact expressions, so scores are bit-identical across
-        regimes. A doc with no firing function keeps its query score
-        (uncapped — the ES no-match contract)."""
-        n = len(ws)
+        f0..f{n-1} boolean [, v{i} double for field_value_factor
+        functions]) — both search_function_score_fns regimes run these
+        exact expressions, so scores are bit-identical across regimes.
+        Function i contributes s_i = w_i * u_i (u_i = v{i} or 1). A doc
+        with no firing function keeps its query score (uncapped — the
+        ES no-match contract)."""
+        n = len(parsed)
+        ws = [p[0] for p in parsed]
         flags = [F.coalesce(F.col(f"f{i}"), F.lit(False)) for i in range(n)]
-        wl = [F.lit(float(w)) for w in ws]
+        us = [F.col(f"v{i}") if p[3] is not None else F.lit(1.0)
+              for i, p in enumerate(parsed)]
+        sl = [F.lit(float(w)) * u for w, u in zip(ws, us)]
         matched = flags[0]
         for fl in flags[1:]:
             matched = matched | fl
         if score_mode == "multiply":
             combined = F.lit(1.0)
-            for fl, w in zip(flags, wl):
-                combined = combined * F.when(fl, w).otherwise(F.lit(1.0))
+            for fl, s in zip(flags, sl):
+                combined = combined * F.when(fl, s).otherwise(F.lit(1.0))
         elif score_mode == "sum":
             combined = F.lit(0.0)
-            for fl, w in zip(flags, wl):
-                combined = combined + F.when(fl, w).otherwise(F.lit(0.0))
+            for fl, s in zip(flags, sl):
+                combined = combined + F.when(fl, s).otherwise(F.lit(0.0))
         elif score_mode == "max":
-            parts = [F.when(fl, w) for fl, w in zip(flags, wl)]
+            parts = [F.when(fl, s) for fl, s in zip(flags, sl)]
             combined = parts[0] if n == 1 else F.greatest(*parts)
         elif score_mode == "min":
-            parts = [F.when(fl, w) for fl, w in zip(flags, wl)]
+            parts = [F.when(fl, s) for fl, s in zip(flags, sl)]
             combined = parts[0] if n == 1 else F.least(*parts)
+        elif score_mode == "avg":
+            # ES weighted mean: sum(w_i*u_i)/sum(w_i) over FIRING
+            # functions; weights validated > 0, and the division is
+            # only consumed under `matched` (denominator 0 -> null ->
+            # the otherwise() branch)
+            num = F.lit(0.0)
+            den = F.lit(0.0)
+            for fl, s, w in zip(flags, sl, ws):
+                num = num + F.when(fl, s).otherwise(F.lit(0.0))
+                den = den + F.when(fl, F.lit(float(w))).otherwise(
+                    F.lit(0.0))
+            combined = num / F.when(den > 0, den)
         else:  # first: the first firing function in list order
             combined = F.coalesce(
-                *[F.when(fl, w) for fl, w in zip(flags, wl)], F.lit(0.0))
+                *[F.when(fl, s) for fl, s in zip(flags, sl)], F.lit(0.0))
         if mb is not None:
             combined = F.least(combined, F.lit(float(mb)))
         op = (F.col("score") * combined if boost_mode == "multiply"
@@ -2668,7 +2774,7 @@ class SegmentIndex:
         return self._by_part(seg).applyInPandas(explain_group, out_schema)
 
     def search_phrase_prefix(self, phrase, k: int, *,
-                             max_expansions: int = 50,
+                             max_expansions: int = 50, slop: int = 0,
                              _raw: bool = False) -> DataFrame:
         """ES match_phrase_prefix: the last phrase term is treated as a
         PREFIX, expanded against the term dictionary (bounded by
@@ -2676,7 +2782,13 @@ class SegmentIndex:
         appear consecutively followed by ANY expansion. Scored like
         search_phrase with tf = total such occurrences. Runs on the
         positional index — same pruned-scan plan as search_phrase with the
-        expansions unioned into the last position's posting set."""
+        expansions unioned into the last position's posting set.
+
+        slop > 0 (r5): the sloppy acceptance over the same scan — the
+        prefix slot's per-doc positions are the union of the expansions'
+        positions, fed to the fixed-term sloppy window sweep; tf keeps
+        the participating-start convention. Fixed terms must be distinct
+        and disjoint from the expansion set (injectivity; enforced)."""
         if not self.stats.get("with_positions"):
             raise ValueError(
                 "index was built with with_positions=False; phrase search "
@@ -2684,17 +2796,34 @@ class SegmentIndex:
             )
         if not _raw and self.n_deleted():
             return self._live(k, lambda kk: self.search_phrase_prefix(
-                phrase, kk, max_expansions=max_expansions, _raw=True))
+                phrase, kk, max_expansions=max_expansions, slop=slop,
+                _raw=True))
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
         if not terms:
             return empty
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
         fixed, last = terms[:-1], terms[-1]
         alts = self.expand_prefix(last, max_expansions)
         if not alts:
             return empty
+        if slop > 0 and fixed:
+            if len(set(fixed)) != len(fixed):
+                raise ValueError(
+                    "sloppy phrases need distinct analyzed terms "
+                    "(injective position assignment); use slop=0 or "
+                    "distinct terms")
+            overlap = set(alts) & set(fixed)
+            if overlap:
+                raise ValueError(
+                    f"sloppy phrase-prefix where an expansion "
+                    f"{sorted(overlap)} equals a fixed term is not "
+                    "supported (injective position assignment would "
+                    "need bipartite matching)")
         if fixed:
             dfs = self.term_dfs(sorted(set(fixed)))
             if any(dfs.get(t, 0) == 0 for t in set(fixed)):
@@ -2711,8 +2840,11 @@ class SegmentIndex:
             .filter(F.col("term").isin(scan_terms))
             .select("doc_part", "term", "docs", "tfs", "dls", "positions")
         )
-        matcher = _make_phrase_matcher(list(fixed) + [last],
-                                       last_alts=list(alts))
+        matcher = (_make_sloppy_phrase_matcher(list(fixed) + [last], slop,
+                                               last_alts=list(alts))
+                   if slop > 0 and fixed
+                   else _make_phrase_matcher(list(fixed) + [last],
+                                             last_alts=list(alts)))
         cand_plan = self._by_part(seg).applyInPandas(
             matcher, "doc_id bigint, occ bigint, dl bigint"
         )
@@ -3070,8 +3202,8 @@ def search_dismax_phrase(field_indexes: dict, text: str, k: int, *,
     PHRASE df, field-local stats) combine max + tie_breaker*(sum-max).
     prefix=True treats the LAST analyzed token of each field as a
     dictionary prefix bounded by max_expansions (the
-    search_phrase_prefix convention; exclusive with slop, like ES's
-    Lucene rejection of sloppy prefix phrases).
+    search_phrase_prefix convention; composes with slop > 0 via the
+    sloppy matcher's union-position prefix slot).
 
     Plan: per field the COMPLETE phrase relation (_phrase_scores: one
     pruned positional scan bounded by the min fixed-term df — phrases
@@ -3080,10 +3212,6 @@ def search_dismax_phrase(field_indexes: dict, text: str, k: int, *,
     with every other DisMax regime. A field where the phrase cannot
     match (absent term / zero expansions / empty analysis) contributes
     nothing, like an ES field with no phrase hits."""
-    if prefix and int(slop):
-        raise ValueError("phrase_prefix slop > 0 is not supported "
-                         "(Lucene sloppy phrase matching); exact "
-                         "adjacency only")
     b = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
     if any(v < 0 for v in b.values()):
         raise ValueError("field boosts must be >= 0")
@@ -3100,7 +3228,7 @@ def search_dismax_phrase(field_indexes: dict, text: str, k: int, *,
                                            max_expansions=max_expansions))
             if not alts:
                 continue  # zero expansions: no hits in this field
-            rel = si._phrase_scores(ts[:-1], 0, alts)
+            rel = si._phrase_scores(ts[:-1], int(slop), alts)
         else:
             rel = si._phrase_scores(ts, int(slop))
         if rel is None:
@@ -3349,7 +3477,8 @@ def _sloppy_tf(qs: list[np.ndarray], slop: int) -> int:
     return int(hit.sum())
 
 
-def _make_sloppy_phrase_matcher(phrase: list[str], slop: int):
+def _make_sloppy_phrase_matcher(phrase: list[str], slop: int,
+                                last_alts: list[str] | None = None):
     """Per-doc_part SLOPPY phrase-occurrence counter for applyInPandas
     (ES match_phrase with slop > 0, the Lucene SloppyPhraseScorer
     match-set surface the r4 adapter rejected loudly).
@@ -3371,6 +3500,13 @@ def _make_sloppy_phrase_matcher(phrase: list[str], slop: int):
     is automatically an injective assignment — repeated-term sloppy
     phrases would need bipartite matching and are rejected loudly.
 
+    last_alts: sloppy match_phrase_prefix support (r5) — one extra LAST
+    slot whose per-doc positions are the disjoint union of the
+    expansions' positions (one token per position, so concatenation is
+    exact and the slot can never collide with a fixed slot as long as
+    the expansions are disjoint from the fixed terms — callers enforce
+    THAT too). Candidates must then also contain >= 1 expansion.
+
     Per-part plan: postings + positions of every term decode ONCE; only
     docs containing ALL terms (the same min-df-bounded candidate set the
     exact matcher touches) run the O(P log P) window sweep (_sloppy_tf).
@@ -3388,34 +3524,52 @@ def _make_sloppy_phrase_matcher(phrase: list[str], slop: int):
             ids, tfs, dls = decode_postings(row.docs, row.tfs, row.dls)
             flat = decode_positions(row.positions or b"", tfs)
             dec[row.term] = (ids, tfs, dls, flat)
-        if any(t not in dec for t in phrase):
+        fixed = phrase[:-1] if last_alts is not None else phrase
+        alts = ([t for t in last_alts if t in dec]
+                if last_alts is not None else None)
+        if any(t not in dec for t in fixed) or (alts is not None
+                                                and not alts):
             return empty  # a required term absent from this doc range
-        # candidate docs: present in EVERY term's postings
-        cand = dec[phrase[0]][0]
-        for t in phrase[1:]:
+        # candidate docs: present in EVERY fixed term's postings (and,
+        # prefix form, in at least one expansion's postings)
+        cand = dec[fixed[0]][0]
+        for t in fixed[1:]:
             cand = cand[np.isin(cand, dec[t][0])]
+        if alts is not None and cand.size:
+            alt_union = np.unique(
+                np.concatenate([dec[t][0] for t in alts]))
+            cand = cand[np.isin(cand, alt_union)]
         if not cand.size:
             return empty
         # per-term posting offsets for slicing flat positions per doc
         lookup = {}
-        for t in phrase:
+        for t in set(fixed) | set(alts or []):
             ids, tfs, dls, flat = dec[t]
             offs = np.concatenate(([0], np.cumsum(tfs)))
             pidx = np.searchsorted(ids, cand)
-            lookup[t] = (offs, pidx, flat, tfs, dls)
+            lookup[t] = (ids, offs, pidx, flat, dls)
         occ = np.zeros(cand.size, dtype=np.int64)
         for i in range(cand.size):
             qs = []
-            for j, t in enumerate(phrase):
-                offs, pidx, flat, _, _ = lookup[t]
+            for j, t in enumerate(fixed):
+                _, offs, pidx, flat, _ = lookup[t]
                 p = pidx[i]
                 pos = flat[offs[p]:offs[p + 1]]
                 qs.append(np.sort(pos.astype(np.int64)) - j)
+            if alts is not None:
+                parts = []
+                for t in alts:
+                    ids, offs, pidx, flat, _ = lookup[t]
+                    p = pidx[i]
+                    if p < ids.size and ids[p] == cand[i]:
+                        parts.append(flat[offs[p]:offs[p + 1]])
+                qs.append(np.sort(np.concatenate(parts)
+                                  .astype(np.int64)) - len(fixed))
             occ[i] = _sloppy_tf(qs, slop)
         sel = occ > 0
         if not sel.any():
             return empty
-        offs0, pidx0, _, _, dls0 = lookup[phrase[0]]
+        _, offs0, pidx0, _, dls0 = lookup[fixed[0]]
         return pd.DataFrame({
             "doc_id": cand[sel],
             "occ": occ[sel],

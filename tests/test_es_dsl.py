@@ -133,14 +133,16 @@ def test_dsl_single_index_forms(two_field):
     want = si.search_fuzzy("node", 10, max_edits=1).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # sloppy phrases route to the slop matcher (tests/test_phrase_slop.py
-    # pins the semantics); match_phrase_prefix slop stays a loud reject
+    # pins the semantics); match_phrase_prefix slop (r5: rejection
+    # retired) routes to the sloppy prefix matcher
     got = es_search(si, {"match_phrase": {"text": {
         "query": "node cursor", "slop": 2}}}, 10).collect()
     want = si.search_phrase("node cursor", 10, slop=2).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    with pytest.raises(ValueError, match="slop"):
-        es_search(si, {"match_phrase_prefix": {"text": {
-            "query": "node curso", "slop": 1}}}, 5)
+    got = es_search(si, {"match_phrase_prefix": {"text": {
+        "query": "node curso", "slop": 1}}}, 10).collect()
+    want = si.search_phrase_prefix("node curso", 10, slop=1).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # match_phrase_prefix object form passes max_expansions through
     got = es_search(si, {"match_phrase_prefix": {"text": {
         "query": "node curso", "max_expansions": 3}}}, 10).collect()
@@ -651,10 +653,33 @@ def test_more_like_this_body(spark, tmp_path):
     want3 = si.search(kw3, 12).collect()
     assert [(r["doc_id"], r["score"]) for r in got3] == \
         [(r["doc_id"], r["score"]) for r in want3]
-    # mixed id+text likes reject (term budgets diverge from ES)
-    with pytest.raises(ValueError, match="BOTH"):
-        ess(si, {"more_like_this": {
-            "like": [{"_id": like}, "raw text"]}}, 5)
+    # mixed id+text likes (r5: the rejection retired): ES merges every
+    # like source into ONE tf budget before thresholds — python oracle
+    # aggregates doc-17 tf + text tf, then the shared tail
+    mix_text = raw[41]
+    body4 = {"query": {"more_like_this": {
+        "fields": ["content"], "like": [{"_id": like}, mix_text],
+        "min_term_freq": 2, "min_doc_freq": 3, "max_query_terms": 8}}}
+    got4 = ess(si, body4, size=12).collect()
+    tfm = (Counter(pure.analyze(raw[like], si.analyzer))
+           + Counter(pure.analyze(mix_text, si.analyzer)))
+    cand4 = []
+    for t, c in tfm.items():
+        if c < 2:
+            continue
+        df = sum(1 for ts in dtoks.values() if t in ts)
+        if df < 3:
+            continue
+        cand4.append((t, round(c * math.log(1 + (n - df + 0.5)
+                                            / (df + 0.5)), 6)))
+    cand4.sort(key=lambda kv: (-kv[1], kv[0]))
+    kw4 = sorted(t for t, _ in cand4[:8])
+    assert kw4 and kw4 != kw3, "merged budget must differ from text-only"
+    want4 = [r for r in si.search(kw4, 13).collect()
+             if r["doc_id"] != like][:12]
+    assert [(r["doc_id"], r["score"]) for r in got4] == \
+        [(r["doc_id"], r["score"]) for r in want4]
+    assert like not in {r["doc_id"] for r in got4}
 
 
 def test_es_lookup_kinds_and_cardinality(two_field):
@@ -1433,8 +1458,81 @@ def test_function_score_functions_list(two_field, monkeypatch):
     for r, (_, fin) in zip(got, want[:k]):
         assert r["score"] == pytest.approx(fin, abs=2e-6)
 
+    # score_mode avg (r5: the rejection retired): ES's WEIGHTED mean
+    # sum(w*u)/sum(w) — weight-only functions have u=1, so any firing
+    # doc averages to exactly 1 (the documented ES quirk)
+    body_avg = {"query": {"function_score": {
+        "query": {"match": {"text": "node cursor"}},
+        "functions": fns, "score_mode": "avg",
+        "boost_mode": "multiply", "max_boost": mb,
+    }}}
+    got = es_search(si, body_avg, size=k).collect()
+    want = []
+    for d in match:
+        firing = len(raw[d]) >= med or d in members1
+        want.append((d, base[d] * min(1.0, mb) if firing else base[d]))
+    want.sort(key=lambda t: (-round(t[1], 6), t[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _ in want[:k]]
+    for r, (_, fin) in zip(got, want[:k]):
+        assert r["score"] == pytest.approx(fin, abs=2e-6)
+
+    # MIXED weight + field_value_factor functions (r5): s_i = w_i*u_i,
+    # every score_mode incl the weighted avg, vs the python oracle
+    fns2 = [
+        {"filter": {"range": {"content_len": {"gte": med}}},
+         "weight": 1.5},
+        {"filter": {"match": {"text": "shard"}}, "weight": 2.0,
+         "field_value_factor": {"field": "content_len",
+                                "factor": 0.01}},
+    ]
+    mb2 = 50.0
+    for score_mode in ("multiply", "sum", "max", "min", "first", "avg"):
+        body2 = {"query": {"function_score": {
+            "query": {"match": {"text": "node cursor"}},
+            "functions": fns2, "score_mode": score_mode,
+            "boost_mode": "multiply", "max_boost": mb2,
+        }}}
+        got = es_search(si, body2, size=k).collect()
+        want = []
+        for d in match:
+            ss, wsum, num = [], 0.0, 0.0
+            if len(raw[d]) >= med:
+                ss.append(1.5 * 1.0)
+                wsum += 1.5
+                num += 1.5 * 1.0
+            if d in members1:
+                u = 0.01 * len(raw[d])
+                ss.append(2.0 * u)
+                wsum += 2.0
+                num += 2.0 * u
+            if not ss:
+                fin = base[d]
+            else:
+                if score_mode == "multiply":
+                    comb = 1.0
+                    for s in ss:
+                        comb *= s
+                elif score_mode == "sum":
+                    comb = sum(ss)
+                elif score_mode == "max":
+                    comb = max(ss)
+                elif score_mode == "min":
+                    comb = min(ss)
+                elif score_mode == "avg":
+                    comb = num / wsum
+                else:
+                    comb = ss[0]
+                fin = base[d] * min(comb, mb2)
+            want.append((d, fin))
+        want.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        assert [r["doc_id"] for r in got] == [d for d, _ in want[:k]], \
+            score_mode
+        for r, (_, fin) in zip(got, want[:k]):
+            assert r["score"] == pytest.approx(fin, abs=2e-6)
+
     with pytest.raises(ValueError, match="avg"):
-        si.search_function_score_fns("node", fns, 5, score_mode="avg")
+        si.search_function_score_fns(
+            "node", [{"weight": 0.0}], 5, score_mode="avg")
     with pytest.raises(ValueError, match="unsupported function keys"):
         si.search_function_score_fns(
             "node", [{"random_score": {}, "weight": 2.0}], 5)
@@ -2208,8 +2306,55 @@ def test_multi_match_type_phrase(two_field):
     for r, (_, s) in zip(pgot, pwant):
         assert r["score"] == pytest.approx(s, abs=2e-6)
 
-    # sloppy prefix phrases reject, like Lucene
-    with pytest.raises(ValueError, match="slop"):
-        es_search(idxs, {"query": {"multi_match": {
-            "fields": ["title", "text"], "query": pq,
-            "type": "phrase_prefix", "slop": 2}}}, 5)
+    # sloppy prefix phrases (r5: rejection retired): per-field sloppy
+    # prefix relations, DisMax-combined like the exact form
+    spgot = es_search(idxs, {"query": {"multi_match": {
+        "fields": ["title", "text"], "query": pq,
+        "type": "phrase_prefix", "slop": 2,
+        "max_expansions": 10}}}, size=50).collect()
+    spf = {f: {r["doc_id"]: r["score"]
+               for r in sidx.search_phrase_prefix(
+                   pq, 100000, max_expansions=10, slop=2).collect()}
+           for f, sidx in idxs.items()}
+    spwant = combine(spf, 0.0, 50)
+    assert spgot and [r["doc_id"] for r in spgot] == \
+        [d for d, _ in spwant]
+    for r, (_, s) in zip(spgot, spwant):
+        assert r["score"] == pytest.approx(s, abs=2e-6)
+
+
+def test_es_search_indices_merge(two_field):
+    """Multi-INDEX search (GET /idx1,idx2/_search): the same body runs
+    per index with per-index statistics, hits carry their index name,
+    and the coordinating merge equals a python-side merge of the
+    per-index es_search results at 6dp (score desc, idx asc, doc_id
+    asc). Works for any ranked body kind (match + bool here)."""
+    from newssearchengine_spark.plans.dsl import es_search_indices
+
+    _, idxs = two_field
+    indices = {"alpha": idxs["text"], "beta": idxs["title"]}
+    k = 25
+    for body in (
+        {"query": {"match": {"content": "node cursor stream"}}},
+        {"query": {"bool": {
+            "must": [{"match": {"content": "node"}}],
+            "should": [{"match": {"content": "stream"}}]}}},
+    ):
+        got = es_search_indices(indices, body, size=k).collect()
+        pool = []
+        for name, si in indices.items():
+            for r in es_search(si, body, size=k).collect():
+                pool.append((name, r["doc_id"], round(r["score"], 6)))
+        pool.sort(key=lambda t: (-t[2], t[0], t[1]))
+        want = pool[:k]
+        assert [(r["idx"], r["doc_id"], r["score"]) for r in got] == want
+        assert [r["rank"] for r in got] == list(range(len(got)))
+    # a deep page drains BOTH indexes (per-index stats differ — the
+    # short-doc title index outranks at the top, the text index must
+    # still surface below)
+    deep = es_search_indices(
+        indices, {"query": {"match": {"content": "node cursor"}}},
+        size=400).collect()
+    assert len({r["idx"] for r in deep}) == 2
+    with pytest.raises(ValueError, match="at least one"):
+        es_search_indices({}, {"query": {"match_all": {}}}, 5)

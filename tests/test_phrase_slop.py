@@ -195,3 +195,116 @@ def test_dsl_match_phrase_slop(spark, slop_index):
     direct = si.search_phrase("beta alpha", 10, slop=2).collect()
     assert [tuple(r) for r in via_dsl] == [tuple(r) for r in direct]
     assert len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# sloppy match_phrase_prefix (r5): the prefix slot's positions are the
+# union of the dictionary expansions' positions
+# ---------------------------------------------------------------------------
+
+PTEXTS = [
+    "alpha beta padx",            # 0: adjacent prefix hit (slop 0)
+    "alpha filler pady",          # 1: one gap -> slop 1
+    "padz alpha beta",            # 2: prefix FIRST -> span 3
+    "alpha beta filler",          # 3: no prefix token -> never matches
+    "beta alpha padx pady",       # 4: transposed fixed pair (cost 2)
+    "alpha padz beta padx",       # 5: expansion between fixed -> slop 1
+    "padx filler filler alpha beta padx",  # 6: two prefix occurrences
+]
+
+
+def brute_tf_prefix(tokens: list[str], fixed: list[str], prefix: str,
+                    slop: int) -> int:
+    """Reference tf with the LAST slot matching ANY token starting with
+    `prefix` (the engine's expansion union; max_expansions covers the
+    whole tiny vocabulary here)."""
+    pos = [[i for i, t in enumerate(tokens) if t == term]
+           for term in fixed]
+    pos.append([i for i, t in enumerate(tokens)
+                if t.startswith(prefix)])
+    if any(not p for p in pos):
+        return 0
+    tf = 0
+    for p0 in pos[0]:
+        ok = False
+        for combo in itertools.product(*pos[1:]):
+            qs = [p0] + [p - (j + 1) for j, p in enumerate(combo)]
+            if max(qs) - min(qs) <= slop:
+                ok = True
+                break
+        tf += bool(ok)
+    return tf
+
+
+@pytest.fixture(scope="module")
+def pslop_index(spark, tmp_path_factory):
+    rows = [(f"r/{i}", f"f{i}.py", "c0", "python", t)
+            for i, t in enumerate(PTEXTS)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    corpus = assign_doc_ids(df, num_partitions=4).persist()
+    d = str(tmp_path_factory.mktemp("pslop_idx"))
+    build_index(corpus, d, CFG)
+    toks = {r["doc_id"]: pure.analyze(r["content"], CFG.analyzer)
+            for r in corpus.select("doc_id", "content").collect()}
+    return d, toks
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2, 3])
+def test_sloppy_prefix_matches_bruteforce(spark, pslop_index, slop):
+    d, toks = pslop_index
+    si = SegmentIndex(spark, d)
+    fixed, prefix = ["alpha", "beta"], "pad"
+    tfs = {doc: brute_tf_prefix(t, fixed, prefix, slop)
+           for doc, t in toks.items()}
+    hits = {doc: tf for doc, tf in tfs.items() if tf > 0}
+    stats = si.stats
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    dfp = float(len(hits))
+    exp = []
+    if dfp:
+        idf = math.log1p((n - dfp + 0.5) / (dfp + 0.5))
+        exp = sorted(
+            ((doc, idf * (tf * (k1 + 1.0))
+              / (tf + k1 * (1.0 - b + b * len(toks[doc]) / avgdl)))
+             for doc, tf in hits.items()),
+            key=lambda t: (-round(t[1], 6), t[0]))[:10]
+    got = si.search_phrase_prefix(fixed + [prefix], 10,
+                                  slop=slop).collect()
+    assert [r["doc_id"] for r in got] == [doc for doc, _ in exp], slop
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, abs=5e-7)
+
+
+def test_sloppy_prefix_zero_equals_exact_and_guards(spark, pslop_index):
+    d, _ = pslop_index
+    si = SegmentIndex(spark, d)
+    a = si.search_phrase_prefix(["alpha", "beta", "pad"], 10).collect()
+    z = si.search_phrase_prefix(["alpha", "beta", "pad"], 10,
+                                slop=0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in z]
+    # an expansion colliding with a fixed term rejects under slop
+    with pytest.raises(ValueError, match="bipartite|equals a fixed"):
+        si.search_phrase_prefix(["alpha", "beta", "alph"], 10, slop=1)
+    # ...but stays on the exact matcher at slop=0
+    si.search_phrase_prefix(["alpha", "beta", "alph"], 10).collect()
+    # repeated fixed terms reject under slop (injectivity)
+    with pytest.raises(ValueError, match="distinct"):
+        si.search_phrase_prefix(["alpha", "alpha", "pad"], 10, slop=1)
+
+
+def test_sloppy_prefix_bool_clause(spark, pslop_index):
+    """A sloppy match_phrase_prefix CLAUSE inside bool must equal the
+    standalone query when it is the only must clause."""
+    from newssearchengine_spark.plans.dsl import es_search
+
+    d, _ = pslop_index
+    si = SegmentIndex(spark, d)
+    body = {"query": {"bool": {"must": [{"match_phrase_prefix": {
+        "content": {"query": "alpha beta pad", "slop": 2}}}]}}}
+    got = es_search(si, body, size=10).collect()
+    want = si.search_phrase_prefix(["alpha", "beta", "pad"], 10,
+                                   slop=2).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
