@@ -108,6 +108,11 @@ _PRIORITY = [
     # ES multi-INDEX search (GET /idx1,idx2/_search): per-index stats,
     # labeled hits, coordinating merge (r5 closing)
     "ft_multi_index",
+    # r5 closing surface: terms_set / pinned query kinds; composite
+    # (scalable bucket pagination), top_hits sub-agg, and pipeline
+    # (cumulative_sum + sibling *_bucket) aggregations
+    "ft_terms_set", "ft_pinned", "ft_es_composite", "ft_es_top_hits",
+    "ft_es_pipeline",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -2962,3 +2962,211 @@ def ft_es_hybrid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "knn": {"field": "embedding", "query_vector": qv,
                     "k": _HYB_K, "boost": _HYB_BOOST}}
     return es_search(si, body, size=_HYB_K, vectors=vecs)
+
+
+# ---- round-5 closing surface: terms_set / pinned queries, composite /
+# top_hits / pipeline aggregations ----
+
+_TSET_TERMS = ["hash", "merge", "spark", "window"]
+_TSET_MSM = 2
+
+
+def _terms_set_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_TSET_TERMS)))
+    k1, b = bm25.k1, bm25.b
+    return f"""WITH {TOKENS_CTE},
+q AS (SELECT unnest([{terms_sql}]) AS term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf
+  JOIN tstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (
+  SELECT doc_id, round(sum(p), 6) AS score
+  FROM parts GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {_TSET_MSM}
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_terms_set", _terms_set_sql(TOP_K))
+def ft_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms_set` (Lucene CoveringQuery): a doc matches when it
+    contains at least `minimum_should_match` DISTINCT query terms,
+    scored by the bool-should sum of the matched terms' BM25 partials.
+    One pruned postings scan + one hash aggregation — the per-doc-field
+    form (minimum_should_match_field) is python-oracled in
+    tests/test_es_aggs_pipeline.py."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"terms_set": {"text": {
+        "terms": _TSET_TERMS, "minimum_should_match": _TSET_MSM}}}}
+    return es_search(si, body, size=TOP_K)
+
+
+_PIN_IDS = [7, 3, 999999]  # the last id does not exist -> dropped like ES
+_PIN_ORG = ["merge", "table"]
+
+
+def _pinned_sql(k: int) -> str:
+    n = len(_PIN_IDS)
+    vals = ", ".join(f"({i}::BIGINT, {p})" for p, i in enumerate(_PIN_IDS))
+    return f"""WITH base AS ({_bm25_sql(_PIN_ORG, k + n)}),
+pins AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, pos)),
+pp AS (
+  SELECT p.doc_id, p.pos, ({n} - p.pos)::DOUBLE * 1e12 AS score
+  FROM pins p JOIN (SELECT DISTINCT doc_id FROM documents) d USING (doc_id)
+),
+org AS (
+  SELECT doc_id, score FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+),
+comb AS (
+  SELECT doc_id, 0 AS grp, pos::DOUBLE AS ord, score FROM pp
+  UNION ALL
+  SELECT doc_id, 1, -score, score FROM org
+)
+SELECT (row_number() OVER (ORDER BY grp, ord, doc_id) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM comb ORDER BY grp, ord, doc_id LIMIT {k}"""
+
+
+@gate_query("ft_pinned", _pinned_sql(TOP_K))
+def ft_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `pinned` query: the listed ids rank first in list order (at
+    the engine's documented synthetic-score convention 1e12*(len-pos)),
+    absent ids dropped, then the organic BM25 hits with the pinned set
+    excluded."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"pinned": {
+        "ids": _PIN_IDS,
+        "organic": {"match": {"text": " ".join(_PIN_ORG)}}}}}
+    return es_search(si, body, size=TOP_K)
+
+
+def _es_composite_sql() -> str:
+    return f"""WITH {TOKENS_CTE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'table')),
+g AS (
+  SELECT d.lang AS l, (floor(d.n_chars / 100) * 100)::BIGINT AS h,
+         count(*)::BIGINT AS doc_count
+  FROM documents d JOIN m USING (doc_id) GROUP BY 1, 2
+)
+SELECT 'comp' AS agg, l || '|' || h AS key, doc_count,
+       CAST(NULL AS DOUBLE) AS value
+FROM g
+WHERE (l > 'de' OR (l = 'de' AND h > 200))
+ORDER BY l, h LIMIT 6"""
+
+
+@gate_query("ft_es_composite", _es_composite_sql())
+def ft_es_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `composite` aggregation — the scalable bucket pagination:
+    (lang terms x n_chars histogram) bucket tuples over the query match
+    set, resumed strictly past an `after` key, 6 buckets per page. One
+    hash aggregation + a sorted cut; the after-key predicate prunes
+    before the sort."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match": {"text": "merge table"}},
+            "aggs": {"comp": {"composite": {
+                "size": 6, "after": {"l": "de", "h": 200},
+                "sources": [
+                    {"l": {"terms": {"field": "lang"}}},
+                    {"h": {"histogram": {"field": "n_chars",
+                                         "interval": 100}}}]}}}}
+    return es_aggs(si, body)
+
+
+def _es_top_hits_sql() -> str:
+    return f"""WITH {TOKENS_CTE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'table')),
+md AS (SELECT d.* FROM documents d JOIN m USING (doc_id)),
+b AS (
+  SELECT lang, count(*)::BIGINT AS doc_count FROM md GROUP BY lang
+  ORDER BY doc_count DESC, lang ASC LIMIT 3
+),
+h AS (
+  SELECT md.lang, md.doc_id, md.n_chars,
+         row_number() OVER (PARTITION BY md.lang
+                            ORDER BY md.n_chars DESC, md.doc_id ASC) AS rn
+  FROM md JOIN b USING (lang)
+)
+SELECT 'bylang' AS agg, lang AS key, doc_count,
+       CAST(NULL AS DOUBLE) AS value
+FROM b
+UNION ALL
+SELECT 'bylang.top', lang, doc_id, n_chars::DOUBLE FROM h WHERE rn <= 2"""
+
+
+@gate_query("ft_es_top_hits", _es_top_hits_sql())
+def ft_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `top_hits` sub-aggregation under terms buckets: the top-2 docs
+    per surviving lang bucket by n_chars desc (doc_id tie), flat-contract
+    encoded as agg=parent.child, key=bucket, doc_count=the hit's doc_id,
+    value=its sort value."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match": {"text": "merge table"}},
+            "aggs": {"bylang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"top": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"n_chars": {"order": "desc"}}]}}}}}}
+    return es_aggs(si, body)
+
+
+def _es_pipeline_sql() -> str:
+    return """WITH g AS (
+  SELECT (floor(n_chars / 100) * 100)::BIGINT AS k,
+         count(*)::BIGINT AS doc_count
+  FROM documents GROUP BY 1
+),
+cs AS (
+  SELECT k, sum(doc_count) OVER (ORDER BY k
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM g
+)
+SELECT 'hist' AS agg, k::VARCHAR AS key, doc_count,
+       CAST(NULL AS DOUBLE) AS value FROM g
+UNION ALL
+SELECT 'hist.cum', k::VARCHAR, CAST(NULL AS BIGINT), v::DOUBLE FROM cs
+UNION ALL
+SELECT 'total', 'sum_bucket', CAST(NULL AS BIGINT),
+       (SELECT sum(doc_count)::DOUBLE FROM g)
+UNION ALL
+SELECT 'mean', 'avg_bucket', CAST(NULL AS BIGINT),
+       (SELECT avg(doc_count)::DOUBLE FROM g)"""
+
+
+@gate_query("ft_es_pipeline", _es_pipeline_sql())
+def ft_es_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations: nested `cumulative_sum` across
+    histogram buckets in key order, plus sibling `sum_bucket` /
+    `avg_bucket` scalars over the same buckets — computed from the
+    bucket relation (bucket-count cardinality), never a second pass
+    over the corpus."""
+    from ..plans.dsl import es_aggs
+
+    si = _gate_index(spark, sf_dir)
+    body = {"aggs": {
+        "hist": {"histogram": {"field": "n_chars", "interval": 100},
+                 "aggs": {"cum": {"cumulative_sum":
+                                  {"buckets_path": "_count"}}}},
+        "total": {"sum_bucket": {"buckets_path": "hist>_count"}},
+        "mean": {"avg_bucket": {"buckets_path": "hist>_count"}}}}
+    return es_aggs(si, body)

@@ -1696,6 +1696,114 @@ def es_search(indexes, body: dict, size: int = 10, *,
             raise ValueError("empty range condition")
         return one()._exclude_dead(one().doc_store().filter(pred))
 
+    if kind == "terms_set":
+        # ES terms_set: {"terms_set": {field: {"terms": [...],
+        # "minimum_should_match_field": col}}} (or the ES 8.10+ constant
+        # "minimum_should_match": m). A doc matches when the number of
+        # DISTINCT query terms it contains reaches its per-doc minimum
+        # (Lucene CoveringQuery); scoring is the bool-should sum of the
+        # matched terms' BM25 partials. Plan: ONE pruned postings scan
+        # (_term_scores — each posting decoded/scored once), one hash
+        # aggregation (distinct-term count + score sum), and for the
+        # field form one join against the doc-store msm column — no
+        # corpus scan, no per-row Python.
+        field, tspec = next(iter(spec.items()))
+        si = one(field)
+        raw_terms = [str(t) for t in (tspec.get("terms") or [])]
+        if not raw_terms:
+            raise ValueError("terms_set needs a non-empty terms list")
+        toks: list[str] = []
+        for t in raw_terms:
+            at = si.analyze_query(t)
+            if len(at) > 1:
+                raise ValueError(
+                    f"terms_set term {t!r} analyzes to multiple tokens")
+            toks.extend(at)  # analyzer-dropped terms contribute nothing
+        toks = sorted(set(toks))
+        msm_field = tspec.get("minimum_should_match_field")
+        msm_const = tspec.get("minimum_should_match")
+        if (msm_field is None) == (msm_const is None):
+            raise ValueError(
+                "terms_set needs exactly one of "
+                "minimum_should_match_field / minimum_should_match")
+        empty = si.spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double")
+        if not toks:
+            return empty
+        agg = (si._term_scores(toks)
+               .groupBy("doc_id")
+               .agg(F.countDistinct("term").alias("_n"),
+                    F.round(F.sum("score"), 6).alias("score")))
+        if msm_field is not None:
+            # per-doc minimum clamped to >= 1 (a scorer only ever
+            # iterates docs with at least one matching term — the
+            # Lucene CoveringQuery floor)
+            mm = si.doc_store().select(
+                "doc_id",
+                F.col(str(msm_field)).cast("bigint").alias("_m"))
+            agg = (agg.join(mm, "doc_id")
+                   .filter(F.col("_n")
+                           >= F.greatest(F.col("_m"), F.lit(1))))
+        else:
+            m = int(msm_const)
+            if m > len(toks):
+                return empty
+            agg = agg.filter(F.col("_n") >= F.lit(max(m, 1)))
+        hits = si._exclude_dead(agg)
+        top = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
+
+    if kind == "pinned":
+        # ES pinned query: the listed ids rank FIRST, in list order,
+        # ahead of the organic query's hits (which exclude them); ids
+        # absent from the index or tombstoned are dropped, like ES.
+        # ES gives pinned hits huge synthetic scores (an implementation
+        # detail near float32-max); the engine's documented convention
+        # is score = 1e12 * (len(ids) - position) — provably above any
+        # BM25 sum at these corpus sizes and exact in float64, so the
+        # oracle can reproduce it bit-for-bit.
+        ids = [int(v) for v in (spec.get("ids") or [])]
+        organic = spec.get("organic")
+        if not ids or organic is None:
+            raise ValueError("pinned needs ids + an organic query")
+        if len(set(ids)) != len(ids):
+            raise ValueError("pinned ids must be unique")
+        si = one()
+        pins = si.spark.createDataFrame(
+            [(int(i), p) for p, i in enumerate(ids)],
+            "doc_id bigint, _pos int")
+        live = si._exclude_dead(si.doc_store().select("doc_id"))
+        pinned = (pins.join(live, "doc_id", "left_semi")
+                  .select("doc_id", F.lit(0).alias("_grp"),
+                          F.col("_pos").cast("double").alias("_ord"),
+                          ((F.lit(float(len(ids))) - F.col("_pos"))
+                           * F.lit(1e12)).alias("score")))
+        # organic over-fetches by len(ids): even if every pinned id
+        # also ranks organically, size post-exclusion hits remain
+        org = es_search(indexes, {"query": organic},
+                        size=size + len(ids),
+                        tie_breaker=tie_breaker, mode=mode)
+        if "rank" not in org.columns:
+            raise ValueError("pinned organic must be a ranked query")
+        # organic block re-ranked on the 6dp-rounded score with the
+        # engine-wide doc_id tie-break (the score determinism contract —
+        # raw-score paths like plain match are re-ranked the same way
+        # the indexed gates are)
+        org = (org.join(F.broadcast(pins.select("doc_id")), "doc_id",
+                        "left_anti")
+               .select("doc_id", F.lit(1).alias("_grp"),
+                       (-F.round(F.col("score"), 6)).alias("_ord"),
+                       F.round(F.col("score"), 6).alias("score")))
+        both = pinned.unionByName(org)
+        w = Window.orderBy(F.asc("_grp"), F.asc("_ord"), F.asc("doc_id"))
+        return (both.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
+            .filter(F.col("rank") < size))
+
     raise ValueError(f"unsupported query kind: {kind}")
 
 
@@ -2160,13 +2268,24 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 F.col("doc_count").cast("bigint").alias("doc_count"),
                 F.col("value").cast("double").alias("value")]
     outs = []
+    # bucket relations by agg name, for sibling pipeline aggs
+    # ({avg,sum,min,max}_bucket reference them via buckets_path);
+    # pipeline aggs defer to a second pass so order in the body
+    # doesn't matter (ES resolves paths the same way)
+    bucket_dfs: dict[str, DataFrame] = {}
+    _PIPELINE = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    deferred: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
         sub = spec.get("aggs") or spec.get("aggregations") or {}
         akind, aspec = next(kv for kv in spec.items()
                             if kv[0] not in ("aggs", "aggregations"))
-        if sub and akind != "terms":
+        if akind in _PIPELINE:
+            deferred.append((name, akind, aspec))
+            continue
+        if sub and akind not in ("terms", "date_histogram", "histogram"):
             raise ValueError(
-                "sub-aggregations are supported under terms buckets")
+                "sub-aggregations are supported under terms / "
+                "date_histogram / histogram buckets")
         if akind == "significant_terms":
             # ES significant_terms over the indexed text field: JLH of
             # the query's foreground (matching docs) vs the corpus
@@ -2223,7 +2342,7 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 b = b.unionByName(p)
             outs.append(b.select(*out_cols))
             continue
-        field = aspec["field"]
+        field = aspec.get("field")
         if akind == "terms":
             # metric sub-aggregations ride the SAME hash aggregation as
             # the bucket counts (one shuffle for counts + every
@@ -2234,6 +2353,12 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
             size = int(aspec.get("size", 10))
             aggexprs = [F.count(F.lit(1)).alias("doc_count")]
             snames = []
+            # top_hits sub-aggs need a per-bucket window, not the hash
+            # aggregation — split them out and serve them after the
+            # bucket cut (they never influence which buckets survive)
+            th_subs = {sn: ss["top_hits"] for sn, ss in sub.items()
+                       if isinstance(ss, dict) and "top_hits" in ss}
+            sub = {sn: ss for sn, ss in sub.items() if sn not in th_subs}
             for sname, sspec in sub.items():
                 skind, sspec2 = next(iter(sspec.items()))
                 sc = F.col(sspec2["field"]).cast("double")
@@ -2285,6 +2410,114 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
             else:
                 b = g.select(F.lit(name).alias("agg"), "key", "doc_count",
                              F.lit(None).alias("value"))
+            for tname, tspec in th_subs.items():
+                # top_hits under terms: the per-bucket top docs by a
+                # doc-store sort field (one window over the surviving
+                # buckets' rows — the bucket cut broadcast-semi-joins
+                # the match set first, so the window input is small).
+                # Flat-contract encoding: agg = "parent.child",
+                # key = bucket, doc_count = the HIT's doc_id (exact
+                # bigint), value = its sort value. ES's default
+                # _score sort has no meaning in this aggregation
+                # context (the match set is unscored membership) and
+                # raises; a doc-store sort field is required.
+                tsize = int(tspec.get("size", 3))
+                tsort = tspec.get("sort")
+                if not tsort:
+                    raise ValueError(
+                        "top_hits needs an explicit sort on a doc-store "
+                        "field (_score is not defined in agg context "
+                        "here)")
+                sitem = tsort[0] if isinstance(tsort, list) else tsort
+                scol, sdef = next(iter(sitem.items()))
+                if scol == "_score":
+                    raise ValueError(
+                        "top_hits _score sort is not supported in agg "
+                        "context (membership is unscored)")
+                sdir = (str(sdef.get("order", "asc")).lower()
+                        if isinstance(sdef, dict) else str(sdef).lower())
+                sv = F.col(scol).cast("double")
+                ordcol = (F.col("_sv").desc() if sdir == "desc"
+                          else F.col("_sv").asc())
+                hits = (store.select(
+                            F.col(field).cast("string").alias("key"),
+                            "doc_id", sv.alias("_sv"))
+                        .join(F.broadcast(g.select("key")), "key"))
+                thw = Window.partitionBy("key").orderBy(
+                    ordcol, F.asc("doc_id"))
+                th = (hits.withColumn("_rn", F.row_number().over(thw))
+                      .filter(F.col("_rn") <= tsize)
+                      .select(F.lit(f"{name}.{tname}").alias("agg"),
+                              "key",
+                              F.col("doc_id").alias("doc_count"),
+                              F.col("_sv").alias("value")))
+                outs.append(th.select(*out_cols))
+        elif akind == "composite":
+            # ES composite aggregation: the SCALABLE bucket pagination —
+            # multi-source bucket tuples ordered by key, an `after` key
+            # resuming strictly past the previous page, `size` buckets
+            # per page. This is the agg ES built for walking an
+            # unbounded bucket space without deep bucket queues; in
+            # Spark it is one hash aggregation + a sorted cut, and the
+            # after-key predicate prunes before the sort. Sources:
+            # terms / histogram / date_histogram; null keys are skipped
+            # (the ES default missing_bucket=false).
+            csize = int(aspec.get("size", 10))
+            after = aspec.get("after") or {}
+            typed, rendered, srcnames = [], [], []
+            for i, s in enumerate(aspec["sources"]):
+                sname, sdef = next(iter(s.items()))
+                skind, sspec = next(iter(sdef.items()))
+                if skind == "terms":
+                    tc = F.col(sspec["field"]).cast("string")
+                    rc = F.col(f"_k{i}")
+                elif skind == "histogram":
+                    civ = float(sspec["interval"])
+                    if civ <= 0:
+                        raise ValueError("histogram interval must be > 0")
+                    tc = (F.floor(F.col(sspec["field"]).cast("double")
+                                  / F.lit(civ)) * F.lit(civ))
+                    rc = (F.col(f"_k{i}").cast("long").cast("string")
+                          if civ.is_integer()
+                          else F.col(f"_k{i}").cast("string"))
+                elif skind == "date_histogram":
+                    civ = sspec.get("calendar_interval", "day")
+                    if civ not in ("day", "month", "year"):
+                        raise ValueError(
+                            f"unsupported calendar_interval: {civ}")
+                    tc = F.date_format(
+                        F.date_trunc(civ, F.col(sspec["field"])),
+                        "yyyy-MM-dd")
+                    rc = F.col(f"_k{i}")
+                else:
+                    raise ValueError(
+                        f"unsupported composite source: {skind} "
+                        "(terms / histogram / date_histogram)")
+                typed.append(tc.alias(f"_k{i}"))
+                rendered.append(rc)
+                srcnames.append(sname)
+            g = store.groupBy(*typed).agg(
+                F.count(F.lit(1)).alias("doc_count"))
+            for i in range(len(typed)):
+                g = g.filter(F.col(f"_k{i}").isNotNull())
+            if after:
+                # strictly-greater lexicographic tuple predicate (ES
+                # excludes the after bucket itself); typed comparisons,
+                # so histogram keys page numerically
+                pred = F.lit(False)
+                eqs = F.lit(True)
+                for i, sn in enumerate(srcnames):
+                    if sn not in after:
+                        raise ValueError(f"after key missing source {sn}")
+                    c = F.col(f"_k{i}")
+                    pred = pred | (eqs & (c > F.lit(after[sn])))
+                    eqs = eqs & (c == F.lit(after[sn]))
+                g = g.filter(pred)
+            g = g.orderBy(*[F.asc(f"_k{i}")
+                            for i in range(len(typed))]).limit(csize)
+            b = g.select(F.lit(name).alias("agg"),
+                         F.concat_ws("|", *rendered).alias("key"),
+                         "doc_count", F.lit(None).alias("value"))
         elif akind == "date_histogram":
             iv = aspec.get("calendar_interval", "day")
             if iv not in ("day", "month", "year"):
@@ -2382,7 +2615,61 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                          F.lit(None).alias("doc_count"), "value"))
         else:
             raise ValueError(f"unsupported agg kind: {akind}")
+        if akind in ("date_histogram", "histogram") and sub:
+            # nested cumulative_sum over the histogram's bucket counts
+            # (the ES parent pipeline agg): a running sum across buckets
+            # in key order. The window input is the BUCKET relation
+            # (cardinality = bucket count, never doc count), so the
+            # single-partition window is bounded by construction.
+            okey = (F.col("key") if akind == "date_histogram"
+                    else F.col("key").cast("double"))
+            for sname, sspec in sub.items():
+                skind, sspec2 = next(iter(sspec.items()))
+                if (skind != "cumulative_sum"
+                        or str(sspec2.get("buckets_path")) != "_count"):
+                    raise ValueError(
+                        "histogram sub-aggregations support "
+                        "cumulative_sum over _count")
+                csw = (Window.orderBy(okey.asc())
+                       .rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))
+                cs = b.select(
+                    F.lit(f"{name}.{sname}").alias("agg"), "key",
+                    F.lit(None).cast("bigint").alias("doc_count"),
+                    F.sum(F.col("doc_count")).over(csw)
+                    .cast("double").alias("value"))
+                b = b.unionByName(cs)
+        if akind in ("terms", "date_histogram", "histogram",
+                     "composite"):
+            bucket_dfs[name] = b
         outs.append(b.select(*out_cols))
+    for name, akind, aspec in deferred:
+        # sibling pipeline aggs: one scalar over another agg's buckets,
+        # addressed by buckets_path "ref>_count" (bucket doc counts) or
+        # "ref>metric" (a sub-metric's rows). Computed from the already-
+        # built bucket relation — no second pass over the match set.
+        path = str(aspec["buckets_path"])
+        ref, _, metric = path.partition(">")
+        src = bucket_dfs.get(ref)
+        if src is None:
+            raise ValueError(
+                f"buckets_path {path!r} references no bucket "
+                "aggregation in this body")
+        if metric in ("", "_count"):
+            vals = (src.filter(F.col("agg") == ref)
+                    .select(F.col("doc_count").cast("double").alias("v")))
+        else:
+            vals = (src.filter(F.col("agg") == f"{ref}.{metric}")
+                    .select(F.col("value").cast("double").alias("v")))
+        fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+              "min_bucket": F.min, "max_bucket": F.max}[akind]
+        b = (vals.agg(fn(F.col("v")).alias("value"))
+             .select(F.lit(name).alias("agg"),
+                     F.lit(akind).alias("key"),
+                     F.lit(None).alias("doc_count"), "value"))
+        outs.append(b.select(*out_cols))
+    if not outs:
+        raise ValueError("body has no aggs")
     res = outs[0]
     for b in outs[1:]:
         res = res.unionByName(b)

@@ -299,7 +299,13 @@ def test_phrase_prefix_leaves_in_bool(idx):
                  {"match_phrase_prefix": {"text": "node zzzqq"}}],
     }}}, size=15).collect()
     assert dead == []
-    with pytest.raises(ValueError, match="slop"):
-        es_search(idx, {"query": {"bool": {"must": [
-            {"match_phrase_prefix": {"text": {"query": "node curso",
-                                              "slop": 1}}}]}}}, size=5)
+    # sloppy phrase-prefix inside bool (the r5 rejection retired):
+    # leaf slop passes through, equal to search_phrase_prefix(slop=1)
+    sgot = es_search(idx, {"query": {"bool": {"must": [
+        {"match_phrase_prefix": {"text": {"query": "node curso",
+                                          "slop": 1}}}]}}},
+                     size=15).collect()
+    swant = idx.search_phrase_prefix("node curso", 15,
+                                     slop=1).collect()
+    assert sgot and [(r["doc_id"], r["score"]) for r in sgot] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in swant]

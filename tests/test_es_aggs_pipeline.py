@@ -1,0 +1,218 @@
+"""ES composite / top_hits / pipeline aggregations and the terms_set /
+pinned query kinds (round 5 closing surface), each checked against an
+independent pure-python oracle over the collected fixture corpus.
+
+Reference context: the reference delegates every aggregation to
+Elasticsearch (wapo/index_es.py builds the index; its experiments read
+aggregates back); these are the remaining agg/query kinds of that ES
+surface a switching user would expect.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from newssearchengine_spark.config import IndexConfig
+from newssearchengine_spark.datagen import source_files
+from newssearchengine_spark.oracle import pure
+from newssearchengine_spark.plans.dsl import es_aggs, es_search
+from newssearchengine_spark.plans.index_build import build_index
+from newssearchengine_spark.plans.search import SegmentIndex
+from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+CFG = IndexConfig(n_buckets=4, doc_range=128, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """150-doc corpus with numeric + categorical meta and a per-doc msm
+    column (1 + doc_id % 3) for the terms_set field form."""
+    root = tmp_path_factory.mktemp("aggs2")
+    docs = (assign_doc_ids(source_files(spark, 150, seed=31, partitions=3),
+                           num_partitions=3)
+            .withColumn("msm", (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
+                        .cast("int")))
+    d = str(root / "idx")
+    # content_len is added to the doc_store by build_index itself
+    build_index(docs, d, CFG, meta_cols=("lang", "msm"), resume=False)
+    si = SegmentIndex(spark, d)
+    rows = docs.select("doc_id", "lang", "msm",
+                       F.length("content").alias("content_len"),
+                       F.col("content").alias("text")).collect()
+    return si, rows
+
+
+def _matching(si, rows, text):
+    terms = set(si.analyze_query(text))
+    return [r for r in rows
+            if terms & set(pure.analyze(r["text"], si.analyzer))]
+
+
+def test_composite_pagination_walk(corpus):
+    """Walking composite pages with after-keys enumerates EVERY bucket
+    exactly once, in (lang, bucket) order, with exact counts — the ES
+    composite contract (strictly-after resume, no bucket queue)."""
+    si, rows = corpus
+    want = Counter((r["lang"], (r["content_len"] // 50) * 50)
+                   for r in rows)
+    sources = [{"l": {"terms": {"field": "lang"}}},
+               {"h": {"histogram": {"field": "content_len",
+                                    "interval": 50}}}]
+    seen: list[tuple[str, int, int]] = []
+    after = None
+    for _ in range(100):
+        spec = {"size": 3, "sources": sources}
+        if after is not None:
+            spec["after"] = after
+        page = [r for r in es_aggs(
+            si, {"aggs": {"c": {"composite": spec}}}).collect()]
+        if not page:
+            break
+        for r in page:
+            l_, h_ = r["key"].split("|")
+            seen.append((l_, int(h_), r["doc_count"]))
+        after = {"l": seen[-1][0], "h": seen[-1][1]}
+    assert len(seen) == len(want)
+    assert [(k[0], k[1]) for k in seen] == sorted((k for k in want))
+    assert all(want[(l_, h_)] == c for l_, h_, c in seen)
+
+
+def test_top_hits_under_terms(corpus):
+    """top_hits sub-agg: per surviving bucket, the size-N docs by the
+    sort field (desc, doc_id tie), encoded (agg=parent.child, key=bucket,
+    doc_count=doc_id, value=sort value)."""
+    si, rows = corpus
+    match = _matching(si, rows, "node cursor")
+    counts = Counter(r["lang"] for r in match)
+    keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    body = {"query": {"match": {"text": "node cursor"}},
+            "aggs": {"g": {"terms": {"field": "lang", "size": 2},
+                     "aggs": {"top": {"top_hits": {
+                         "size": 3,
+                         "sort": [{"content_len": {"order": "desc"}}]}}}}}}
+    got = es_aggs(si, body).collect()
+    got_hits = {(r["key"], r["doc_count"], r["value"])
+                for r in got if r["agg"] == "g.top"}
+    want_hits = set()
+    for lang, _ in keep:
+        bucket = sorted((r for r in match if r["lang"] == lang),
+                        key=lambda r: (-r["content_len"], r["doc_id"]))[:3]
+        want_hits |= {(lang, r["doc_id"], float(r["content_len"]))
+                      for r in bucket}
+    assert got_hits == want_hits
+    with pytest.raises(ValueError, match="_score"):
+        es_aggs(si, {"aggs": {"g": {"terms": {"field": "lang"},
+                     "aggs": {"t": {"top_hits": {
+                         "sort": [{"_score": {"order": "desc"}}]}}}}}})
+    with pytest.raises(ValueError, match="sort"):
+        es_aggs(si, {"aggs": {"g": {"terms": {"field": "lang"},
+                     "aggs": {"t": {"top_hits": {"size": 1}}}}}})
+
+
+def test_pipeline_cumsum_and_siblings(corpus):
+    """Nested cumulative_sum runs across histogram buckets in key order;
+    sibling {sum,avg,min,max}_bucket reduce the referenced agg's bucket
+    counts to a scalar."""
+    si, rows = corpus
+    want = Counter((r["content_len"] // 100) * 100 for r in rows)
+    keys = sorted(want)
+    body = {"aggs": {
+        "h": {"histogram": {"field": "content_len", "interval": 100},
+              "aggs": {"cs": {"cumulative_sum": {"buckets_path": "_count"}}}},
+        "tot": {"sum_bucket": {"buckets_path": "h>_count"}},
+        "avg": {"avg_bucket": {"buckets_path": "h>_count"}},
+        "hi": {"max_bucket": {"buckets_path": "h>_count"}},
+    }}
+    got = es_aggs(si, body).collect()
+    got_cs = {int(r["key"]): r["value"] for r in got if r["agg"] == "h.cs"}
+    run = 0
+    for k in keys:
+        run += want[k]
+        assert got_cs[k] == float(run)
+    scal = {r["agg"]: r["value"] for r in got
+            if r["agg"] in ("tot", "avg", "hi")}
+    assert scal["tot"] == float(len(rows))
+    assert scal["avg"] == pytest.approx(len(rows) / len(keys))
+    assert scal["hi"] == float(max(want.values()))
+    with pytest.raises(ValueError, match="buckets_path"):
+        es_aggs(si, {"aggs": {"x": {"sum_bucket":
+                                    {"buckets_path": "nope>_count"}}}})
+
+
+def test_terms_set_constant_equals_bool_msm(corpus):
+    """terms_set with a constant minimum_should_match IS the bool-should
+    msm query (Lucene CoveringQuery == BooleanQuery.setMinimumNumberShould
+    for constant minimums): rank/score-identical."""
+    si, _ = corpus
+    terms = ["node", "cursor", "shard", "stream"]
+    got = es_search(si, {"query": {"terms_set": {"text": {
+        "terms": terms, "minimum_should_match": 2}}}}, size=15).collect()
+    want = si.search_bool(should=terms,
+                          minimum_should_match=2, k=15).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in want]
+    # msm > |terms| -> empty, like ES
+    assert es_search(si, {"query": {"terms_set": {"text": {
+        "terms": terms, "minimum_should_match": 9}}}}, size=5).collect() == []
+
+
+def test_terms_set_field_form(corpus):
+    """terms_set minimum_should_match_field: each doc's own msm column
+    (1 + doc_id % 3) gates it — python oracle over distinct-match counts
+    and BM25 should-sums."""
+    si, rows = corpus
+    terms = ["node", "cursor", "shard"]
+    toks = [si.analyze_query(t)[0] for t in terms]
+    got = es_search(si, {"query": {"terms_set": {"text": {
+        "terms": terms,
+        "minimum_should_match_field": "msm"}}}}, size=200).collect()
+
+    # oracle: analyze every doc, count matching distinct terms, sum BM25
+    docs_terms = {r["doc_id"]: Counter(pure.analyze(r["text"], si.analyzer))
+                  for r in rows}
+    n = len(rows)
+    avgdl = sum(sum(c.values()) for c in docs_terms.values()) / n
+    df = {t: sum(1 for c in docs_terms.values() if t in c) for t in toks}
+    k1, b = 1.2, 0.75
+    want = []
+    for r in rows:
+        c = docs_terms[r["doc_id"]]
+        hit = [t for t in toks if t in c]
+        if len(hit) < max(r["msm"], 1):
+            continue
+        dl = sum(c.values())
+        s = 0.0
+        for t in hit:
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (c[t] * (k1 + 1)) / (
+                c[t] + k1 * (1 - b + b * dl / avgdl))
+        want.append((r["doc_id"], round(s, 6)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["doc_id"], r["score"]) for r in got] == want[:200]
+    assert want, "fixture must produce field-form matches"
+
+
+def test_pinned_query(corpus):
+    """pinned: listed ids first in list order at the synthetic-score
+    convention 1e12*(len-pos); absent ids dropped; organic excludes the
+    pinned set and keeps its own rounded-score order."""
+    si, _ = corpus
+    organic = {"match": {"text": "node cursor"}}
+    base = es_search(si, {"query": organic}, size=10).collect()
+    assert len(base) >= 5
+    pin = [base[3]["doc_id"], base[0]["doc_id"], 10 ** 9]  # last is absent
+    got = es_search(si, {"query": {"pinned": {
+        "ids": pin, "organic": organic}}}, size=8).collect()
+    assert [r["doc_id"] for r in got[:2]] == pin[:2]
+    assert got[0]["score"] == 3e12 and got[1]["score"] == 2e12
+    organic_tail = [r["doc_id"] for r in base
+                    if r["doc_id"] not in pin]
+    assert [r["doc_id"] for r in got[2:]] == organic_tail[:6]
+    assert all(r["score"] == round(r["score"], 6) for r in got[2:])
+    with pytest.raises(ValueError, match="unique"):
+        es_search(si, {"query": {"pinned": {"ids": [1, 1],
+                                            "organic": organic}}}, size=5)
