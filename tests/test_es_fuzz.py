@@ -628,3 +628,62 @@ def test_random_agg_bodies_match_python_oracle(fuzz_index):
         card = [g for g in got if g["agg"] == "nrepo"]
         assert card[0]["value"] == float(len(counts))
     assert checked >= 7
+
+
+def test_random_terms_set_and_pinned_bodies(fuzz_index):
+    """Random terms_set bodies (constant-msm form) and pinned bodies
+    over random organic queries, each vs the pure-python oracle:
+    terms_set = distinct-matched-term count >= m with the bool-should
+    BM25 sum; pinned = the live listed ids in order, then the organic
+    order with the pinned set removed."""
+    si, oidx, dt, raw, _repo = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 6)
+
+    n_nonempty = 0
+    for i in range(12):
+        terms = rng.sample(vocab, rng.randint(2, 5))
+        m = rng.randint(1, len(terms) + 1)  # may exceed -> empty, like ES
+        body = {"query": {"terms_set": {"text": {
+            "terms": terms, "minimum_should_match": m}}}}
+        got = [(r["doc_id"], r["score"]) for r in
+               es_search(si, body, size=len(raw) + 10).collect()]
+        want = []
+        for d in raw:
+            hit = [t for t in set(terms) if t in dt[d]]
+            if len(hit) >= max(m, 1) and m <= len(set(terms)):
+                want.append((d, round(oidx.score(hit, d), 6)))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        assert got == want, (
+            f"terms_set body #{i} (seed {SEED + 6:#x}) mismatch: "
+            f"terms={terms} m={m}")
+        n_nonempty += bool(want)
+    assert n_nonempty >= 4
+
+    for i in range(8):
+        org_terms = rng.sample(vocab, rng.randint(1, 3))
+        organic = {"match": {"text": " ".join(org_terms)}}
+        base = oidx.search(org_terms, len(raw))
+        # pin a mix of organic hits, random live ids, and absent ids
+        pool = ([d for d, _ in base[:5]]
+                + rng.sample(sorted(raw), 2) + [10 ** 9 + i])
+        rng.shuffle(pool)
+        pins, seen = [], set()
+        for d in pool[: rng.randint(1, 4)]:
+            if d not in seen:
+                pins.append(d)
+                seen.add(d)
+        size = rng.randint(3, 12)
+        got = [(r["doc_id"], r["score"]) for r in es_search(
+            si, {"query": {"pinned": {"ids": pins, "organic": organic}}},
+            size=size).collect()]
+        live_pins = [d for d in pins if d in raw]
+        want = [(d, (len(pins) - pins.index(d)) * 1e12)
+                for d in live_pins]
+        org_rounded = sorted(
+            ((d, round(s, 6)) for d, s in base if d not in pins),
+            key=lambda x: (-x[1], x[0]))
+        want += org_rounded
+        assert got == want[:size], (
+            f"pinned body #{i} (seed {SEED + 6:#x}) mismatch: "
+            f"pins={pins} size={size}")
