@@ -113,6 +113,8 @@ _PRIORITY = [
     # (cumulative_sum + sibling *_bucket) aggregations
     "ft_terms_set", "ft_pinned", "ft_es_composite", "ft_es_top_hits",
     "ft_es_pipeline",
+    # rank_feature: monotone feature-field scoring off the doc store
+    "ft_rank_feature",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -3170,3 +3170,30 @@ def ft_es_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total": {"sum_bucket": {"buckets_path": "hist>_count"}},
         "mean": {"avg_bucket": {"buckets_path": "hist>_count"}}}}
     return es_aggs(si, body)
+
+
+def _rank_feature_sql(k: int) -> str:
+    return f"""WITH sc AS (
+  SELECT doc_id,
+         round(2.0 * (n_chars / (n_chars + 200.0)), 6) AS score
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_rank_feature", _rank_feature_sql(TOP_K))
+def ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rank_feature` query: docs carrying the feature field scored
+    by boost * saturation(x) = boost * x/(x+pivot) — a pushed-down
+    doc-store scan + one Catalyst expression, no postings. The log /
+    sigmoid functions and the bool.should composition (via
+    function_score) are pytest-covered."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"rank_feature": {
+        "field": "n_chars", "boost": 2.0,
+        "saturation": {"pivot": 200}}}}
+    return es_search(si, body, size=TOP_K)

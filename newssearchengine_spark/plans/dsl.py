@@ -1696,6 +1696,50 @@ def es_search(indexes, body: dict, size: int = 10, *,
             raise ValueError("empty range condition")
         return one()._exclude_dead(one().doc_store().filter(pred))
 
+    if kind == "rank_feature":
+        # ES rank_feature: docs carrying the feature field, scored by a
+        # monotone function of its value — boost * saturation
+        # x/(x+pivot), boost * log ln(scaling_factor + x), or boost *
+        # sigmoid x^e/(x^e + pivot^e). Docs without the field do not
+        # match (the ES contract). Pure doc-store Catalyst: pushed-down
+        # notNull scan + one expression + TakeOrderedAndProject — no
+        # postings, no Python. ES's pivot-less saturation default (an
+        # approximate geometric mean) is rejected honestly: pass the
+        # pivot. To COMBINE with relevance the way ES users put
+        # rank_feature in bool.should, use function_score
+        # (field_value_factor / functions list, boost_mode=sum) — same
+        # algebra, served by the WAND-probed exact regimes.
+        feat = str(spec["field"])
+        boost = float(spec.get("boost", 1.0))
+        x = F.col(feat).cast("double")
+        if "log" in spec:
+            sf = float(spec["log"]["scaling_factor"])
+            fx = F.log(F.lit(sf) + x)
+        elif "sigmoid" in spec:
+            piv = float(spec["sigmoid"]["pivot"])
+            ex = float(spec["sigmoid"]["exponent"])
+            fx = (F.pow(x, ex)
+                  / (F.pow(x, ex) + F.lit(piv ** ex)))
+        else:
+            sat = spec.get("saturation") or {}
+            if "pivot" not in sat:
+                raise ValueError(
+                    "rank_feature needs saturation.pivot (or log / "
+                    "sigmoid) — ES's pivot-less default is an "
+                    "approximate corpus statistic, not reproducible")
+            piv = float(sat["pivot"])
+            fx = x / (x + F.lit(piv))
+        si = one()
+        scored = (si._exclude_dead(si.doc_store())
+                  .filter(x.isNotNull())
+                  .select("doc_id",
+                          F.round(F.lit(boost) * fx, 6).alias("score")))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+            "doc_id", "score")
+
     if kind == "terms_set":
         # ES terms_set: {"terms_set": {field: {"terms": [...],
         # "minimum_should_match_field": col}}} (or the ES 8.10+ constant
@@ -2286,8 +2330,13 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
             raise ValueError(
                 "sub-aggregations are supported under terms / "
                 "date_histogram / histogram buckets")
-        if akind == "significant_terms":
-            # ES significant_terms over the indexed text field: JLH of
+        if akind in ("significant_terms", "significant_text"):
+            # ES significant_terms / significant_text over the indexed
+            # text field: this engine analyzes the text into the index,
+            # so the two ES kinds coincide (significant_text re-analyzes
+            # _source at query time because ES text fields may not be
+            # indexed with doc values; here the postings ARE the
+            # analyzed text). JLH of
             # the query's foreground (matching docs) vs the corpus
             # background — routed to the gated index operator. key =
             # term, doc_count = foreground df, value = JLH score.

@@ -216,3 +216,29 @@ def test_pinned_query(corpus):
     with pytest.raises(ValueError, match="unique"):
         es_search(si, {"query": {"pinned": {"ids": [1, 1],
                                             "organic": organic}}}, size=5)
+
+
+def test_rank_feature_functions(corpus):
+    """rank_feature saturation/log/sigmoid against closed-form python
+    over the doc-store field; docs without the field never match;
+    pivot-less saturation rejects."""
+    si, rows = corpus
+    piv, sf, ex = 150.0, 2.0, 2.0
+    for body, fn in [
+        ({"field": "content_len", "boost": 3.0,
+          "saturation": {"pivot": piv}},
+         lambda x: 3.0 * x / (x + piv)),
+        ({"field": "content_len", "log": {"scaling_factor": sf}},
+         lambda x: math.log(sf + x)),
+        ({"field": "content_len",
+          "sigmoid": {"pivot": piv, "exponent": ex}},
+         lambda x: x ** ex / (x ** ex + piv ** ex)),
+    ]:
+        got = es_search(si, {"query": {"rank_feature": body}},
+                        size=25).collect()
+        want = sorted(((r["doc_id"], round(fn(r["content_len"]), 6))
+                       for r in rows), key=lambda t: (-t[1], t[0]))[:25]
+        assert [(r["doc_id"], r["score"]) for r in got] == want
+    with pytest.raises(ValueError, match="pivot"):
+        es_search(si, {"query": {"rank_feature":
+                                 {"field": "content_len"}}}, size=5)

@@ -734,6 +734,15 @@ def test_es_aggs_significant_terms(spark, tmp_path):
     with pytest.raises(ValueError, match="query scope"):
         es_aggs(si, {"aggs": {"sig": {"significant_terms": {
             "field": "content"}}}})
+    # significant_text is the same computation here: the postings ARE
+    # the analyzed text (ES re-analyzes _source only because its text
+    # fields may lack doc values)
+    body_st = {"query": {"match": {"content": "stream sort"}},
+               "aggs": {"sig": {"significant_text": {"field": "content",
+                                                     "size": 5}}}}
+    got_st = sorted(es_aggs(si, body_st).collect(),
+                    key=lambda r: (-r["value"], r["key"]))
+    assert [tuple(r) for r in got_st] == [tuple(r) for r in got]
 
 
 def test_match_all_and_constant_score(two_field):
