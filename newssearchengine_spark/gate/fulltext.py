@@ -3137,8 +3137,10 @@ def _es_pipeline_sql() -> str:
   FROM documents GROUP BY 1
 ),
 cs AS (
-  SELECT k, sum(doc_count) OVER (ORDER BY k
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  SELECT k,
+         sum(doc_count) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         doc_count - lag(doc_count) OVER (ORDER BY k) AS d
   FROM g
 )
 SELECT 'hist' AS agg, k::VARCHAR AS key, doc_count,
@@ -3146,29 +3148,43 @@ SELECT 'hist' AS agg, k::VARCHAR AS key, doc_count,
 UNION ALL
 SELECT 'hist.cum', k::VARCHAR, CAST(NULL AS BIGINT), v::DOUBLE FROM cs
 UNION ALL
+SELECT 'hist.der', k::VARCHAR, CAST(NULL AS BIGINT), d::DOUBLE
+FROM cs WHERE d IS NOT NULL
+UNION ALL
 SELECT 'total', 'sum_bucket', CAST(NULL AS BIGINT),
        (SELECT sum(doc_count)::DOUBLE FROM g)
 UNION ALL
 SELECT 'mean', 'avg_bucket', CAST(NULL AS BIGINT),
-       (SELECT avg(doc_count)::DOUBLE FROM g)"""
+       (SELECT avg(doc_count)::DOUBLE FROM g)
+UNION ALL
+SELECT 'pct', '50.0', CAST(NULL AS BIGINT),
+       (SELECT quantile_cont(doc_count, 0.5) FROM g)
+UNION ALL
+SELECT 'pct', '95.0', CAST(NULL AS BIGINT),
+       (SELECT quantile_cont(doc_count, 0.95) FROM g)"""
 
 
 @gate_query("ft_es_pipeline", _es_pipeline_sql())
 def ft_es_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES pipeline aggregations: nested `cumulative_sum` across
-    histogram buckets in key order, plus sibling `sum_bucket` /
-    `avg_bucket` scalars over the same buckets — computed from the
-    bucket relation (bucket-count cardinality), never a second pass
-    over the corpus."""
+    """ES pipeline aggregations: nested `cumulative_sum` and
+    `derivative` across histogram buckets in key order (the derivative
+    skips the first bucket, like ES), plus sibling `sum_bucket` /
+    `avg_bucket` / exact `percentiles_bucket` over the same buckets —
+    all computed from the bucket relation (bucket-count cardinality),
+    never a second pass over the corpus."""
     from ..plans.dsl import es_aggs
 
     si = _gate_index(spark, sf_dir)
     body = {"aggs": {
         "hist": {"histogram": {"field": "n_chars", "interval": 100},
                  "aggs": {"cum": {"cumulative_sum":
+                                  {"buckets_path": "_count"}},
+                          "der": {"derivative":
                                   {"buckets_path": "_count"}}}},
         "total": {"sum_bucket": {"buckets_path": "hist>_count"}},
-        "mean": {"avg_bucket": {"buckets_path": "hist>_count"}}}}
+        "mean": {"avg_bucket": {"buckets_path": "hist>_count"}},
+        "pct": {"percentiles_bucket": {"buckets_path": "hist>_count",
+                                       "percents": [50, 95]}}}}
     return es_aggs(si, body)
 
 

@@ -2317,7 +2317,8 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
     # pipeline aggs defer to a second pass so order in the body
     # doesn't matter (ES resolves paths the same way)
     bucket_dfs: dict[str, DataFrame] = {}
-    _PIPELINE = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    _PIPELINE = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+                 "percentiles_bucket")
     deferred: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
         sub = spec.get("aggs") or spec.get("aggregations") or {}
@@ -2665,28 +2666,37 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
         else:
             raise ValueError(f"unsupported agg kind: {akind}")
         if akind in ("date_histogram", "histogram") and sub:
-            # nested cumulative_sum over the histogram's bucket counts
-            # (the ES parent pipeline agg): a running sum across buckets
-            # in key order. The window input is the BUCKET relation
-            # (cardinality = bucket count, never doc count), so the
-            # single-partition window is bounded by construction.
+            # nested parent pipeline aggs over the histogram's bucket
+            # counts: cumulative_sum (running sum in key order) and
+            # derivative (delta vs the previous bucket; the first bucket
+            # emits no row, like ES). The window input is the BUCKET
+            # relation (cardinality = bucket count, never doc count), so
+            # the single-partition window is bounded by construction.
             okey = (F.col("key") if akind == "date_histogram"
                     else F.col("key").cast("double"))
+            base_b = b  # the bucket rows only, whatever subs are added
             for sname, sspec in sub.items():
                 skind, sspec2 = next(iter(sspec.items()))
-                if (skind != "cumulative_sum"
+                if (skind not in ("cumulative_sum", "derivative")
                         or str(sspec2.get("buckets_path")) != "_count"):
                     raise ValueError(
                         "histogram sub-aggregations support "
-                        "cumulative_sum over _count")
-                csw = (Window.orderBy(okey.asc())
-                       .rowsBetween(Window.unboundedPreceding,
-                                    Window.currentRow))
-                cs = b.select(
+                        "cumulative_sum / derivative over _count")
+                if skind == "cumulative_sum":
+                    csw = (Window.orderBy(okey.asc())
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+                    val = F.sum(F.col("doc_count")).over(csw)
+                else:
+                    dw = Window.orderBy(okey.asc())
+                    val = (F.col("doc_count")
+                           - F.lag(F.col("doc_count")).over(dw))
+                cs = base_b.select(
                     F.lit(f"{name}.{sname}").alias("agg"), "key",
                     F.lit(None).cast("bigint").alias("doc_count"),
-                    F.sum(F.col("doc_count")).over(csw)
-                    .cast("double").alias("value"))
+                    val.cast("double").alias("value"))
+                if skind == "derivative":
+                    cs = cs.filter(F.col("value").isNotNull())
                 b = b.unionByName(cs)
         if akind in ("terms", "date_histogram", "histogram",
                      "composite"):
@@ -2710,12 +2720,27 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
         else:
             vals = (src.filter(F.col("agg") == f"{ref}.{metric}")
                     .select(F.col("value").cast("double").alias("v")))
-        fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
-              "min_bucket": F.min, "max_bucket": F.max}[akind]
-        b = (vals.agg(fn(F.col("v")).alias("value"))
-             .select(F.lit(name).alias("agg"),
-                     F.lit(akind).alias("key"),
-                     F.lit(None).alias("doc_count"), "value"))
+        if akind == "percentiles_bucket":
+            # exact interpolated percentiles over the bucket values
+            # (ES computes these exactly too — the bucket list is small)
+            pcts = [float(p) for p in
+                    aspec.get("percents", [1, 5, 25, 50, 75, 95, 99])]
+            exprs = [F.percentile(F.col("v"), p / 100.0).alias(f"_p{i}")
+                     for i, p in enumerate(pcts)]
+            stacked = ", ".join(f"'{p}', _p{i}"
+                                for i, p in enumerate(pcts))
+            b = (vals.agg(*exprs)
+                 .selectExpr(f"stack({len(pcts)}, {stacked}) "
+                             "as (key, value)")
+                 .select(F.lit(name).alias("agg"), "key",
+                         F.lit(None).alias("doc_count"), "value"))
+        else:
+            fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                  "min_bucket": F.min, "max_bucket": F.max}[akind]
+            b = (vals.agg(fn(F.col("v")).alias("value"))
+                 .select(F.lit(name).alias("agg"),
+                         F.lit(akind).alias("key"),
+                         F.lit(None).alias("doc_count"), "value"))
         outs.append(b.select(*out_cols))
     if not outs:
         raise ValueError("body has no aggs")

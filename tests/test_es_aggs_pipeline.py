@@ -141,6 +141,24 @@ def test_pipeline_cumsum_and_siblings(corpus):
     with pytest.raises(ValueError, match="buckets_path"):
         es_aggs(si, {"aggs": {"x": {"sum_bucket":
                                     {"buckets_path": "nope>_count"}}}})
+    # derivative (first bucket emits no row, like ES) + exact
+    # percentiles_bucket over the same bucket counts
+    body2 = {"aggs": {
+        "h": {"histogram": {"field": "content_len", "interval": 100},
+              "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}},
+        "p": {"percentiles_bucket": {"buckets_path": "h>_count",
+                                     "percents": [50]}}}}
+    got2 = es_aggs(si, body2).collect()
+    got_d = {int(r["key"]): r["value"] for r in got2 if r["agg"] == "h.d"}
+    assert set(got_d) == set(keys[1:])
+    for prev, k in zip(keys, keys[1:]):
+        assert got_d[k] == float(want[k] - want[prev])
+    med = sorted(want.values())
+    n = len(med)
+    exact = (med[n // 2] if n % 2 else (med[n // 2 - 1] + med[n // 2]) / 2)
+    p_row = [r for r in got2 if r["agg"] == "p"]
+    assert p_row[0]["key"] == "50.0"
+    assert p_row[0]["value"] == pytest.approx(float(exact))
 
 
 def test_terms_set_constant_equals_bool_msm(corpus):
