@@ -2188,6 +2188,51 @@ def es_msearch(indexes, bodies: list[dict], size: int = 10, *,
     return res
 
 
+def es_scroll(indexes, body: dict, *, page_size: int = 100,
+              max_pages: int | None = None):
+    """ES scroll / point-in-time pagination as a generator of page
+    DataFrames — the deep-export shape (`scroll=1m` / PIT +
+    `search_after` in ES 8). Each page is an exact continuation: the
+    cursor cut runs INSIDE the per-part scorers
+    (SegmentIndex.search(after=...)), so the skipped prefix is never
+    re-materialized — unlike from/size, page N costs the same as page 1.
+    The index is immutable between pages (a real PIT: tombstones laid
+    down mid-scroll do not change an open scroll's view only if the
+    caller holds the page DataFrames; re-collecting re-reads — document
+    shape, like ES's refresh semantics).
+
+    Supported bodies: the search_after-able shapes (single-field
+    unboosted OR queries — match / pure-OR query_string / multi_match).
+    Yields (rank, doc_id, score) pages re-ranked from 0 like ES scroll
+    responses; stops at the first short page (or after max_pages).
+    """
+    cursor = None
+    pages = 0
+    while max_pages is None or pages < max_pages:
+        b = dict(body)
+        if cursor is not None:
+            b["search_after"] = [cursor[0], cursor[1]]
+        page = es_search(indexes, b, size=page_size)
+        rows = page.collect()
+        if not rows:
+            return
+        import pandas as pd  # local: keep the module import surface flat
+
+        si0 = (next(iter(indexes.values()))
+               if isinstance(indexes, dict) else indexes)
+        yield si0.spark.createDataFrame(
+            pd.DataFrame({
+                "rank": [r["rank"] for r in rows],
+                "doc_id": [r["doc_id"] for r in rows],
+                "score": [r["score"] for r in rows]}),
+            "rank bigint, doc_id bigint, score double")
+        last = rows[-1]
+        cursor = (float(last["score"]), int(last["doc_id"]))
+        pages += 1
+        if len(rows) < page_size:
+            return
+
+
 def es_search_indices(indices: dict, body: dict,
                       size: int = 10) -> DataFrame:
     """ES multi-INDEX search — ``GET /idx1,idx2/_search``, the surface

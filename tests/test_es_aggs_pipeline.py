@@ -260,3 +260,25 @@ def test_rank_feature_functions(corpus):
     with pytest.raises(ValueError, match="pivot"):
         es_search(si, {"query": {"rank_feature":
                                  {"field": "content_len"}}}, size=5)
+
+
+def test_es_scroll_pages_equal_slices(corpus):
+    """es_scroll yields exact continuation pages: concatenated pages ==
+    one deep search, each page re-ranked from 0, no page re-reads the
+    skipped prefix (the search_after cursor contract)."""
+    from newssearchengine_spark.plans.dsl import es_scroll
+
+    si, _ = corpus
+    body = {"query": {"match": {"text": "node cursor"}}}
+    deep = es_search(si, body, size=10 ** 6).collect()
+    assert len(deep) > 7
+    pages = [p.collect() for p in es_scroll(si, body, page_size=3)]
+    flat = [r for p in pages for r in p]
+    assert [(r["doc_id"], r["score"]) for r in flat] == \
+        [(r["doc_id"], r["score"]) for r in deep]
+    assert all([r["rank"] for r in p] == list(range(len(p)))
+               for p in pages)
+    assert all(len(p) == 3 for p in pages[:-1])
+    # max_pages bounds the walk
+    two = list(es_scroll(si, body, page_size=3, max_pages=2))
+    assert len(two) == 2

@@ -265,3 +265,33 @@ def test_function_score_fns_distributed_plan(spark, tmp_path, monkeypatch):
     assert "GreaterThanOrEqual(content_len,150)" in p, p
     assert p.count("BroadcastHashJoin") == 2, p
     assert out.count() > 0
+
+
+def test_composite_agg_single_aggregation(spark, tmp_path):
+    """The composite aggregation is ONE hash aggregation + a sorted cut:
+    no window, no second shuffle stage beyond the partial/final agg
+    exchange, and the corpus-wide form reads the doc store straight."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.dsl import es_aggs
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import SegmentIndex
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    corpus = assign_doc_ids(source_files(spark, 200, seed=6, partitions=2),
+                            num_partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, IndexConfig(n_buckets=4, doc_range=128),
+                meta_cols=("lang",), resume=False)
+    si = SegmentIndex(spark, d, cache=False)
+    q = es_aggs(si, {"aggs": {"c": {"composite": {
+        "size": 5, "after": {"l": "de", "h": 100},
+        "sources": [
+            {"l": {"terms": {"field": "lang"}}},
+            {"h": {"histogram": {"field": "content_len",
+                                 "interval": 100}}}]}}}})
+    p = plan(q)
+    assert p.count("HashAggregate") <= 4   # partial+final (AQE may split)
+    assert "Window" not in p               # sorted cut, not a rank window
+    # the doc store is scanned once (the second scan is the tombstone
+    # sidecar _exclude_dead always consults)
+    assert p.count("Scan parquet") <= 2
