@@ -115,6 +115,8 @@ _PRIORITY = [
     "ft_es_pipeline",
     # rank_feature: monotone feature-field scoring off the doc store
     "ft_rank_feature",
+    # multi_match cross_fields: blended-df BlendedTermQuery statistics
+    "ft_mm_cross_fields",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

@@ -3213,3 +3213,73 @@ def ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field": "n_chars", "boost": 2.0,
         "saturation": {"pivot": 200}}}}
     return es_search(si, body, size=TOP_K)
+
+
+_XF_TERMS = ["hash", "merge", "window", "table"]
+_XF_TIE = 0.25
+_XF_TITLE_BOOST = 2.0
+
+
+def _mm_cross_fields_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_XF_TERMS)))
+    k1, b = bm25.k1, bm25.b
+    fields = _field_ctes(_DISMAX_TITLE, "t_") + "," + _field_ctes("text", "b_")
+    fields = fields.replace("{k1}", str(k1)).replace("{b}", str(b))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+q AS (SELECT unnest([{terms_sql}]) AS term),{fields},
+bdf AS (
+  SELECT q.term,
+         greatest(coalesce(t.df, 0), coalesce(bb.df, 0)) AS df
+  FROM q LEFT JOIN t_tstats t USING (term)
+         LEFT JOIN b_tstats bb USING (term)
+),
+tp AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (t_stats.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / t_stats.avgdl))
+           * {_XF_TITLE_BOOST} AS p
+  FROM t_tf tf JOIN bdf USING (term) JOIN t_dl dl USING (doc_id)
+  CROSS JOIN t_stats WHERE bdf.df > 0
+),
+bp AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (b_stats.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / b_stats.avgdl)) AS p
+  FROM b_tf tf JOIN bdf USING (term) JOIN b_dl dl USING (doc_id)
+  CROSS JOIN b_stats WHERE bdf.df > 0
+),
+pt AS (
+  SELECT term, doc_id, max(p) AS mx, sum(p) AS sm
+  FROM (SELECT * FROM tp UNION ALL SELECT * FROM bp)
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, round(sum(mx + {_XF_TIE} * (sm - mx)), 6) AS score
+  FROM pt GROUP BY doc_id
+)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_mm_cross_fields", _mm_cross_fields_sql(TOP_K))
+def ft_mm_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match `type: cross_fields` over [title^2, text] — the
+    term-centric type (Lucene BlendedTermQuery): per-term df blends to
+    the max across fields, per-field partials use the blended idf with
+    field-local tf norms, per-term combine is max + tie_breaker *
+    (sum - max), doc score sums over terms. Served by
+    plans.search.search_cross_fields (per-field pruned scans with the
+    idf override + one hash aggregation pair)."""
+    from ..plans.dsl import es_search
+
+    idxs = {"title": _gate_title_index(spark, sf_dir),
+            "text": _gate_index(spark, sf_dir)}
+    body = {"query": {"multi_match": {
+        "type": "cross_fields",
+        "fields": [f"title^{_XF_TITLE_BOOST}", "text"],
+        "query": " ".join(_XF_TERMS),
+        "tie_breaker": _XF_TIE}}}
+    return es_search(idxs, body, size=TOP_K)

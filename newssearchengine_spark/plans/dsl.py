@@ -989,11 +989,31 @@ def es_search(indexes, body: dict, size: int = 10, *,
                         "rank", "doc_id",
                         (F.col("score") * F.lit(bf)).alias("score"))
                 return out
+            elif mtype == "cross_fields":
+                # ES cross_fields: TERM-centric — per-term statistics
+                # blend across fields (df = max), per-term combine is
+                # dismaxBlendedQuery, doc score sums over terms. The
+                # operator:'and' variant (every term required in SOME
+                # field) is a match-set change not modeled here.
+                if mm_op != "or":
+                    raise ValueError(
+                        "cross_fields supports operator 'or' (the "
+                        "and-variant changes the match set)")
+                names, boosts = _parse_boosts(
+                    list(spec.get("fields") or []))
+                if multi is None or not names or len(names) < 2:
+                    raise ValueError(
+                        "cross_fields needs a {field: SegmentIndex} "
+                        "dict and >= 2 fields")
+                from .search import search_cross_fields
+                return search_cross_fields(
+                    {f: multi[f] for f in names}, str(spec["query"]),
+                    size, tie_breaker=tb, boosts=boosts or None)
             elif mtype != "best_fields":
                 raise ValueError(
                     f"unsupported multi_match type: {mtype} "
-                    "(best_fields / most_fields / phrase / "
-                    "phrase_prefix)")
+                    "(best_fields / most_fields / cross_fields / "
+                    "phrase / phrase_prefix)")
         op, parts = _parse_query_string(str(spec["query"]))
         if (kind == "query_string"
                 and str(spec.get("default_operator", "or")).lower()

@@ -1865,11 +1865,15 @@ class SegmentIndex:
             "doc_id", "score",
         )
 
-    def _term_scores(self, terms: list[str]) -> DataFrame:
+    def _term_scores(self, terms: list[str],
+                     idf_override: dict[str, float] | None = None
+                     ) -> DataFrame:
         """(term, doc_id, score) BM25-partial relation for the given
         terms — ONE pruned segment scan shared by every clause of a
         bool tree (each posting decoded and scored exactly once, however
-        many clauses reference its term). Absent terms emit no rows."""
+        many clauses reference its term). Absent terms emit no rows.
+        `idf_override` replaces a term's idf (cross_fields blended-df
+        statistics); tf norms always use THIS field's dl/avgdl."""
         terms = sorted(set(terms))
         dfs = self.term_dfs(terms)
         terms = [t for t in terms if dfs.get(t, 0) > 0]
@@ -1882,6 +1886,9 @@ class SegmentIndex:
         n_buckets = int(self.stats["n_buckets"])
         idf_map = {t: float(lucene_idf(n_docs, float(dfs[t])))
                    for t in terms}
+        if idf_override:
+            idf_map.update({t: float(v) for t, v in idf_override.items()
+                            if t in idf_map})
         buckets = sorted({term_bucket(t, n_buckets) for t in terms})
         seg = (
             self._segments
@@ -3092,6 +3099,97 @@ def _combine_dismax(filled: DataFrame, cols: list[str],
     )
 
 
+def search_cross_fields(field_indexes: dict, query, k: int, *,
+                        tie_breaker: float = 0.0,
+                        boosts: dict | None = None,
+                        _raw: bool = False) -> DataFrame:
+    """ES multi_match `type: cross_fields` — TERM-centric multi-field
+    retrieval (Lucene BlendedTermQuery), the type built for structured
+    records where one CONCEPT spans fields (first/last name): each term
+    must be findable in ANY field, and per-term statistics blend across
+    fields so a term frequent in any one field cannot masquerade as
+    rare in another. Documented semantics (the ES behavior, made exact):
+
+    - blended df: df_b(t) = max over the queried fields of that field's
+      df (the BlendedTermQuery df blend — ES inflates each field's df
+      to the max so idf agrees across fields);
+    - per-field partial: idf from (the FIELD's N, df_b) with the
+      field's own tf/dl/avgdl norms, scaled by its `field^boost`;
+    - per-term combine across fields: max + tie_breaker * (sum - max)
+      (dismaxBlendedQuery; ES default tie_breaker 0 for cross_fields);
+    - doc score: sum over terms (operator 'or'), rounded 6dp before
+      the (score desc, doc_id asc) top-k cut.
+
+    Plan: per field ONE pruned segment scan emits (term, doc_id,
+    partial) with the blended idf substituted (`_term_scores`
+    idf_override), their union feeds ONE hash aggregation pair —
+    (term, doc_id) for the cross-field blend, then doc_id for the term
+    sum. No corpus scan, no full-relation joins; the shuffle carries
+    only matching postings.
+    """
+    tb = float(tie_breaker)
+    if not 0.0 <= tb <= 1.0:
+        raise ValueError("cross_fields tie_breaker must be in [0, 1]")
+    bmap = {n: float((boosts or {}).get(n, 1.0)) for n in field_indexes}
+    if any(v < 0 for v in bmap.values()):
+        raise ValueError("field boosts must be >= 0")
+    sis = list(field_indexes.values())
+    if not _raw and any(si.n_deleted() for si in sis):
+        T = sum(si.n_deleted() for si in sis)
+        out = search_cross_fields(field_indexes, query, k + T,
+                                  tie_breaker=tie_breaker, boosts=boosts,
+                                  _raw=True)
+        for si in sis:
+            out = si._exclude_dead(out)
+        w = Window.orderBy(F.asc("rank"))
+        return (out.withColumn(
+                    "rank", (F.row_number().over(w) - 1).cast("bigint"))
+                .filter(F.col("rank") < k)
+                .select("rank", "doc_id", "score"))
+    si0 = sis[0]
+    terms = (si0.analyze_query(query) if isinstance(query, str)
+             else list(query))
+    terms = sorted(set(terms))
+    empty = si0.spark.createDataFrame(
+        [], "rank bigint, doc_id bigint, score double")
+    if not terms:
+        return empty
+    dfs_f = {n: si.term_dfs(terms) for n, si in field_indexes.items()}
+    df_b = {t: max(int(dfs_f[n].get(t, 0)) for n in field_indexes)
+            for t in terms}
+    terms = [t for t in terms if df_b[t] > 0]
+    if not terms:
+        return empty
+    rels = []
+    for n, si in field_indexes.items():
+        n_docs = float(si.stats["n_docs"])
+        idf_o = {t: float(lucene_idf(n_docs, float(df_b[t])))
+                 for t in terms if dfs_f[n].get(t, 0) > 0}
+        rel = si._term_scores(terms, idf_override=idf_o)
+        if bmap[n] != 1.0:
+            rel = rel.select(
+                "term", "doc_id",
+                (F.col("score") * F.lit(bmap[n])).alias("score"))
+        rels.append(rel)
+    allp = rels[0]
+    for r in rels[1:]:
+        allp = allp.unionByName(r)
+    per_term = (allp.groupBy("term", "doc_id")
+                .agg(F.max("score").alias("mx"),
+                     F.sum("score").alias("sm")))
+    blended = per_term.select(
+        "doc_id",
+        (F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx")))
+        .alias("s"))
+    scored = (blended.groupBy("doc_id")
+              .agg(F.round(F.sum("s"), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+        "doc_id", "score")
+
+
 def _dismax_full(field_indexes: dict, query, k: int, *,
                  tie_breaker: float,
                  boosts: dict | None = None) -> DataFrame:
@@ -3119,8 +3217,8 @@ def search_dismax_bool(field_indexes: dict, groups, k: int, *,
     """Per-field DisMax over an OR-of-AND-groups grammar — the
     multi-field `query_string` conjunction/mixed shape (ES best_fields:
     the WHOLE query parses per field, per-field scores combine
-    max + tie_breaker * (sum - max); cross_fields term splitting is a
-    different type and is not modeled).
+    max + tie_breaker * (sum - max); cross_fields term splitting is
+    `search_cross_fields` — the operator-free multi_match type).
 
     `groups`: list of conjunction groups, each a list of operand TEXTS
     ('a AND b OR c' = [[a, b], [c]]); each operand analyzes PER FIELD

@@ -2367,3 +2367,71 @@ def test_es_search_indices_merge(two_field):
     assert len({r["idx"] for r in deep}) == 2
     with pytest.raises(ValueError, match="at least one"):
         es_search_indices({}, {"query": {"match_all": {}}}, 5)
+
+
+def test_multi_match_cross_fields(spark, two_field):
+    """cross_fields: blended-df statistics (df = max across fields),
+    per-field partials with field-local norms, per-term dismax-blend,
+    summed over terms — python oracle from the collected corpus; and
+    the degenerate invariant: querying the SAME field twice at
+    tie_breaker 0 equals the single-field search exactly."""
+    import math as _math
+
+    from newssearchengine_spark.oracle import pure
+
+    two, idxs = two_field
+    tie, tboost = 0.3, 2.0
+    text = "nodeCursor shardGroup"
+    si = idxs["text"]
+    toks = sorted(set(si.analyze_query(text)))
+    rows = two.select("doc_id", "title", "text").collect()
+    k1, b = 1.2, 0.75
+
+    fld_terms = {f: {r["doc_id"]: pure.analyze(r[f], idxs[f].analyzer)
+                     for r in rows} for f in ("title", "text")}
+    stats = {}
+    for f in ("title", "text"):
+        dls = {d: len(ts) for d, ts in fld_terms[f].items() if ts}
+        stats[f] = (len(dls), sum(dls.values()) / len(dls), dls)
+    df_b = {t: max(sum(1 for ts in fld_terms[f].values() if t in ts)
+                   for f in ("title", "text")) for t in toks}
+    boosts = {"title": tboost, "text": 1.0}
+    want = {}
+    for r in rows:
+        per_term = {}
+        for f in ("title", "text"):
+            n, avgdl, dls = stats[f]
+            ts = fld_terms[f][r["doc_id"]]
+            dl = len(ts)
+            for t in toks:
+                tf = ts.count(t)
+                if tf == 0 or df_b[t] == 0:
+                    continue
+                idf = _math.log(1 + (n - df_b[t] + 0.5) / (df_b[t] + 0.5))
+                p = (idf * tf * (k1 + 1)
+                     / (tf + k1 * (1 - b + b * dl / avgdl))) * boosts[f]
+                per_term.setdefault(t, []).append(p)
+        if per_term:
+            s = sum(max(ps) + tie * (sum(ps) - max(ps))
+                    for ps in per_term.values())
+            want[r["doc_id"]] = round(s, 6)
+    wl = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    body = {"query": {"multi_match": {
+        "type": "cross_fields", "fields": [f"title^{tboost}", "text"],
+        "query": text, "tie_breaker": tie}}}
+    got = es_search(idxs, body, size=20).collect()
+    assert wl and [(r["doc_id"], r["score"]) for r in got] == wl
+
+    # same-field-twice at tie 0 == the single-field search (blended df
+    # degenerates to the field df; max over identical partials)
+    from newssearchengine_spark.plans.search import search_cross_fields
+    dup = search_cross_fields({"a": si, "b": si}, text, 15,
+                              tie_breaker=0.0).collect()
+    single = si.search(text, 15).collect()
+    assert [(r["doc_id"], r["score"]) for r in dup] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in single]
+    with pytest.raises(ValueError, match="operator"):
+        es_search(idxs, {"query": {"multi_match": {
+            "type": "cross_fields", "fields": ["title", "text"],
+            "query": text, "operator": "and"}}}, size=5)
