@@ -687,3 +687,53 @@ def test_random_terms_set_and_pinned_bodies(fuzz_index):
         assert got == want[:size], (
             f"pinned body #{i} (seed {SEED + 6:#x}) mismatch: "
             f"pins={pins} size={size}")
+
+
+def test_random_composite_pagination(fuzz_index):
+    """Random composite bodies — random source pair (repo terms x
+    content_len histogram with random interval), random page sizes,
+    full after-key walks — each walk must enumerate exactly the python
+    oracle's bucket set, in tuple order, with exact counts."""
+    from collections import Counter
+
+    from newssearchengine_spark.plans.dsl import es_aggs
+
+    si, oidx, dt, raw, repo_of = fuzz_index
+    vocab = _vocab(si, oidx)
+    rng = random.Random(SEED + 7)
+    clen = {d: len(t) for d, t in raw.items()}
+
+    for i in range(6):
+        iv = rng.choice([50, 100, 250, 1000])
+        psize = rng.randint(2, 7)
+        qterms = rng.sample(vocab, rng.randint(1, 3))
+        match = [d for d in raw if set(qterms) & dt[d]] \
+            if rng.random() < 0.7 else list(raw)
+        query = ({"match": {"text": " ".join(qterms)}}
+                 if match is not None and len(match) != len(raw) else None)
+        want = Counter((repo_of[d], (clen[d] // iv) * iv)
+                       for d in (match if query else raw))
+        sources = [{"r": {"terms": {"field": "repo"}}},
+                   {"h": {"histogram": {"field": "content_len",
+                                        "interval": iv}}}]
+        seen = []
+        after = None
+        for _ in range(200):
+            spec = {"size": psize, "sources": sources}
+            if after is not None:
+                spec["after"] = after
+            body = {"aggs": {"c": {"composite": spec}}}
+            if query:
+                body["query"] = query
+            page = es_aggs(si, body).collect()
+            if not page:
+                break
+            for r in page:
+                k_r, k_h = r["key"].rsplit("|", 1)
+                seen.append((k_r, int(k_h), r["doc_count"]))
+            after = {"r": seen[-1][0], "h": seen[-1][1]}
+        assert [(a, b) for a, b, _ in seen] == sorted(want), (
+            f"composite walk #{i} (seed {SEED + 7:#x}) bucket-set "
+            f"mismatch: iv={iv} psize={psize} q={qterms}")
+        assert all(want[(a, b)] == c for a, b, c in seen), (
+            f"composite walk #{i} count mismatch")

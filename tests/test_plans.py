@@ -295,3 +295,35 @@ def test_composite_agg_single_aggregation(spark, tmp_path):
     # the doc store is scanned once (the second scan is the tombstone
     # sidecar _exclude_dead always consults)
     assert p.count("Scan parquet") <= 2
+
+
+def test_cross_fields_plan_pruned_scans_no_corpus(spark, tmp_path):
+    """cross_fields reads ONLY the two fields' pruned segment scans
+    (bucket partition filters + term row-group pushdown) — no doc-store
+    or corpus scan, no full-relation join; the combine is hash
+    aggregations over the unioned partials."""
+    from newssearchengine_spark.datagen import source_files
+    from newssearchengine_spark.plans.index_build import build_index
+    from newssearchengine_spark.plans.search import (SegmentIndex,
+                                                     search_cross_fields)
+    from newssearchengine_spark.sources.corpus import assign_doc_ids
+
+    corpus = assign_doc_ids(source_files(spark, 200, seed=7, partitions=2),
+                            num_partitions=2)
+    two = corpus.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("content"), " "), 1, 5), " ")
+        .alias("title"),
+        F.col("content").alias("body"))
+    idxs = {}
+    for fld in ("title", "body"):
+        d = str(tmp_path / fld)
+        build_index(two, d, IndexConfig(n_buckets=8, doc_range=128),
+                    text_col=fld, resume=False)
+        idxs[fld] = SegmentIndex(spark, d, cache=False)
+    q = search_cross_fields(idxs, "cache index", 10, tie_breaker=0.3)
+    p = plan(q)
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "In(term" in p                      # term pushdown both scans
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("HashAggregate") >= 2       # blend + term-sum levels
