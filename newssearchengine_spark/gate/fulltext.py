@@ -1400,7 +1400,11 @@ cand AS (
 SELECT 'fix' AS suggest, token, option, dist, freq FROM (
   SELECT *, row_number() OVER (PARTITION BY token
             ORDER BY dist ASC, freq DESC, option ASC) AS rn
-  FROM cand) WHERE rn <= 5"""
+  FROM cand) WHERE rn <= 5
+UNION ALL
+SELECT 'auto', 's', term, 0, df FROM (
+  SELECT term, df FROM dict WHERE term LIKE 's%'
+  ORDER BY df DESC, term ASC LIMIT 4)"""
 
 
 @gate_query("ft_es_suggest", _es_suggest_sql())
@@ -1414,7 +1418,10 @@ def ft_es_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     si = _gate_index(spark, sf_dir)
     body = {"suggest": {"fix": {"text": _SUG_TEXT,
                                 "term": {"field": "text", "max_edits": 1,
-                                         "size": 5}}}}
+                                         "size": 5}},
+                        "auto": {"prefix": "s",
+                                 "completion": {"field": "text",
+                                                "size": 4}}}}
     return es_suggest(si, body)
 
 

@@ -2001,6 +2001,29 @@ def es_suggest(index: SegmentIndex, body: dict) -> DataFrame:
               "dist int, freq bigint")
     outs = []
     for name, spec in sugg.items():
+        if "completion" in spec:
+            # ES completion suggester, mapped honestly onto the index:
+            # prefix expansion against the term dictionary ranked by
+            # doc-freq desc (ES ranks by indexed per-suggestion weights;
+            # this engine's weight IS the dictionary df — documented
+            # divergence, same prefix-FST access pattern). The
+            # startswith predicate pushes to the term_stats parquet
+            # scan (StringStartsWith row-group pruning).
+            cspec = spec["completion"]
+            prefix = str(spec.get("prefix", spec.get("text", "")))
+            if not prefix:
+                raise ValueError("completion suggester needs a prefix")
+            per = int(cspec.get("size", 5))
+            cand = (index._tstats
+                    .filter(F.col("term").startswith(prefix.lower()))
+                    .orderBy(F.desc("df"), F.asc("term")).limit(per))
+            outs.append(cand.select(
+                F.lit(name).alias("suggest"),
+                F.lit(prefix).alias("token"),
+                F.col("term").alias("option"),
+                F.lit(0).cast("int").alias("dist"),
+                F.col("df").cast("bigint").alias("freq")))
+            continue
         text = str(spec["text"])
         tspec = spec.get("term") or {}
         max_edits = int(tspec.get("max_edits", 1))

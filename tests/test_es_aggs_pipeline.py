@@ -282,3 +282,27 @@ def test_es_scroll_pages_equal_slices(corpus):
     # max_pages bounds the walk
     two = list(es_scroll(si, body, page_size=3, max_pages=2))
     assert len(two) == 2
+
+
+def test_completion_suggester(corpus):
+    """completion suggester: dictionary prefix expansion ranked by
+    doc-freq desc (the engine's weight — documented divergence from
+    ES's indexed weights), term-suggester entries compose in one body."""
+    from newssearchengine_spark.plans.dsl import es_suggest
+
+    si, rows = corpus
+    got = es_suggest(si, {"suggest": {"c": {
+        "prefix": "no", "completion": {"field": "text", "size": 3}}}}
+    ).collect()
+    # oracle: df per dictionary term with the prefix
+    df = Counter()
+    for r in rows:
+        for t in set(pure.analyze(r["text"], si.analyzer)):
+            if t.startswith("no"):
+                df[t] += 1
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["option"], r["freq"]) for r in got] == want
+    assert all(r["suggest"] == "c" and r["token"] == "no"
+               and r["dist"] == 0 for r in got)
+    with pytest.raises(ValueError, match="prefix"):
+        es_suggest(si, {"suggest": {"c": {"completion": {"size": 3}}}})
