@@ -2139,6 +2139,72 @@ def es_count(indexes, body: dict) -> DataFrame:
             rel = si._exclude_dead(
                 si._term_docs(exp).select("doc_id").distinct())
         return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind == "terms_set":
+        # membership only: distinct query-term count per doc vs its
+        # minimum — the same plan as the ranked kind minus the score sum
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        field, tspec = next(iter(spec.items()))
+        toks = []
+        for t in (tspec.get("terms") or []):
+            toks.extend(si.analyze_query(str(t)))
+        toks = sorted(set(toks))
+        msm_field = tspec.get("minimum_should_match_field")
+        msm_const = tspec.get("minimum_should_match")
+        empty = si.spark.createDataFrame([], "doc_id bigint")
+        if not toks or (msm_const is not None
+                        and int(msm_const) > len(toks)):
+            rel = empty
+        else:
+            cnt = (si._term_docs(toks).select("doc_id", "term")
+                   .groupBy("doc_id")
+                   .agg(F.countDistinct("term").alias("_n")))
+            if msm_field is not None:
+                mm = si.doc_store().select(
+                    "doc_id",
+                    F.col(str(msm_field)).cast("bigint").alias("_m"))
+                cnt = cnt.join(mm, "doc_id").filter(
+                    F.col("_n") >= F.greatest(F.col("_m"), F.lit(1)))
+            else:
+                cnt = cnt.filter(
+                    F.col("_n") >= F.lit(max(int(msm_const), 1)))
+            rel = si._exclude_dead(cnt.select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind == "rank_feature":
+        # docs carrying the feature field — a pushed-down notNull count
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        rel = si._exclude_dead(
+            si.doc_store()
+            .filter(F.col(str(spec["field"])).isNotNull())
+            .select("doc_id"))
+        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    if kind == "pinned":
+        # ES counts the UNION of the organic match set and the live
+        # pinned ids (pinning reorders, it doesn't widen beyond the
+        # listed docs)
+        si = (next(iter(indexes.values()))
+              if isinstance(indexes, dict) else indexes)
+        ids = [int(v) for v in (spec.get("ids") or [])]
+        organic = spec.get("organic")
+        if not ids or organic is None:
+            raise ValueError("pinned needs ids + an organic query")
+        pins = si.spark.createDataFrame([(i,) for i in set(ids)],
+                                        "doc_id bigint")
+        live_pins = si._exclude_dead(
+            pins.join(si.doc_store().select("doc_id"), "doc_id",
+                      "left_semi"))
+        # the organic MEMBERSHIP relation (match/bool/exists/match_all
+        # via _query_match_set; other organics raise honestly), unioned
+        # with the live pinned ids, deduped
+        ms = _query_match_set(si, organic)
+        if ms is None:
+            rel = si._exclude_dead(si.doc_store().select("doc_id"))
+        else:
+            rel = si._exclude_dead(ms.select("doc_id"))
+        union = rel.unionByName(live_pins.select("doc_id")).distinct()
+        return union.agg(
+            F.count(F.lit(1)).cast("bigint").alias("count"))
     raise ValueError(f"unsupported count query kind: {kind}")
 
 

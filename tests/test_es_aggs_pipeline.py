@@ -306,3 +306,39 @@ def test_completion_suggester(corpus):
                and r["dist"] == 0 for r in got)
     with pytest.raises(ValueError, match="prefix"):
         es_suggest(si, {"suggest": {"c": {"completion": {"size": 3}}}})
+
+
+def test_count_scope_symmetry_new_kinds(corpus):
+    """_count accepts the round-5 closing kinds: terms_set (membership
+    count, both msm forms), rank_feature (field-exists count), pinned
+    (organic ∪ live pinned ids) — each equal to the ranked query's
+    complete hit count."""
+    from newssearchengine_spark.plans.dsl import es_count
+
+    si, rows = corpus
+    terms = ["node", "cursor", "shard", "stream"]
+    for tspec in ({"terms": terms, "minimum_should_match": 2},
+                  {"terms": terms, "minimum_should_match_field": "msm"}):
+        body = {"query": {"terms_set": {"text": tspec}}}
+        n_ranked = len(es_search(si, body, size=10 ** 6).collect())
+        assert es_count(si, body).collect()[0]["count"] == n_ranked
+        assert n_ranked > 0
+
+    rf = {"query": {"rank_feature": {"field": "content_len",
+                                     "saturation": {"pivot": 100}}}}
+    assert es_count(si, rf).collect()[0]["count"] == len(rows)
+
+    organic = {"match": {"text": "node cursor"}}
+    n_org = len(es_search(si, {"query": organic},
+                          size=10 ** 6).collect())
+    some_org = es_search(si, {"query": organic}, size=1).collect()[0]
+    pin = {"query": {"pinned": {
+        # one id inside the organic set, one outside it, one absent
+        "ids": [some_org["doc_id"],
+                max(r["doc_id"] for r in rows), 10 ** 9],
+        "organic": organic}}}
+    outside = max(r["doc_id"] for r in rows)
+    in_org = {r["doc_id"] for r in es_search(
+        si, {"query": organic}, size=10 ** 6).collect()}
+    want = n_org + (0 if outside in in_org else 1)
+    assert es_count(si, pin).collect()[0]["count"] == want
