@@ -602,10 +602,40 @@ def _query_match_set(index, q: dict):
             mc = [(kind, col, sp)]
         return (index.doc_store().filter(_meta_filter_pred(mc))
                 .select("doc_id"))
+    if kind == "terms_set":
+        # membership form of the ranked kind: distinct-term count per
+        # doc vs its (per-doc or constant) minimum, no scoring pass
+        _, tspec = next(iter(spec.items()))
+        toks: list[str] = []
+        for t in (tspec.get("terms") or []):
+            toks.extend(index.analyze_query(str(t)))
+        toks = sorted(set(toks))
+        msm_field = tspec.get("minimum_should_match_field")
+        msm_const = tspec.get("minimum_should_match")
+        if not toks or (msm_const is not None
+                        and int(msm_const) > len(toks)):
+            return index.spark.createDataFrame([], "doc_id bigint")
+        cnt = (index._term_docs(toks).select("doc_id", "term")
+               .groupBy("doc_id")
+               .agg(F.countDistinct("term").alias("_n")))
+        if msm_field is not None:
+            mm = index.doc_store().select(
+                "doc_id",
+                F.col(str(msm_field)).cast("bigint").alias("_m"))
+            cnt = cnt.join(mm, "doc_id").filter(
+                F.col("_n") >= F.greatest(F.col("_m"), F.lit(1)))
+        else:
+            cnt = cnt.filter(F.col("_n") >= F.lit(max(int(msm_const), 1)))
+        return cnt.select("doc_id")
+    if kind == "rank_feature":
+        # docs carrying the feature field (the kind's match set)
+        return (index.doc_store()
+                .filter(F.col(str(spec["field"])).isNotNull())
+                .select("doc_id"))
     raise ValueError(
         f"unsupported knn filter / script_score scope kind: {kind} "
         "(match / query_string / multi_match / bool / term / terms / "
-        "range / exists / match_all)")
+        "range / exists / terms_set / rank_feature / match_all)")
 
 
 def _knn_contrib(index, vectors: DataFrame, spec: dict, *,
@@ -2139,45 +2169,14 @@ def es_count(indexes, body: dict) -> DataFrame:
             rel = si._exclude_dead(
                 si._term_docs(exp).select("doc_id").distinct())
         return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
-    if kind == "terms_set":
-        # membership only: distinct query-term count per doc vs its
-        # minimum — the same plan as the ranked kind minus the score sum
+    if kind in ("terms_set", "rank_feature"):
+        # membership forms of the ranked kinds (terms_set: distinct-term
+        # count vs per-doc/constant minimum, no scoring; rank_feature:
+        # pushed-down field-exists predicate)
         si = (next(iter(indexes.values()))
               if isinstance(indexes, dict) else indexes)
-        field, tspec = next(iter(spec.items()))
-        toks = []
-        for t in (tspec.get("terms") or []):
-            toks.extend(si.analyze_query(str(t)))
-        toks = sorted(set(toks))
-        msm_field = tspec.get("minimum_should_match_field")
-        msm_const = tspec.get("minimum_should_match")
-        empty = si.spark.createDataFrame([], "doc_id bigint")
-        if not toks or (msm_const is not None
-                        and int(msm_const) > len(toks)):
-            rel = empty
-        else:
-            cnt = (si._term_docs(toks).select("doc_id", "term")
-                   .groupBy("doc_id")
-                   .agg(F.countDistinct("term").alias("_n")))
-            if msm_field is not None:
-                mm = si.doc_store().select(
-                    "doc_id",
-                    F.col(str(msm_field)).cast("bigint").alias("_m"))
-                cnt = cnt.join(mm, "doc_id").filter(
-                    F.col("_n") >= F.greatest(F.col("_m"), F.lit(1)))
-            else:
-                cnt = cnt.filter(
-                    F.col("_n") >= F.lit(max(int(msm_const), 1)))
-            rel = si._exclude_dead(cnt.select("doc_id"))
-        return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
-    if kind == "rank_feature":
-        # docs carrying the feature field — a pushed-down notNull count
-        si = (next(iter(indexes.values()))
-              if isinstance(indexes, dict) else indexes)
-        rel = si._exclude_dead(
-            si.doc_store()
-            .filter(F.col(str(spec["field"])).isNotNull())
-            .select("doc_id"))
+        ms = _query_match_set(si, q)
+        rel = si._exclude_dead(ms.select("doc_id"))
         return rel.agg(F.count(F.lit(1)).cast("bigint").alias("count"))
     if kind == "pinned":
         # ES counts the UNION of the organic match set and the live
@@ -2454,11 +2453,17 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 store = store.join(match, "doc_id", "left_semi")
             else:
                 store = store.filter(F.lit(False))
+        elif kind in ("terms_set", "rank_feature"):
+            # membership forms of the round-5 closing kinds — same
+            # match-set helper the knn filter / _count scopes use
+            ms = _query_match_set(index, q)
+            store = store.join(ms.select("doc_id"), "doc_id",
+                               "left_semi")
         else:
             raise ValueError(
                 f"unsupported aggs query scope: {kind} (match / "
                 "query_string / multi_match / bool / term / terms / "
-                "range / exists)")
+                "range / exists / terms_set / rank_feature)")
     aggs = body.get("aggs", body.get("aggregations") or {})
     if not aggs:
         raise ValueError("body has no aggs")

@@ -342,3 +342,21 @@ def test_count_scope_symmetry_new_kinds(corpus):
         si, {"query": organic}, size=10 ** 6).collect()}
     want = n_org + (0 if outside in in_org else 1)
     assert es_count(si, pin).collect()[0]["count"] == want
+
+
+def test_aggs_scope_terms_set(corpus):
+    """es_aggs accepts a terms_set query scope — bucket counts over its
+    membership set (python-oracled), matching the ranked hit set."""
+    si, rows = corpus
+    body_q = {"terms_set": {"text": {
+        "terms": ["node", "cursor", "shard"],
+        "minimum_should_match": 2}}}
+    hits = {r["doc_id"] for r in es_search(
+        si, {"query": body_q}, size=10 ** 6).collect()}
+    assert hits
+    got = {r["key"]: r["doc_count"] for r in es_aggs(
+        si, {"query": body_q,
+             "aggs": {"g": {"terms": {"field": "lang",
+                                      "size": 100}}}}).collect()}
+    want = Counter(r["lang"] for r in rows if r["doc_id"] in hits)
+    assert got == dict(want)
