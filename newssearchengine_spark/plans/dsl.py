@@ -564,6 +564,12 @@ def _highlight_terms(si, q: dict) -> list[str]:
         return sorted(si.expand_fuzzy(
             v, max_edits=me, prefix_len=int(es.get("prefix_length", 0)),
             max_expansions=mx))
+    if kind == "terms_set":
+        # scoring terms = the analyzed term list (whichever subset
+        # matched scores, ES tags them all)
+        _, tspec = next(iter(spec.items()))
+        return sorted({tok for t in (tspec.get("terms") or [])
+                       for tok in si.analyze_query(str(t))})
     raise ValueError(f"highlight unsupported for query kind: {kind}")
 
 
@@ -957,10 +963,16 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 s = s.join(
                     si._term_docs(toks).select("doc_id").distinct(),
                     "doc_id", "left_semi")
+        elif kind in ("terms_set", "rank_feature"):
+            si = one()
+            ms = _query_match_set(si, q)
+            s = si._exclude_dead(si.doc_store()).join(
+                ms.select("doc_id"), "doc_id", "left_semi")
         else:
             raise ValueError(
                 "sort supports match / match_all / bool / term / "
-                "terms / range / exists queries")
+                "terms / range / exists / terms_set / rank_feature "
+                "queries")
         order = [(F.col(f).desc_nulls_last() if o == "desc"
                   else F.col(f).asc_nulls_last()) for f, o in cols]
         order.append(F.col("doc_id").asc())

@@ -360,3 +360,27 @@ def test_aggs_scope_terms_set(corpus):
                                       "size": 100}}}}).collect()}
     want = Counter(r["lang"] for r in rows if r["doc_id"] in hits)
     assert got == dict(want)
+
+
+def test_sort_and_highlight_scope_terms_set(corpus):
+    """Body-level sort accepts a terms_set scope (match set ordered by
+    doc-store columns), and highlight tags a terms_set's analyzed
+    terms."""
+    from newssearchengine_spark.plans.dsl import _highlight_terms
+
+    si, rows = corpus
+    body_q = {"terms_set": {"text": {
+        "terms": ["node", "cursor", "shard"],
+        "minimum_should_match": 2}}}
+    hits = {r["doc_id"] for r in es_search(
+        si, {"query": body_q}, size=10 ** 6).collect()}
+    got = es_search(si, {"query": body_q,
+                         "sort": [{"content_len": {"order": "desc"}}]},
+                    size=5).collect()
+    want = sorted((r for r in rows if r["doc_id"] in hits),
+                  key=lambda r: (-r["content_len"], r["doc_id"]))[:5]
+    assert [(r["doc_id"], r["content_len"]) for r in got] == \
+        [(r["doc_id"], r["content_len"]) for r in want]
+    toks = _highlight_terms(si, body_q)
+    assert toks == sorted({t for w in ("node", "cursor", "shard")
+                           for t in si.analyze_query(w)})
