@@ -1510,12 +1510,29 @@ class SegmentIndex:
         filt_clauses, meta_clauses = self._parse_filters(filter)
         has_filter = bool(filt_clauses or meta_clauses)
         msm = int(minimum_should_match)
-        if not must_clauses and not should and not has_filter:
-            raise ValueError(
-                "bool query needs at least one must/should/filter clause")
         empty = self.spark.createDataFrame(
             [], "rank bigint, doc_id bigint, score double"
         )
+        if not must_clauses and not should and not has_filter:
+            if not must_not:
+                raise ValueError(
+                    "bool query needs at least one "
+                    "must/should/must_not/filter clause")
+            # ES: a must_not-only bool matches every doc OUTSIDE the
+            # excluded set, at score 0 (pure exclusion runs in filter
+            # context). Order = the engine's all-equal-scores
+            # convention, doc_id asc.
+            excl = (self._term_docs(must_not).select("doc_id")
+                    .distinct())
+            hits = (self.doc_store().select("doc_id")
+                    .join(excl, "doc_id", "left_anti")
+                    .select("doc_id", F.lit(0.0).alias("score"))
+                    .orderBy(F.asc("doc_id")).limit(k))
+            w = Window.orderBy(F.asc("doc_id"))
+            return hits.select(
+                (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+                "doc_id", "score",
+            )
         if msm > len(should):
             # ES returns an empty hit set when minimum_should_match
             # exceeds the distinct should terms — adapter-submitted

@@ -737,3 +737,30 @@ def test_random_composite_pagination(fuzz_index):
             f"mismatch: iv={iv} psize={psize} q={qterms}")
         assert all(want[(a, b)] == c for a, b, c in seen), (
             f"composite walk #{i} count mismatch")
+
+
+def test_must_not_only_bool_bodies(fuzz_index):
+    """A bool with ONLY must_not clauses matches every doc outside the
+    excluded set at score 0 (ES pure-exclusion filter context) — flat
+    and nested shapes; found by an off-seed sweep of this suite's own
+    generator (previously raised ValueError through the adapter)."""
+    si, oidx, dt, raw, _repo = fuzz_index
+    vocab = _vocab(si, oidx)
+
+    flat = {"query": {"bool": {"must_not": [
+        {"match": {"text": f"{vocab[0]} {vocab[1]}"}}]}}}
+    got = es_search(si, flat, size=len(raw) + 10).collect()
+    toks = {t for w in (vocab[0], vocab[1])
+            for t in si.analyze_query(w)}
+    want = sorted(d for d in raw if not (toks & dt[d]))
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 0.0 for r in got)
+
+    nested = {"query": {"bool": {"must_not": [
+        {"bool": {"must": [{"match": {"text": vocab[0]}}],
+                  "should": [{"match": {"text": vocab[2]}}]}}]}}}
+    got_n = {r["doc_id"] for r in
+             es_search(si, nested, size=len(raw) + 10).collect()}
+    t0 = set(si.analyze_query(vocab[0]))
+    want_n = {d for d in raw if not (t0 & dt[d])}
+    assert got_n == want_n
