@@ -548,6 +548,14 @@ def test_random_msearch_batches_match_per_body_search(fuzz_index):
             "query": _gen_text(rng, vocab), "fields": ["text"]}}})
     for _ in range(4):
         bodies.append({"query": {"bool": _gen_bool(rng, vocab)}})
+    # the round-5 closing kinds ride the per-body fallback
+    bodies.append({"query": {"terms_set": {"text": {
+        "terms": rng.sample(vocab, 3),
+        "minimum_should_match": rng.randint(1, 3)}}}})
+    bodies.append({"query": {"pinned": {
+        "ids": rng.sample(sorted(raw), 2),
+        "organic": {"query_string": {"query": _gen_text(rng, vocab),
+                                     "fields": ["text"]}}}}})
     rng.shuffle(bodies)
 
     got = es_msearch(si, bodies, size=12).collect()
