@@ -840,10 +840,12 @@ def test_multi_match_most_fields_and_tie_breaker(two_field):
     want2 = search_dismax(idxs, "nodeCursor protoShard", 12,
                           tie_breaker=0.25).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    # cross_fields became a supported type in the closing session;
+    # bool_prefix stays the unknown-type rejection probe
     with pytest.raises(ValueError, match="multi_match type"):
         es_search(idxs, {"query": {"multi_match": {
             "fields": ["title", "text"], "query": "x",
-            "type": "cross_fields"}}}, 5)
+            "type": "bool_prefix"}}}, 5)
 
 
 def test_regexp_query_and_expansion(two_field):
