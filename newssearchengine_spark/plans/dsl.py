@@ -1291,6 +1291,30 @@ def es_search(indexes, body: dict, size: int = 10, *,
                 slop=int(val.get("slop", 0)))
         return one(field).search_phrase_prefix(text, size)
 
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every analyzed token a bool SHOULD
+        # clause, the LAST one a prefix (the search-as-you-type shape
+        # without the dedicated field type). The prefix expands bounded
+        # like the `prefix` kind and scores BM25 per expansion — the
+        # engine's documented expansion-scoring convention
+        # (rewrite=scoring_boolean; Lucene's default constant-score
+        # rewrite differs, as documented on SegmentIndex.search_prefix).
+        field, text = _field_text(spec)
+        val = next(iter(spec.values()))
+        mx = (int(val.get("max_expansions", 50))
+              if isinstance(val, dict) else 50)
+        si = one(field)
+        toks = si.analyze_query(text)
+        if not toks:
+            return si.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+        exp = si.expand_prefix(toks[-1], max_expansions=mx)
+        should = sorted(set(toks[:-1]) | set(exp))
+        if not should:
+            return si.spark.createDataFrame(
+                [], "rank bigint, doc_id bigint, score double")
+        return si.search_bool(should=should, k=size)
+
     if kind == "bool":
         si = one()
         bboost = float(spec.get("boost", 1.0))

@@ -384,3 +384,25 @@ def test_sort_and_highlight_scope_terms_set(corpus):
     toks = _highlight_terms(si, body_q)
     assert toks == sorted({t for w in ("node", "cursor", "shard")
                            for t in si.analyze_query(w)})
+
+
+def test_match_bool_prefix(corpus):
+    """match_bool_prefix: tokens as bool-should clauses, the last a
+    bounded prefix expansion — equals search_bool over tokens ∪
+    expansions; a no-expansion tail still matches on the other tokens."""
+    si, _ = corpus
+    got = es_search(si, {"query": {"match_bool_prefix": {
+        "text": {"query": "node curso", "max_expansions": 10}}}},
+        size=15).collect()
+    toks = si.analyze_query("node curso")
+    exp = si.expand_prefix(toks[-1], max_expansions=10)
+    assert exp, "fixture must expand the prefix"
+    want = si.search_bool(should=sorted(set(toks[:-1]) | set(exp)),
+                          k=15).collect()
+    assert got and [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in want]
+    dead_tail = es_search(si, {"query": {"match_bool_prefix": {
+        "text": "node zzzqx"}}}, size=15).collect()
+    want2 = si.search_bool(should=["node"], k=15).collect()
+    assert [(r["doc_id"], r["score"]) for r in dead_tail] == \
+        [(r["doc_id"], round(r["score"], 6)) for r in want2]
