@@ -474,12 +474,62 @@ def test_random_multi_field_dismax_matches_python_oracle(fuzz_two_field):
                     out[d] = s
         return out
 
-    for i in range(12):
+    n_xf = 0
+    for i in range(14):
         boosts = {"title": rng.choice([1.0, 2.0, 3.0]),
                   "text": rng.choice([1.0, 0.5])}
         fields = [f if boosts[f] == 1.0 else f"{f}^{boosts[f]:g}"
                   for f in ("title", "text")]
-        use_mm = rng.random() < 0.5
+        roll = rng.random()
+        if roll < 0.25:
+            # cross_fields leg: per-term blended-df statistics, per-term
+            # dismax-blend, summed over terms — an independent oracle
+            # from first principles (BM25 constants written out)
+            import math as _math
+
+            text = _gen_text(rng, vocab)
+            tb = rng.choice([0.0, 0.3])
+            spec = {"fields": fields, "query": text,
+                    "type": "cross_fields"}
+            if tb:
+                spec["tie_breaker"] = tb
+            body = {"query": {"multi_match": spec}}
+            toks = sorted(set(si.analyze_query(text)))
+            df_b = {t: max(len(oracles[f].postings.get(t, {}))
+                           for f in ("title", "text")) for t in toks}
+            want = {}
+            for d in toksets["text"]:
+                per_term: dict[str, list[float]] = {}
+                for f in ("title", "text"):
+                    oidx = oracles[f]
+                    dl = oidx.dl.get(d, 0)
+                    for t in toks:
+                        tf = oidx.postings.get(t, {}).get(d, 0)
+                        if tf == 0 or df_b[t] == 0:
+                            continue
+                        idf = _math.log(
+                            1 + (oidx.n_docs - df_b[t] + 0.5)
+                            / (df_b[t] + 0.5))
+                        p = idf * tf * (1.2 + 1) / (
+                            tf + 1.2 * (1 - 0.75
+                                        + 0.75 * dl / oidx.avgdl)
+                        ) * boosts[f]
+                        per_term.setdefault(t, []).append(p)
+                if per_term:
+                    want[d] = round(sum(
+                        max(ps) + tb * (sum(ps) - max(ps))
+                        for ps in per_term.values()), 6)
+            got = {r["doc_id"]: r["score"] for r in
+                   es_search(idxs, body, size=n_docs + 10).collect()}
+            assert sorted(got) == sorted(want), (
+                f"cross_fields body #{i} (seed {SEED + 4:#x}) "
+                f"match-set mismatch:\n{body}")
+            for d, s in got.items():
+                assert s == pytest.approx(want[d], abs=2e-6), (
+                    f"cross_fields body #{i} score mismatch doc {d}")
+            n_xf += 1
+            continue
+        use_mm = roll < 0.6
         if use_mm:
             text = _gen_text(rng, vocab)
             mm_op = rng.choice(["or", "or", "and"])
@@ -523,6 +573,7 @@ def test_random_multi_field_dismax_matches_python_oracle(fuzz_two_field):
         for d, s in got.items():
             assert s == pytest.approx(want[d], abs=2e-6), (
                 f"dismax body #{i} score mismatch doc {d}:\n{body}")
+    assert n_xf >= 2  # the cross_fields leg must actually be drawn
 
 
 def test_random_msearch_batches_match_per_body_search(fuzz_index):
