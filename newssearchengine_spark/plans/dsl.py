@@ -1782,6 +1782,20 @@ def es_search(indexes, body: dict, size: int = 10, *,
             raise ValueError("empty range condition")
         return one()._exclude_dead(one().doc_store().filter(pred))
 
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query smuggled through
+        # systems that can't carry structured bodies — decode and
+        # re-dispatch (any supported kind)
+        import base64
+        import json as _json
+
+        raw = base64.b64decode(str(spec["query"]))
+        inner = _json.loads(raw)
+        return es_search(indexes, {"query": inner}, size=size,
+                         tie_breaker=tie_breaker, mode=mode,
+                         source=source, vectors=vectors,
+                         vec_id_col=vec_id_col, ann=ann)
+
     if kind == "rank_feature":
         # ES rank_feature: docs carrying the feature field, scored by a
         # monotone function of its value — boost * saturation
@@ -2841,6 +2855,14 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                              "as (key, value)")
                  .select(F.lit(name).alias("agg"), "key",
                          F.lit(None).alias("doc_count"), "value"))
+        elif akind == "missing":
+            # ES missing agg: docs in the match set with NO value in the
+            # field (a pushed-down isNull count)
+            b = (store.filter(F.col(field).isNull())
+                 .agg(F.count(F.lit(1)).alias("doc_count"))
+                 .select(F.lit(name).alias("agg"),
+                         F.lit("missing").alias("key"),
+                         "doc_count", F.lit(None).alias("value")))
         elif akind in ("value_count", "avg", "min", "max", "sum",
                        "cardinality"):
             c = F.col(field).cast("double") if akind != "cardinality" \

@@ -406,3 +406,26 @@ def test_match_bool_prefix(corpus):
     want2 = si.search_bool(should=["node"], k=15).collect()
     assert [(r["doc_id"], r["score"]) for r in dead_tail] == \
         [(r["doc_id"], round(r["score"], 6)) for r in want2]
+
+
+def test_wrapper_query_and_missing_agg(corpus):
+    """wrapper: base64-encoded JSON body decodes and re-dispatches to
+    the inner kind, hit-identical; missing agg counts null-field docs
+    in the match set (0 here — every doc carries lang)."""
+    import base64
+    import json
+
+    si, rows = corpus
+    inner = {"terms_set": {"text": {
+        "terms": ["node", "cursor", "shard"],
+        "minimum_should_match": 2}}}
+    enc = base64.b64encode(json.dumps(inner).encode()).decode()
+    got = es_search(si, {"query": {"wrapper": {"query": enc}}},
+                    size=15).collect()
+    want = es_search(si, {"query": inner}, size=15).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    out = es_aggs(si, {"aggs": {"m": {"missing": {"field": "lang"}}}}
+                  ).collect()
+    assert [(r["agg"], r["key"], r["doc_count"])
+            for r in out] == [("m", "missing", 0)]
