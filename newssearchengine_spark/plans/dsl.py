@@ -35,6 +35,15 @@ bodies onto the engine so the queries run UNCHANGED:
   cursors (exact, cursor cut pushed into the per-part scorers)
 - more_like_this by doc id — the reference's whole background-linking
   flow (termvectors keyword extraction -> OR retrieval) as one body
+- round-5 closing kinds: terms_set (CoveringQuery, per-doc or constant
+  minimums) / pinned (ids first, organic excluded) / rank_feature
+  (saturation|log|sigmoid feature scoring) / multi_match
+  type=cross_fields (blended-df statistics) / match_bool_prefix /
+  wrapper (base64 re-dispatch); aggregations grew composite
+  (after-key bucket pagination), top_hits sub-aggs, pipeline kinds
+  (cumulative_sum / derivative / avg|sum|min|max|percentiles_bucket),
+  significant_text, missing; es_scroll streams exact deep-export
+  pages; the completion suggester rides es_suggest
 
 The analyzer key inside a body is ignored on purpose: write/read
 analyzer unity comes from the target index's own stats.json (the engine
