@@ -117,6 +117,8 @@ _PRIORITY = [
     "ft_rank_feature",
     # multi_match cross_fields: blended-df BlendedTermQuery statistics
     "ft_mm_cross_fields",
+    # match_bool_prefix: should-terms + bounded prefix tail
+    "ft_match_bool_prefix",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}

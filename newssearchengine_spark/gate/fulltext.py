@@ -3290,3 +3290,50 @@ def ft_mm_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query": " ".join(_XF_TERMS),
         "tie_breaker": _XF_TIE}}}
     return es_search(idxs, body, size=TOP_K)
+
+
+_MBP_FIXED = ["merge"]
+_MBP_PREFIX = "ta"
+_MBP_MAX = 5
+
+
+def _match_bool_prefix_sql(k: int, bm25: BM25Config = BM25Config()) -> str:
+    k1, b = bm25.k1, bm25.b
+    fixed_sql = ", ".join(f"'{t}'" for t in sorted(set(_MBP_FIXED)))
+    return f"""WITH {TOKENS_CTE},
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+exp AS (
+  SELECT term FROM dict WHERE term LIKE '{_MBP_PREFIX}%'
+  ORDER BY df DESC, term ASC LIMIT {_MBP_MAX}
+),
+q AS (SELECT unnest([{fixed_sql}]) AS term UNION SELECT term FROM exp),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING (term) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * (tf.tf * ({k1} + 1)) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS p
+  FROM tf JOIN tstats USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sc AS (SELECT doc_id, round(sum(p), 6) AS score FROM parts GROUP BY doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+@gate_query("ft_match_bool_prefix", _match_bool_prefix_sql(TOP_K))
+def ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix ('merge ta', max_expansions 5): every token
+    a bool SHOULD clause, the last a bounded dictionary prefix expansion
+    (df desc, term asc — the ES expansion order) scored BM25 per
+    expansion (the engine's documented expansion-scoring convention).
+    The oracle reproduces the expansion with the same bounded cut."""
+    from ..plans.dsl import es_search
+
+    si = _gate_index(spark, sf_dir)
+    body = {"query": {"match_bool_prefix": {"text": {
+        "query": f"{' '.join(_MBP_FIXED)} {_MBP_PREFIX}",
+        "max_expansions": _MBP_MAX}}}}
+    return es_search(si, body, size=TOP_K)
