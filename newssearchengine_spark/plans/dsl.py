@@ -2545,6 +2545,25 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
         if akind in _PIPELINE:
             deferred.append((name, akind, aspec))
             continue
+        if akind == "global":
+            # ES global agg: a corpus-wide bucket INSIDE a scoped body —
+            # sub-aggs evaluate against every live doc, ignoring the
+            # query (the compare-against-background shape). One row for
+            # the bucket itself (doc_count = live corpus size), then the
+            # sub-agg relation re-labeled name.sub.
+            if not sub:
+                raise ValueError("global needs sub-aggregations")
+            gstore = index._exclude_dead(index.doc_store())
+            cnt = (gstore.agg(F.count(F.lit(1)).alias("doc_count"))
+                   .select(F.lit(name).alias("agg"),
+                           F.lit("global").alias("key"),
+                           "doc_count", F.lit(None).alias("value")))
+            outs.append(cnt.select(*out_cols))
+            subrel = es_aggs(index, {"aggs": sub})
+            outs.append(subrel.select(
+                F.concat(F.lit(f"{name}."), F.col("agg")).alias("agg"),
+                "key", "doc_count", "value").select(*out_cols))
+            continue
         if sub and akind not in ("terms", "date_histogram", "histogram"):
             raise ValueError(
                 "sub-aggregations are supported under terms / "

@@ -429,3 +429,31 @@ def test_wrapper_query_and_missing_agg(corpus):
                   ).collect()
     assert [(r["agg"], r["key"], r["doc_count"])
             for r in out] == [("m", "missing", 0)]
+
+
+def test_global_agg_ignores_query_scope(corpus):
+    """global agg: sub-aggs run corpus-wide inside a scoped body — the
+    compare-against-background shape; scoped sibling aggs stay scoped."""
+    si, rows = corpus
+    body_q = {"match": {"text": "node cursor"}}
+    hits = {r["doc_id"] for r in es_search(
+        si, {"query": body_q}, size=10 ** 6).collect()}
+    assert 0 < len(hits) < len(rows)
+    out = es_aggs(si, {
+        "query": body_q,
+        "aggs": {
+            "scoped": {"value_count": {"field": "doc_id"}},
+            "bg": {"global": {},
+                   "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                            "bylang": {"terms": {"field": "lang",
+                                                 "size": 100}}}}}}
+    ).collect()
+    vals = {(r["agg"], r["key"]): (r["doc_count"], r["value"])
+            for r in out}
+    assert vals[("scoped", "value_count")][1] == float(len(hits))
+    assert vals[("bg", "global")][0] == len(rows)
+    assert vals[("bg.n", "value_count")][1] == float(len(rows))
+    bg_counts = {k[1]: v[0] for k, v in vals.items() if k[0] == "bg.bylang"}
+    assert bg_counts == dict(Counter(r["lang"] for r in rows))
+    with pytest.raises(ValueError, match="global"):
+        es_aggs(si, {"aggs": {"g": {"global": {}}}})

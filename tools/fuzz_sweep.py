@@ -5,6 +5,7 @@ verify determinism; this tool hunts beyond them).
     python tools/fuzz_sweep.py bool  [--seeds 1000:1012] [--per 8]
     python tools/fuzz_sweep.py qs    [--seeds 3000:3020] [--per 6]
     python tools/fuzz_sweep.py slop  [--seeds 5000:5006] [--per 10]
+    python tools/fuzz_sweep.py exp   [--seeds 11000:11001] [--per 120]
 
 Prints one line per mismatch and a final `SWEEP DONE fails=N`.
 The round-5 closing sweep of these three (plus an msearch variant)
@@ -195,22 +196,100 @@ def sweep_slop(seeds, per) -> int:
     return fails
 
 
+def sweep_exp(seeds, per) -> int:
+    """Random prefix/wildcard/regexp/fuzzy patterns: engine dictionary
+    expansions vs a pure-python oracle replicating the documented
+    (df desc / dist asc, term asc) order and max_expansions cap."""
+    import re
+    from collections import Counter
+
+    from newssearchengine_spark.oracle import pure
+
+    spark = _spark()
+    T, si, raw, _oidx, _dt = _fuzz_fixture(spark)
+    df = Counter()
+    for t in raw.values():
+        for tok in set(pure.analyze(t, si.analyzer)):
+            df[tok] += 1
+    dict_terms = sorted(df)
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 2:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    fails = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        for _ in range(per):
+            base = rng.choice(dict_terms)
+            kind = rng.choice(["prefix", "wildcard", "regexp", "fuzzy"])
+            mx = rng.choice([3, 5, 50])
+            if kind == "prefix":
+                pat = base[:rng.randint(1, max(1, len(base) - 1))]
+                got = si.expand_prefix(pat, max_expansions=mx)
+                cand = [t for t in dict_terms if t.startswith(pat)]
+                want = sorted(cand, key=lambda t: (-df[t], t))[:mx]
+            elif kind == "wildcard":
+                i = rng.randint(0, len(base) - 1)
+                j = rng.randint(i + 1, len(base))
+                pat = (base[:i]
+                       + ("*" if rng.random() < 0.6 else "?") + base[j:])
+                got = si.expand_wildcard(pat, max_expansions=mx)
+                rx = re.compile("^" + "".join(
+                    ".*" if c == "*" else "." if c == "?"
+                    else re.escape(c) for c in pat) + "$")
+                cand = [t for t in dict_terms if rx.match(t)]
+                want = sorted(cand, key=lambda t: (-df[t], t))[:mx]
+            elif kind == "regexp":
+                i = rng.randint(1, len(base) - 1) if len(base) > 1 else 1
+                pat = re.escape(base[:i]) + rng.choice(
+                    [".*", "[a-z]+", ".?" + re.escape(base[i:]),
+                     re.escape(base[i:]) + "{1}"])
+                got = si.expand_regexp(pat, max_expansions=mx)
+                rx = re.compile("^(?:" + pat + ")$")
+                cand = [t for t in dict_terms if rx.match(t)]
+                want = sorted(cand, key=lambda t: (-df[t], t))[:mx]
+            else:
+                me = rng.choice([1, 2])
+                pl = rng.choice([0, 0, 1, 2])
+                got = si.expand_fuzzy(base, max_edits=me, prefix_len=pl,
+                                      max_expansions=mx)
+                cand = [t for t in dict_terms
+                        if (pl == 0 or t.startswith(base[:pl]))
+                        and lev(t, base) <= me]
+                want = sorted(
+                    cand, key=lambda t: (lev(t, base), -df[t], t))[:mx]
+            if got != want:
+                fails += 1
+                print(f"EXP MISMATCH {kind} seed={seed}: "
+                      f"got={got[:5]} want={want[:5]}")
+    return fails
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["bool", "qs", "slop"])
+    ap.add_argument("what", choices=["bool", "qs", "slop", "exp"])
     ap.add_argument("--seeds", default="")
     ap.add_argument("--per", type=int, default=0)
     args = ap.parse_args()
     defaults = {"bool": ("1000:1012", 8), "qs": ("3000:3020", 6),
-                "slop": ("5000:5006", 10)}
+                "slop": ("5000:5006", 10), "exp": ("11000:11001", 120)}
     srange, per = defaults[args.what]
     if args.seeds:
         srange = args.seeds
     if args.per:
         per = args.per
     lo, hi = (int(x) for x in srange.split(":"))
-    fails = {"bool": sweep_bool, "qs": sweep_qs,
-             "slop": sweep_slop}[args.what](range(lo, hi), per)
+    fails = {"bool": sweep_bool, "qs": sweep_qs, "slop": sweep_slop,
+             "exp": sweep_exp}[args.what](range(lo, hi), per)
     print(f"SWEEP DONE fails={fails}")
     sys.exit(1 if fails else 0)
 
