@@ -2588,6 +2588,54 @@ def es_aggs(index: SegmentIndex, body: dict) -> DataFrame:
                 F.col("fg_df").alias("doc_count"),
                 F.col("score").alias("value")).select(*out_cols))
             continue
+        if akind == "adjacency_matrix":
+            # ES adjacency_matrix: named filter buckets PLUS their
+            # pairwise intersections ("a&b" keys, '&' the ES separator)
+            # — the co-occurrence matrix shape. Each filter resolves to
+            # a membership relation over the scoped match set (same
+            # clause grammar as `filters`); intersections are semi-joins
+            # of those memberships. Like ES, empty buckets are omitted.
+            from .search import _meta_filter_pred
+            named = {}
+            for bname, fq in aspec["filters"].items():
+                if isinstance(fq, dict) and "bool" in fq:
+                    rel = index._bool_tree_rel(
+                        _bool_to_tree(index, fq["bool"]))
+                    m = (store.select("doc_id").filter(F.lit(False))
+                         if rel is None
+                         else store.join(rel.select("doc_id"), "doc_id",
+                                         "left_semi").select("doc_id"))
+                else:
+                    fc, mc = index._parse_filters([fq])
+                    m = store
+                    if mc:
+                        m = m.filter(_meta_filter_pred(mc))
+                    for toks in fc:
+                        m = m.join(index._term_docs(toks)
+                                   .select("doc_id").distinct(),
+                                   "doc_id", "left_semi")
+                    m = m.select("doc_id")
+                named[bname] = m
+            parts = []
+            order = sorted(named)
+            for i, a in enumerate(order):
+                parts.append((a, named[a]))
+                for bn in order[i + 1:]:
+                    parts.append((f"{a}&{bn}",
+                                  named[a].join(named[bn], "doc_id",
+                                                "left_semi")))
+            rels = []
+            for label, m in parts:
+                rels.append(m.agg(
+                    F.count(F.lit(1)).alias("doc_count")).select(
+                    F.lit(name).alias("agg"), F.lit(label).alias("key"),
+                    "doc_count", F.lit(None).alias("value")))
+            b = rels[0]
+            for p in rels[1:]:
+                b = b.unionByName(p)
+            b = b.filter(F.col("doc_count") > 0)
+            outs.append(b.select(*out_cols))
+            continue
         if akind == "filters":
             # named predicate buckets: each bucket counts the query-
             # matching docs that ALSO satisfy its filter-context clause

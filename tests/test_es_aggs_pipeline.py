@@ -457,3 +457,38 @@ def test_global_agg_ignores_query_scope(corpus):
     assert bg_counts == dict(Counter(r["lang"] for r in rows))
     with pytest.raises(ValueError, match="global"):
         es_aggs(si, {"aggs": {"g": {"global": {}}}})
+
+
+def test_adjacency_matrix_agg(corpus):
+    """adjacency_matrix: named filter buckets + pairwise intersections
+    ('a&b' keys), empty buckets omitted — python oracle over the match
+    set."""
+    si, rows = corpus
+    body = {"query": {"match": {"text": "node"}},
+            "aggs": {"adj": {"adjacency_matrix": {"filters": {
+                "en": {"term": {"lang": "en"}},
+                "cur": {"match": {"text": "cursor"}},
+                "short": {"range": {"content_len": {"lt": 250}}}}}}}}
+    got = {r["key"]: r["doc_count"] for r in es_aggs(si, body).collect()}
+    hits = {r["doc_id"] for r in es_search(
+        si, {"query": {"match": {"text": "node"}}},
+        size=10 ** 6).collect()}
+    cur = set(si.analyze_query("cursor"))
+    sets = {
+        "cur": {r["doc_id"] for r in rows if r["doc_id"] in hits
+                and cur & set(pure.analyze(r["text"], si.analyzer))},
+        "en": {r["doc_id"] for r in rows
+               if r["doc_id"] in hits and r["lang"] == "en"},
+        "short": {r["doc_id"] for r in rows
+                  if r["doc_id"] in hits and r["content_len"] < 250},
+    }
+    names = sorted(sets)
+    want = {}
+    for i, a in enumerate(names):
+        if sets[a]:
+            want[a] = len(sets[a])
+        for b in names[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[f"{a}&{b}"] = n
+    assert want and got == want
